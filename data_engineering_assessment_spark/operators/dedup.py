@@ -1,0 +1,247 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-bounded and cross-join-free:
+
+- exact: hash-groupBy on a fingerprint (one shuffle on the hash);
+- n-gram Jaccard: inverted-index join on shared shingles — exact
+  near-dup pairs without a cross join (candidate space = pairs that
+  share ≥1 shingle);
+- MinHash + LSH banding: constant-size signatures, candidates from
+  band-bucket equality — the 100 TB path where even the inverted
+  index is too hot;
+- SimHash: 16-bit locality hash + pigeonhole half-match candidates,
+  verified by Hamming distance.
+
+Everything is native expressions (xxhash64, higher-order array
+functions); no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_bag, shingles, word_count, words
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, fp: Column) -> DataFrame:
+    """Group rows by fingerprint; emit canonical (min id) + group size.
+    One shuffle, map-side combined."""
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def dedup_exact_bag(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return exact_dedup_groups(docs, id_col, fingerprint_bag(text_col))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via an inverted shingle index.
+
+    Plan: explode distinct shingles → self-equi-join on the shingle →
+    count shared shingles per pair → Jaccard from |A|,|B|,|A∩B|.
+    Scale notes: the join key is the shingle, so hot (very common)
+    shingles create skew — at 100 TB add a document-frequency cap
+    (drop shingles with df > limit, a standard prefix-filtering move)
+    and AQE skew-join handles the remainder.  No cross join anywhere.
+    """
+    sh = docs.filter(word_count(text_col) >= n).select(
+        F.col(id_col).alias("doc"), shingles(text_col, n).alias("shingles")
+    )
+    ex = sh.select(
+        "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    union = (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("long")
+    jacc = F.col("inter").cast("double") / union.cast("double")
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            union.alias("n_union"),
+            jacc.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Fixed-width MinHash signature per document.
+
+    Hash family: ``xxhash64(shingle, seed=i)`` for i in 0..H-1 —
+    deterministic, native, and each document's signature is computed
+    in a single narrow projection (no shuffle at all).
+    """
+    sh = docs.filter(word_count(text_col) >= n).select(
+        F.col(id_col).alias("doc"), shingles(text_col, n).alias("shingles")
+    )
+    def min_hash(i: int) -> Column:
+        # closure over the seed; the lambda must take exactly one arg
+        # (PySpark passes the element index as an optional 2nd arg).
+        seed = F.lit(i)
+        return F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, seed)))
+
+    sig = F.array(*[min_hash(i) for i in range(num_hashes)])
+    return sh.select("doc", sig.alias("sig"))
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH banding: split signatures into ``bands`` rows-per-band
+    chunks, bucket-join on (band index, band content), then estimate
+    Jaccard as the fraction of matching signature positions.
+
+    Scale: candidates come from equality joins on band keys — a pure
+    hash shuffle, linear in data size + collisions; tune
+    (num_hashes, bands) for the target similarity threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("sig", b * rows_per_band + j + 1) for j in range(rows_per_band)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("doc", "sig", F.explode(band_structs).alias("bk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk.band") == F.col("b.bk.band"))
+            & (F.col("a.bk.key") == F.col("b.bk.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    return cand.select(
+        "doc_a", "doc_b", est.alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= min_est_jaccard)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash16(text_col: str | Column) -> Column:
+    """16-bit SimHash from word-level xxhash64 bit votes — pure
+    expressions: for each bit b, sum ±1 votes across words, take sign."""
+    ws = words(text_col)
+
+    def bit(b: int) -> Column:
+        def vote(acc: Column, w: Column) -> Column:
+            is_set = F.shiftright(F.xxhash64(w), b).bitwiseAND(F.lit(1)) == 1
+            return acc + F.when(is_set, 1).otherwise(-1)
+
+        return F.when(F.aggregate(ws, F.lit(0), vote) > 0, F.lit(1)).otherwise(F.lit(0))
+
+    out = F.lit(0)
+    for b in range(16):
+        out = out + (bit(b) * F.lit(1 << b))
+    return out.cast("long")
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidate generation uses the pigeonhole principle: the 16-bit
+    hash splits into ``max_hamming + 1`` chunks, and any pair within
+    the Hamming budget must agree on at least one chunk — so an
+    equi-join on (chunk_id, chunk_value) has *guaranteed* recall.
+    Exact verification is the bit_count filter.  The chunk join is a
+    plain hash shuffle (never a nested loop), which is what makes
+    this the 100 TB formulation.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 16 // n_chunks
+    h = docs.select(F.col(id_col).alias("doc"), simhash16(text_col).alias("sh"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftright("sh", i * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("chunk_val"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    ex = h.select("doc", "sh", F.explode(chunks).alias("c"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.c.chunk_id") == F.col("b.c.chunk_id"))
+        & (F.col("a.c.chunk_val") == F.col("b.c.chunk_val"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    )
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        cand.select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (ArrayType(FloatType)).
+
+Two tiers:
+
+- ``cosine_topk`` — exact brute force for a bounded query set:
+  query-side broadcast, native higher-order-function dot products,
+  rank-window top-k.  Linear in |corpus| × |queries|; the correctness
+  baseline.
+- ``lsh_ann_topk`` — random-hyperplane LSH: corpus and queries hash
+  to sign-pattern buckets, candidates come from bucket equality
+  (hash-shuffle join), exact cosine only within buckets.  This is the
+  100 TB path: no cross join, bucket fan-out controls recall/cost.
+  An IVF variant would swap the hash for learned centroids; the
+  plumbing (bucket → equi-join → rescore) is identical.
+
+All arithmetic is double-precision native expressions (zip_with +
+aggregate); no UDFs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_sq(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``queries`` is broadcast (bounded query batch); the corpus streams
+    through one narrow stage — per corpus partition, all query dots are
+    computed without any shuffle, then one shuffle on q_id ranks the
+    per-query candidates.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), norm_sq(vec_col).alias("c_n")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), norm_sq(vec_col).alias("q_n")
+    )
+    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+    cos = dot("q_vec", "c_vec") / (F.sqrt("q_n") * F.sqrt("c_n"))
+    scored = pairs.select("q_id", "c_id", cos.alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("c_id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cosine", 6).cast("decimal(10,6)").alias("cosine"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def signature_bits(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p = (vec · plane_p) > 0."""
+    out = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        prod = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(prod > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine via multi-table random-hyperplane LSH.
+
+    Each of ``n_tables`` independent plane sets maps a vector to a
+    bucket; candidates are (query, corpus) pairs sharing a bucket in
+    any table.  Exact cosine re-scores candidates only.  Recall rises
+    with n_tables; cost is governed by bucket occupancy (2^n_planes
+    buckets per table).
+    """
+    tables = [
+        _hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def bucketed(df: DataFrame, side: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    signature_bits(vec_col, planes).alias("bucket"),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"{side}_vec"),
+            norm_sq(vec_col).alias(f"{side}_n"),
+            F.explode(buckets).alias("bk"),
+        ).select(
+            f"{side}_id",
+            f"{side}_vec",
+            f"{side}_n",
+            F.col("bk.table").alias(f"{side}_table"),
+            F.col("bk.bucket").alias(f"{side}_bucket"),
+        )
+
+    c = bucketed(corpus, "c")
+    q = bucketed(queries, "q")
+    cand = (
+        c.join(
+            F.broadcast(q),
+            (F.col("c_table") == F.col("q_table"))
+            & (F.col("c_bucket") == F.col("q_bucket"))
+            & (F.col("c_id") != F.col("q_id")),
+        )
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    cos = dot("q_vec", "c_vec") / (F.sqrt("q_n") * F.sqrt("c_n"))
+    scored = cand.select("q_id", "c_id", cos.alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("c_id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cosine", 6).cast("decimal(10,6)").alias("cosine"),
+        )
+    )

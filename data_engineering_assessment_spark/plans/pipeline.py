@@ -1,0 +1,287 @@
+"""LLM-training-data-pipeline query keys (north star, BASELINE.json):
+dedup, text analysis, similarity search, multimodal plumbing.
+
+Oracle policy: exact/SQL-expressible ops carry full DuckDB oracles
+(including brute-force Jaccard and brute-force cosine — the oracle
+does the O(n²) work, the Spark plan does the scalable formulation);
+sketch-based ops (MinHash, SimHash, LSH-ANN) are engine-specific by
+construction → rows-only checks, with recall asserted against the
+exact operators in tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    TOKEN_PATTERN,
+    bpe_ish_token_count,
+    fingerprint_bag,
+    fingerprint_exact,
+    lang_guess,
+    stopword_count,
+    uniq_word_count,
+    word_count,
+)
+from ..operators.dedup import (
+    dedup_exact_bag,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.multimodal import asset_meta, decode_assets, fake_decode, synth_assets
+from ..operators.similarity import cosine_topk, lsh_ann_topk
+from ..session import ensure_deterministic_session
+from ..sources.tables import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq_words,
+           CAST(len(list_filter(string_split(text, ' '),
+                w -> list_contains(['the','a','of','and','to','in'], w))) AS INT) AS n_stopwords,
+           CAST(strlen(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_word_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring statistics per document — pure scan-speed
+    expressions (word/uniq/stopword counts, average word length)."""
+    ensure_deterministic_session(spark)
+    nw = word_count("text")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        nw.alias("n_words"),
+        uniq_word_count("text").alias("n_uniq_words"),
+        stopword_count("text").alias("n_stopwords"),
+        ((F.octet_length("text") - nw + 1).cast("double") / nw.cast("double")).alias(
+            "avg_word_len"
+        ),
+    )
+
+
+@query(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    ensure_deterministic_session(spark)
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        word_count("text").alias("n_ws_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN len(list_filter(string_split(text, ' '),
+                     w -> list_contains(['the','a','of','and','to','in'], w))) >= 1 THEN 'en'
+                ELSE 'und' END AS lang_guess
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram/marker language ID (expression-only)."""
+    ensure_deterministic_session(spark)
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", lang_guess("text").alias("lang_guess")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_bag
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: exact (md5 of text) and order-insensitive
+    word-bag md5 — engine-portable by md5's definition."""
+    ensure_deterministic_session(spark)
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        fingerprint_exact("text").alias("fp_exact"),
+        fingerprint_bag("text").alias("fp_bag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by hash-groupBy on the bag fingerprint: one
+    map-side-combined shuffle; canonical row = min doc_id."""
+    ensure_deterministic_session(spark)
+    return dedup_exact_bag(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+      FROM w
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(n_a + n_b - inter AS BIGINT) AS n_union,
+           CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard
+    FROM p
+    WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-Jaccard near-dup pairs via the inverted shingle
+    index (no cross join); the oracle brute-forces the same answer."""
+    ensure_deterministic_session(spark)
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query("dedup_minhash")  # sketch-based — rows-only; recall vs exact tested in pytest
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands) candidate near-dup pairs with
+    estimated Jaccard — deterministic (xxhash64 family) but not
+    SQL-portable, so no DuckDB oracle."""
+    ensure_deterministic_session(spark)
+    return minhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), min_est_jaccard=0.5
+    )
+
+
+@query("dedup_simhash")  # sketch-based — rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16-bit) near-dup pairs within Hamming ≤ 3, pigeonhole
+    chunk candidates + exact verification."""
+    ensure_deterministic_session(spark)
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embed_cosine_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+      FROM embeddings
+    ), p AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             list_sum(list_transform(range(1, 65),
+                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) AS dot,
+             q.nsq AS qn, c.nsq AS cn
+      FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+    ), r AS (
+      SELECT q_id, c_id, dot / (sqrt(qn) * sqrt(cn)) AS cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY dot / (sqrt(qn) * sqrt(cn)) DESC, c_id) AS INT) AS rank
+      FROM p
+    )
+    SELECT q_id, c_id AS neighbor_id, rank,
+           CAST(ROUND(cos, 6) AS DECIMAL(10,6)) AS cosine
+    FROM r WHERE rank <= 3
+    """,
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cosine neighbors for query vectors vec_id < 10 —
+    broadcast query batch, native dot products, rank window."""
+    ensure_deterministic_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@query("embed_ann_lsh")  # approximate — rows-only; recall tested in pytest
+def embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via multi-table random-hyperplane LSH
+    (deterministic seeded planes) — the scale path for ANN."""
+    ensure_deterministic_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(strlen(text) AS INT) AS byte_len,
+           CAST(strlen(text) % 640 AS INT) AS width,
+           CAST((strlen(text) * 7) % 480 AS INT) AS height,
+           CAST(strlen(text) % 16 + 1 AS INT) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary payload columns — the payload column
+    itself is never materialized (column pruning does the work)."""
+    ensure_deterministic_session(spark)
+    return asset_meta(synth_assets(load_table(spark, sf_dir, "documents")))
+
+
+@query("multimodal_decode")  # mapInPandas path — rows-only
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode through mapInPandas with the deterministic
+    fake decoder (real decoder stubbed — no media libs in container).
+    Exercises the exact batch shape production decode would use."""
+    ensure_deterministic_session(spark)
+    assets = synth_assets(load_table(spark, sf_dir, "documents"))
+    return decode_assets(assets, decode_fn=fake_decode)

@@ -1,0 +1,684 @@
+"""Standard relational query keys (SURVEY.md §2.4) with DuckDB oracles.
+
+All pure DataFrame-API compositions — Catalyst handles pushdown,
+pruning, join selection.  Scale notes per query in docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import ensure_deterministic_session
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _dec(c: str | Column, p: int = 12, s: int = 2) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(f"decimal({p},{s})")
+
+
+def _epoch_s(c: str | Column) -> Column:
+    """Timestamp → epoch seconds BIGINT (floor), engine-portable.
+
+    Corpus parquet timestamps surface as TIMESTAMP_NTZ (wall clock);
+    the intermediate cast to session-tz TIMESTAMP is a no-op for
+    already-zoned values and interprets NTZ wall clock as UTC (the
+    session is pinned to UTC), matching DuckDB's epoch() on the same
+    naive values."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("timestamp").cast("long")
+
+
+# oracle-side equivalent of _epoch_s
+_EPOCH = "CAST(FLOOR(epoch({c})) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Scans
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount > 0.05
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered, projected parquet scan.
+
+    Scale: both predicates and the 3-column projection reach the
+    parquet reader (PushedFilters + ReadSchema) — verified in
+    tests/test_plans.py.  At 100 TB this is the difference between
+    reading 3 columns of a few row groups and reading everything.
+    """
+    ensure_deterministic_session(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp")) & (F.col("l_discount") > 0.05))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_group",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+               * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(18,6)) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregation (TPC-H Q1 shape) — the flagship.
+
+    Scale: single shuffle on (returnflag, linestatus) with map-side
+    partial aggregation; cardinality of the group key is tiny so the
+    reduce side is trivially small.  Decimal arithmetic keeps results
+    order-independent (exact), so AQE can repartition freely.
+    """
+    ensure_deterministic_session(spark)
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(12,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    charge = disc_price * (one + _dec("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+        F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+        F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+        (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation — Spark expands to a partial-agg +
+    expand plan; still one logical shuffle keyed on the group column."""
+    ensure_deterministic_session(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    ensure_deterministic_session(spark)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("total"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all combinations)."""
+    ensure_deterministic_session(spark)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("total"),
+        )
+    )
+
+
+@query("agg_approx_distinct")  # approx — engine-specific sketch, rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB path where exact
+    countDistinct's shuffle would be prohibitive.  No oracle: sketch
+    estimates are engine-specific by design (driver rows-only check);
+    accuracy vs exact count asserted in tests/test_plans.py instead."""
+    ensure_deterministic_session(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) AS order_date_s,
+           o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, order_date_s, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority join (TPC-H Q3 shape): 3-way equi-join + agg +
+    deterministic top-10.
+
+    Scale: customer (filtered) broadcasts under the 64 MB threshold;
+    orders⋈lineitem is a shuffle join on orderkey — the natural
+    co-partitioning key for both tables (bucketing candidate)."""
+    ensure_deterministic_session(spark)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            _epoch_s("o_orderdate").alias("order_date_s"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT r.r_name,
+           count(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dim joins with explicit broadcast hints — zero
+    shuffle for the joins themselves (only the final tiny agg)."""
+    ensure_deterministic_session(spark)
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("decimal(18,2)").alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — dedups the probe side inside the join, no
+    row multiplication, build side only needs the key column."""
+    ensure_deterministic_session(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (customers with no orders)."""
+    ensure_deterministic_session(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT CAST(b.lo AS DOUBLE) AS lo, CAST(b.hi AS DOUBLE) AS hi, count(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM events e
+    JOIN (VALUES (0.0, 50.0), (50.0, 100.0), (100.0, 150.0),
+                 (150.0, 250.0), (250.0, 1000000.0)) AS b(lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.lo, b.hi
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join against a banding table.
+
+    Scale: the band table is tiny → broadcast nested-loop, which is
+    the right plan; each event row tests ≤5 bands.  For big-big range
+    joins the engine's pattern is bucketize-then-equi-join (see
+    operators/asof.py for the as-of variant)."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 50.0), (50.0, 100.0), (100.0, 150.0), (150.0, 250.0), (250.0, 1000000.0)],
+        "lo double, hi double",
+    )
+    return (
+        e.join(F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy("lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("decimal(18,2)").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ), w AS (
+      SELECT event_id, user_id, event_type, ts_s,
+             MAX(CASE WHEN event_type = 'click' THEN ts_s END) OVER (
+               PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_click_ts
+      FROM e
+    )
+    SELECT event_id, user_id, ts_s, last_click_ts
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent prior click of
+    the same user.
+
+    Expressed as a single-pass window over the unioned stream instead
+    of a pairwise join — one shuffle on user_id, no row explosion,
+    which is the scalable formulation (a naive as-of via inequality
+    join is quadratic per user)."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", _epoch_s("ts").alias("ts_s")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        e.withColumn(
+            "last_click_ts",
+            F.max(F.when(F.col("event_type") == "click", F.col("ts_s"))).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts_s", "last_click_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sort / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders
+    ) WHERE rn <= 5
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window with unique tie-break."""
+    ensure_deterministic_session(spark)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer — explicit ROWS frame + unique
+    ordering so the prefix sums are engine-independent."""
+    ensure_deterministic_session(spark)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("decimal(18,2)").alias("running_spend"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             CAST(row_number() OVER (PARTITION BY p_brand
+                                     ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rn
+      FROM part
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — Spark plans this as a
+    WindowGroupLimit (rank-limit pushdown) so each partition keeps
+    only k rows before the final window, no full sort of the table."""
+    ensure_deterministic_session(spark)
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        load_table(spark, sf_dir, "part")
+        .select("p_brand", "p_partkey", "p_retailprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N — Spark executes as TakeOrderedAndProject (per-
+    partition heap + driver merge), never a full global sort."""
+    ensure_deterministic_session(spark)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_deterministic_session(spark)
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_deterministic_session(spark)
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_deterministic_session(spark)
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# JSON / arrays / event-time windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props string column.
+
+    Uses get_json_object (native, codegen'd).  For wide extraction
+    the engine's pattern is from_json with an explicit schema — one
+    parse, many fields — instead of N get_json_object calls."""
+    ensure_deterministic_session(spark)
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS e0,
+           CAST(ROUND(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS DECIMAL(18,6)) AS norm_sq,
+           label
+    FROM embeddings
+    """,
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the embedding column: size, element access,
+    higher-order aggregate (L2 norm²) — all native, no UDF."""
+    ensure_deterministic_session(spark)
+    x2 = lambda acc, x: acc + x.cast("double") * x.cast("double")  # noqa: E731
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("e0"),
+        F.round(F.aggregate("embedding", F.lit(0.0), x2), 6)
+        .cast("decimal(18,6)")
+        .alias("norm_sq"),
+        "label",
+    )
+
+
+@query(
+    "event_tumbling_window",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def event_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window aggregation via F.window — the exact
+    same expression runs under Structured Streaming with a watermark
+    (streaming/windows.py); batch and stream share this plan."""
+    ensure_deterministic_session(spark)
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("decimal(18,2)").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "event_session_window",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s FROM events
+    ), g AS (
+      SELECT user_id, event_id, ts_s,
+             CASE WHEN ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) > 1800
+                   OR LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), s AS (
+      SELECT user_id, ts_s,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id,
+           MIN(ts_s) AS session_start, MAX(ts_s) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def event_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization (gaps-and-islands): one shuffle on
+    user_id shared by both window passes, then a partial-agg groupBy.
+    The streaming twin uses F.session_window (streaming/windows.py)."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", _epoch_s("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    lag = F.lag("ts_s").over(w)
+    g = e.withColumn(
+        "is_new",
+        F.when((F.col("ts_s") - lag > 1800) | lag.isNull(), F.lit(1)).otherwise(F.lit(0)),
+    )
+    s = g.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts_s").alias("session_start"),
+        F.max("ts_s").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

@@ -1,0 +1,114 @@
+"""Distributed green-taxi CSV ingest (reference part 1, re-expressed).
+
+The reference cleans the malformed TLC CSV *sequentially on one
+process* (``01.py:168-205``) then hands the buffer to pyarrow's CSV
+reader (``01.py:208-233``).  Here the same contract is distributed:
+
+- header validation happens on the driver against the first line only
+  (fail-fast before any cluster work, matching ``01.py:184-186``);
+- blank-line skipping + trailing-field truncation run as a parallel
+  ``spark.read.text`` → regex pipeline (``01.py:187-205`` semantics);
+- typed parsing is native ``from_csv``-style casts against the
+  explicit schema — '' → null, Y/N → bool, timestamps parsed with
+  ``yyyy-MM-dd HH:mm:ss`` (``01.py:215-226``), quoting disabled.
+
+At 100 TB the text scan parallelizes over input splits; nothing here
+touches the driver except the 1-line header check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import GREEN_TAXI_COLUMNS, GREEN_TAXI_HEADER, GREEN_TAXI_SCHEMA
+
+N_FIELDS = len(GREEN_TAXI_HEADER)
+
+# Keep the leftmost 20 comma-separated fields, dropping any trailing
+# extras (reference PATTERN_DATA, 01.py:157).  A row with <20 fields
+# does not match and is rejected.
+_KEEP_20 = r"^((?:[^,\r\n]*,){%d}[^,\r\n]*)" % (N_FIELDS - 1)
+
+
+class InvalidHeaderError(ValueError):
+    """Header line differs from the 20-name whitelist (01.py:160-161)."""
+
+
+class InvalidDataError(ValueError):
+    """A data row has fewer than 20 fields (01.py:164-165)."""
+
+
+def validate_header(spark: SparkSession, path: str) -> None:
+    """Fail fast if the first line is not exactly the expected header.
+
+    Driver-side single-line read — equivalent cost to the reference's
+    ``readline`` (01.py:182-186) and it runs before any job is launched.
+    """
+    first = spark.read.text(path).limit(1).collect()
+    if not first or tuple(first[0].value.rstrip("\r\n").split(",")) != GREEN_TAXI_HEADER:
+        raise InvalidHeaderError(
+            f"header of {path!r} does not match the expected {N_FIELDS}-column contract"
+        )
+
+
+def clean_lines(spark: SparkSession, path: str, fail_fast: bool = True) -> DataFrame:
+    """Cleaned data lines as a one-column ('line') DataFrame.
+
+    Mirrors 01.py:187-205 distributedly: drop the header row, skip
+    whitespace-only lines, truncate trailing fields via regex.  With
+    ``fail_fast`` (reference default) any row with <20 fields fails the
+    job; otherwise short rows are quarantined out (policy per
+    SURVEY.md §2.5).
+    """
+    raw = spark.read.text(path)
+    header_line = ",".join(GREEN_TAXI_HEADER)
+    data = raw.filter(F.trim(F.col("value")) != "").filter(F.col("value") != header_line)
+    cleaned = data.select(
+        F.col("value").alias("raw"),
+        F.regexp_extract(F.col("value"), _KEEP_20, 1).alias("line"),
+    )
+    if fail_fast:
+        # raise_error inside a when() fails the task on first bad row —
+        # distributed analogue of InvalidDataError (01.py:201-203).
+        cleaned = cleaned.select(
+            F.when(
+                F.col("line") == "",
+                F.raise_error(F.concat(F.lit("InvalidDataError: short row: "), F.col("raw"))),
+            )
+            .otherwise(F.col("line"))
+            .alias("line")
+        )
+    else:
+        cleaned = cleaned.filter(F.col("line") != "").select("line")
+    return cleaned
+
+
+def parse_typed(lines: DataFrame) -> DataFrame:
+    """Typed parse of cleaned CSV lines against the explicit schema.
+
+    Native expressions only (no UDFs): split, '' → null, Y/N → bool
+    (Spark's CSV reader will NOT auto-map Y/N — 01.py:215-221), exact
+    timestamp format, decimal casts.  Cast of a non-conforming string
+    yields null, matching pyarrow's strict parse only on clean input;
+    the cleaner upstream guarantees field count.
+    """
+    parts = F.split(F.col("line"), ",")
+    cols = []
+    for i, (name, field) in enumerate(zip(GREEN_TAXI_COLUMNS, GREEN_TAXI_SCHEMA.fields)):
+        c = F.nullif(parts.getItem(i), F.lit(""))  # '' → null (01.py:217)
+        t = field.dataType.simpleString()
+        if t == "timestamp":
+            e = F.to_timestamp(c, "yyyy-MM-dd HH:mm:ss")  # 01.py:218
+        elif t == "boolean":
+            e = F.when(c == "Y", F.lit(True)).when(c == "N", F.lit(False))  # 01.py:216,220
+        else:
+            e = c.cast(field.dataType)
+        cols.append(e.alias(name))
+    return lines.select(*cols)
+
+
+def read_green_taxi_csv(spark: SparkSession, path: str, fail_fast: bool = True) -> DataFrame:
+    """Full part-1 pipeline: validate → clean → typed parse."""
+    validate_header(spark, path)
+    return parse_typed(clean_lines(spark, path, fail_fast=fail_fast))
