@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark headline queries; prints ONE JSON line.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default 32).
+
+Each query executes fully (noop sink — no driver collect cost) and is
+timed wall-clock; `value` is the total seconds across headline
+queries.  Session startup and the one-time warmup scan are excluded:
+at 100 TB the fixed JVM cost is noise, per-query execution is what
+scales.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from data_engineering_assessment_spark import plans
+from data_engineering_assessment_spark.session import get_spark
+
+HEADLINE = [
+    "scan_parquet",
+    "agg_group",
+    "agg_distinct",
+    "join_inner",
+    "join_broadcast",
+    "join_asof",
+    "window_running_sum",
+    "topk_per_group",
+    "event_tumbling_window",
+    "event_session_window",
+    "json_extract",
+    "one_hot_hour",
+    "duration_seconds",
+    "text_stats",
+    "token_count",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "embed_cosine_topk",
+    "multimodal_decode",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="dea-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = plans.queries()
+    # Warmup: one scan (file listing, codegen infra) and one trivial
+    # mapInPandas (Python worker pool spin-up + pandas import) so no
+    # single query pays the one-time environment cost.
+    queries["scan_parquet"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    # Best-of-2 per query: the second run measures steady state (JIT,
+    # shuffle-service buffers); min is the standard steady-state metric.
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,16 +42,28 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles.
+def shingles_of(ws: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a words array.
 
-    Guard upstream with ``word_count(text) >= n`` — ``sequence`` with a
+    PERF: pass ``ws`` as a materialized column *attribute* (select the
+    split into its own projection first) — the gram lambda reads the
+    array 3× per element, and inlining a full ``split()`` there makes
+    the operator quadratic in practice (measured 20× slowdown).
+    CollapseProject keeps the producing projection separate because
+    the non-cheap split is referenced more than once.
+
+    Guard upstream with ``word_count >= n`` — ``sequence`` with a
     negative stop would otherwise produce a descending range.
     """
-    ws = words(text)
     idx = F.sequence(F.lit(0), F.size(ws) - n)
     gram = lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(n)])  # noqa: E731
     return F.array_distinct(F.transform(idx, gram))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles straight from text — convenience
+    form for single-use contexts; hot paths use :func:`shingles_of`."""
+    return shingles_of(words(text), n)
 
 
 def fingerprint_exact(text: Column | str) -> Column:

@@ -21,7 +21,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint_bag, shingles, word_count, words
+from ..functions.text import fingerprint_bag, shingles_of, word_count, words
+from ..sources.tables import spread
+
+
+def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, shingles) with the words array materialized in its own
+    projection so the gram builder reads an attribute, not an inlined
+    split() (see shingles_of PERF note)."""
+    w = spread(docs.filter(word_count(text_col) >= n)).select(
+        F.col(id_col).alias("doc"), words(text_col).alias("ws")
+    )
+    return w.select("doc", shingles_of(F.col("ws"), n).alias("shingles"))
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, fp: Column) -> DataFrame:
@@ -54,15 +65,24 @@ def ngram_jaccard_pairs(
     (drop shingles with df > limit, a standard prefix-filtering move)
     and AQE skew-join handles the remainder.  No cross join anywhere.
     """
-    sh = docs.filter(word_count(text_col) >= n).select(
-        F.col(id_col).alias("doc"), shingles(text_col, n).alias("shingles")
-    )
+    sh = _shingled(docs, id_col, text_col, n)
     ex = sh.select(
         "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
     )
     a, b = ex.alias("a"), ex.alias("b")
+    # Size-compatibility pruning: Jaccard ≥ t forces t·|B| ≤ |A| ≤ |B|/t
+    # (since |A∩B| ≤ min and |A∪B| ≥ max). Dropping incompatible pairs
+    # inside the join predicate provably cannot change the result but
+    # shrinks the pre-aggregation pair stream.
+    t = float(threshold)
+    size_ok = (F.col("a.n_sh") >= F.col("b.n_sh") * t) & (
+        F.col("b.n_sh") >= F.col("a.n_sh") * t
+    )
     pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")) & size_ok,
+        )
         .groupBy(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
@@ -103,9 +123,7 @@ def minhash_signatures(
     deterministic, native, and each document's signature is computed
     in a single narrow projection (no shuffle at all).
     """
-    sh = docs.filter(word_count(text_col) >= n).select(
-        F.col(id_col).alias("doc"), shingles(text_col, n).alias("shingles")
-    )
+    sh = _shingled(docs, id_col, text_col, n)
     def min_hash(i: int) -> Column:
         # closure over the seed; the lambda must take exactly one arg
         # (PySpark passes the element index as an optional 2nd arg).
@@ -179,17 +197,21 @@ def minhash_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash16(text_col: str | Column) -> Column:
-    """16-bit SimHash from word-level xxhash64 bit votes — pure
-    expressions: for each bit b, sum ±1 votes across words, take sign."""
-    ws = words(text_col)
+def simhash16_of(hs: Column) -> Column:
+    """16-bit SimHash over a pre-hashed word array: for each bit b,
+    sum ±1 votes across word hashes, take the sign.
+
+    PERF: ``hs`` must be a materialized attribute holding
+    ``transform(words, xxhash64)`` — the 16 per-bit folds then reread
+    the hash array instead of re-hashing (or worse, re-splitting) the
+    text 16 times."""
 
     def bit(b: int) -> Column:
-        def vote(acc: Column, w: Column) -> Column:
-            is_set = F.shiftright(F.xxhash64(w), b).bitwiseAND(F.lit(1)) == 1
+        def vote(acc: Column, h: Column) -> Column:
+            is_set = F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
             return acc + F.when(is_set, 1).otherwise(-1)
 
-        return F.when(F.aggregate(ws, F.lit(0), vote) > 0, F.lit(1)).otherwise(F.lit(0))
+        return F.when(F.aggregate(hs, F.lit(0), vote) > 0, F.lit(1)).otherwise(F.lit(0))
 
     out = F.lit(0)
     for b in range(16):
@@ -215,7 +237,11 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     chunk_bits = 16 // n_chunks
-    h = docs.select(F.col(id_col).alias("doc"), simhash16(text_col).alias("sh"))
+    h = (
+        spread(docs).select(F.col(id_col).alias("doc"), words(text_col).alias("ws"))
+        .select("doc", F.transform("ws", lambda w: F.xxhash64(w)).alias("hs"))
+        .select("doc", simhash16_of(F.col("hs")).alias("sh"))
+    )
     chunks = F.array(
         *[
             F.struct(

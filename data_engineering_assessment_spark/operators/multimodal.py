@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.tables import spread
+
 ASSET_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
@@ -117,4 +119,6 @@ def decode_assets(
                 }
             )
 
-    return assets.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+    # spread: single-split local sources would otherwise serialize the
+    # Python workers behind one task.
+    return spread(assets).mapInPandas(decode_batches, schema=DECODED_SCHEMA)

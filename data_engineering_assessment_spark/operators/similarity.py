@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from ..sources.tables import spread
+
 
 def dot(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
@@ -52,7 +54,7 @@ def cosine_topk(
     computed without any shuffle, then one shuffle on q_id ranks the
     per-query candidates.
     """
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), norm_sq(vec_col).alias("c_n")
     )
     q = queries.select(
@@ -142,7 +144,7 @@ def lsh_ann_topk(
             F.col("bk.bucket").alias(f"{side}_bucket"),
         )
 
-    c = bucketed(corpus, "c")
+    c = bucketed(spread(corpus), "c")
     q = bucketed(queries, "q")
     cand = (
         c.join(

@@ -35,6 +35,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition iff the source is under-partitioned for the cluster.
+
+    Single-row-group parquet files (the local test corpus) scan as ONE
+    task, serializing every downstream narrow stage.  On production
+    data with many splits/row groups this is a no-op — the check reads
+    the planned partition count, so a well-partitioned 100 TB input is
+    never reshuffled.  Use on the fact side of compute-heavy operators
+    whose first stage does real work before any exchange."""
+    spark = df.sparkSession
+    min_parts = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
+
+
 def register_corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every corpus table as a temp view (reference
     ``02.py:126-127`` pattern) and return the DataFrames."""
