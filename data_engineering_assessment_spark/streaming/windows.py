@@ -1,0 +1,148 @@
+"""Structured Streaming operators over the events stream.
+
+The batch keys ``event_tumbling_window`` / ``event_session_window``
+(plans/relational.py) share these aggregation shapes; here they run
+under ``readStream`` with watermarks, so the same logical plan serves
+both batch backfill and live ingestion — the Spark-idiomatic
+replacement for a dedicated stream engine.
+
+Scale notes: streaming state lives in the state store keyed by
+(window × event_type) or (user × session); watermarks bound state
+size by evicting windows older than the lateness allowance.  At
+100 TB/day the state store backend (RocksDB) and
+``spark.sql.shuffle.partitions`` (= state shards) are the knobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark, path: str) -> DataFrame:
+    """File-source stream with the explicit event schema (streams never
+    infer schemas — new files appear continuously)."""
+    return spark.readStream.schema(EVENT_STREAM_SCHEMA).parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts/sums with late-data handling.
+
+    Watermark evicts window state ``watermark`` behind the max seen
+    event time; later-arriving rows are dropped (documented policy).
+    Identical aggregation expression to the batch key."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window variant — each event lands in window/slide panes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-based), the streaming twin of the
+    batch gaps-and-islands formulation."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp").cast("long").alias("session_start"),
+            F.col("w.end").cast("timestamp").cast("long").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value
+    total via ``applyInPandasWithState`` — the template for stateful
+    logic Spark's built-in aggregations can't express (the pandas
+    batch sees all new rows for one key; state is an explicit tuple).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,138 @@
+"""Reference-parity: golden-output equivalence and CSV-pipeline edges.
+
+The strongest parity evidence available: feed the reference's own
+part-1 output (``/root/reference/01.parquet``) through our derived-
+column builders and demand row-for-row equality with its committed
+part-2 golden output (``/root/reference/02.parquet``) — including the
+dead ``dow_is_0`` column, all-zero Saturdays, UTC-hour flags, and the
+9 negative durations (SURVEY.md §2.2, §6.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_engineering_assessment_spark.functions.taxi import taxi_derived_columns
+from data_engineering_assessment_spark.sources.green_taxi import (
+    InvalidHeaderError,
+    clean_lines,
+    parse_typed,
+    read_green_taxi_csv,
+    validate_header,
+)
+from data_engineering_assessment_spark.plans.parity import FIXTURE_CSV
+
+REF_01 = "/root/reference/01.parquet"
+REF_02 = "/root/reference/02.parquet"
+
+needs_reference = pytest.mark.skipif(
+    not (os.path.exists(REF_01) and os.path.exists(REF_02)),
+    reason="reference golden artifacts not present",
+)
+
+
+@needs_reference
+def test_golden_parity_02_parquet(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = spark.read.parquet(REF_01)
+    ours = base.select("*", *taxi_derived_columns())
+    golden = spark.read.parquet(REF_02)
+
+    assert ours.columns == golden.columns
+    assert ours.count() == golden.count() == 49_647
+    # exact multiset equality, both directions
+    assert ours.exceptAll(golden).limit(1).count() == 0
+    assert golden.exceptAll(ours).limit(1).count() == 0
+
+
+@needs_reference
+def test_golden_quirks_preserved(spark):
+    """The measured quirks from BASELINE.md hold for our derivation."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = spark.read.parquet(REF_01)
+    ours = base.select("*", *taxi_derived_columns())
+    agg = ours.agg(
+        F.sum(sum([F.col(f"Pickup_hour_is_{h}") for h in range(24)], F.lit(0))).alias("hr"),
+        F.sum(sum([F.col(f"Pickup_dow_is_{d}") for d in range(7)], F.lit(0))).alias("dw"),
+        F.sum(F.col("Pickup_dow_is_0")).alias("dow0"),
+        F.sum(F.when(F.col("Duration_seconds") < 0, 1).otherwise(0)).alias("neg"),
+        F.sum("Pickup_or_dropoff_at_JFK").alias("jfk"),
+    ).collect()[0]
+    assert agg.hr == 49_647      # hour flags partition all rows
+    assert agg.dw == 40_881      # Saturday gap (dead dow mapping)
+    assert agg.dow0 == 0         # dow_is_0 is dead
+    assert agg.neg == 9          # negative durations kept
+    assert agg.jfk == 488
+
+
+# ---------------------------------------------------------------------------
+# CSV pipeline edge cases (01.py error contract)
+# ---------------------------------------------------------------------------
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+HEADER_LINE = (
+    "VendorID,lpep_pickup_datetime,Lpep_dropoff_datetime,Store_and_fwd_flag,RateCodeID,"
+    "Pickup_longitude,Pickup_latitude,Dropoff_longitude,Dropoff_latitude,Passenger_count,"
+    "Trip_distance,Fare_amount,Extra,MTA_tax,Tip_amount,Tolls_amount,Ehail_fee,"
+    "Total_amount,Payment_type,Trip_type"
+)
+
+GOOD_ROW = (
+    "2,2013-09-01 00:02:00,2013-09-01 00:10:30,N,1,-73.9,40.8,-73.9,40.6,1,"
+    "2.50,10.50,0.50,0.50,2.00,0.00,,13.50,1,"
+)
+
+
+def test_bad_header_fails_fast(spark, tmp_path):
+    p = _write(tmp_path, "bad.csv", "a,b,c\n1,2,3\n")
+    with pytest.raises(InvalidHeaderError):
+        validate_header(spark, p)
+
+
+def test_short_row_fails_job_when_fail_fast(spark, tmp_path):
+    p = _write(tmp_path, "short.csv", f"{HEADER_LINE}\n1,2,3\n")
+    with pytest.raises(Exception, match="InvalidDataError"):
+        clean_lines(spark, p, fail_fast=True).collect()
+
+
+def test_short_row_quarantined_when_lenient(spark, tmp_path):
+    p = _write(tmp_path, "short2.csv", f"{HEADER_LINE}\n1,2,3\n{GOOD_ROW}\n")
+    rows = clean_lines(spark, p, fail_fast=False).collect()
+    assert len(rows) == 1
+
+
+def test_empty_data_section_is_valid_empty_output(spark, tmp_path):
+    p = _write(tmp_path, "empty.csv", f"{HEADER_LINE}\n\n   \n")
+    df = read_green_taxi_csv(spark, p)
+    assert df.count() == 0
+    assert len(df.schema.fields) == 20
+
+
+def test_trailing_fields_truncated(spark, tmp_path):
+    p = _write(tmp_path, "extra.csv", f"{HEADER_LINE}\n{GOOD_ROW},junk1,junk2\n")
+    rows = clean_lines(spark, p, fail_fast=True).collect()
+    assert rows[0].line == GOOD_ROW  # exactly the leftmost 20 fields survive
+    typed = parse_typed(clean_lines(spark, p)).collect()
+    assert typed[0].VendorID == 2
+    assert typed[0].Trip_type is None
+
+
+def test_fixture_typed_values(spark):
+    df = read_green_taxi_csv(spark, FIXTURE_CSV)
+    rows = {r.Passenger_count: r for r in df.collect()}  # unique per fixture row
+    assert len(rows) == 3
+    r = rows[2]  # the Y-flag / negative-fare row
+    assert r.Store_and_fwd_flag is True
+    assert str(r.Fare_amount) == "-0.50"
+    assert r.Ehail_fee is None
+    assert r.Trip_type == 1

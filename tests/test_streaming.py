@@ -1,0 +1,126 @@
+"""Structured Streaming: the streaming twins must reproduce the batch
+results when fed the same data via availableNow file streams.
+
+Append-mode semantics: windows whose end lies within the watermark
+allowance (2 h) of the max event time are correctly *held back* (not
+yet final) — the tests assert exact equality on the emitted prefix
+and that everything held back is in the un-final tail.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_engineering_assessment_spark.sources.tables import load_table
+from data_engineering_assessment_spark.streaming.windows import (
+    read_event_stream,
+    running_user_totals,
+    session_counts,
+    tumbling_counts,
+)
+from tests.conftest import SF_DIR
+
+WATERMARK_S = 2 * 3600
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark):
+    """Events re-materialized as a micros-timestamped parquet dir the
+    file stream source can read (the corpus file itself is nanos)."""
+    d = tempfile.mkdtemp(prefix="dea_stream_")
+    load_table(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def max_ts_s(spark):
+    row = load_table(spark, SF_DIR, "events").agg(
+        F.max(F.col("ts").cast("timestamp").cast("long")).alias("m")
+    ).collect()[0]
+    return row.m
+
+
+def _run_to_memory(spark, stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_matches_batch(spark, event_dir, max_ts_s):
+    stream = read_event_stream(spark, event_dir)
+    got = _run_to_memory(spark, tumbling_counts(stream), "t_tumble", "append").collect()
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .collect()
+    )
+    got_set = set(map(tuple, got))
+    batch_set = set(map(tuple, batch))
+    assert got_set <= batch_set
+    held_back = batch_set - got_set
+    cutoff = max_ts_s - WATERMARK_S
+    # every held-back window must still be inside the watermark allowance
+    assert all(ws + 3600 > cutoff for (ws, *_rest) in held_back), held_back
+    # and every sufficiently old window must have been emitted
+    assert all(ws + 3600 > cutoff for (ws, *_rest) in batch_set - got_set)
+
+
+def test_session_stream_matches_batch(spark, event_dir, max_ts_s):
+    stream = read_event_stream(spark, event_dir)
+    got = _run_to_memory(spark, session_counts(stream), "t_session", "append").collect()
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp").cast("long").alias("session_start"),
+            F.col("w.end").cast("timestamp").cast("long").alias("session_end"),
+            "n_events",
+        )
+        .collect()
+    )
+    got_set = set(map(tuple, got))
+    batch_set = set(map(tuple, batch))
+    assert len(got_set) > 0
+    assert got_set <= batch_set
+    cutoff = max_ts_s - WATERMARK_S
+    assert all(se > cutoff for (_u, _ss, se, _n) in batch_set - got_set)
+
+
+def test_stateful_running_totals(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    got = _run_to_memory(spark, running_user_totals(stream), "t_state", "update").collect()
+    # One final state row per user (single availableNow batch).
+    per_user = {r.user_id: r for r in got}
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    )
+    assert len(per_user) == len(batch)
+    for b in batch:
+        r = per_user[b.user_id]
+        assert r.n_events == b.n
+        assert abs(r.total_value - b.total) < 1e-6
