@@ -66,9 +66,15 @@ def ngram_jaccard_pairs(
     and AQE skew-join handles the remainder.  No cross join anywhere.
     """
     sh = _shingled(docs, id_col, text_col, n)
+    # Build the inverted index ONCE and hash-partition it on the join
+    # key. Both self-join sides then share one identical Exchange, so
+    # Catalyst's ReuseExchange computes the (expensive) shingling +
+    # explode a single time and the join itself needs no further
+    # shuffle — at 100 TB this halves the scan work and replaces a
+    # broadcast (impossible at that size) with one co-located shuffle.
     ex = sh.select(
         "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
-    )
+    ).repartition("sh")
     a, b = ex.alias("a"), ex.alias("b")
     # Size-compatibility pruning: Jaccard ≥ t forces t·|B| ≤ |A| ≤ |B|/t
     # (since |A∩B| ≤ min and |A∪B| ≥ max). Dropping incompatible pairs
@@ -80,7 +86,7 @@ def ngram_jaccard_pairs(
     )
     pairs = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")) & size_ok,
         )
         .groupBy(

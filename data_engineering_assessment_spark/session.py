@@ -18,6 +18,18 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+# InferFiltersFromGenerate inserts `size(G)>0 AND isnotnull(G)` above
+# every explode, and predicate pushdown then re-inlines G through the
+# producing projections.  When G is a computed array (shingles, hash
+# signatures) the whole construction is re-evaluated 2× per input row
+# in the scan filter — measured 8× slowdown on the shingle index
+# build.  The engine always pre-filters explode inputs explicitly
+# (e.g. `word_count >= n`), so the inferred filter only costs.
+_EXCLUDED_OPT_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
 def get_spark(
     app_name: str = "dea-spark",
     cpus: int | None = None,
@@ -43,6 +55,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.optimizer.excludedRules", _EXCLUDED_OPT_RULES)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
@@ -58,4 +71,7 @@ def ensure_deterministic_session(spark: SparkSession) -> SparkSession:
     runtime conf, so this is safe on a live session.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Results-neutral perf conf (see _EXCLUDED_OPT_RULES): applied here
+    # too so externally-created sessions (the driver's) get it.
+    spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_OPT_RULES)
     return spark
