@@ -122,3 +122,93 @@ def decode_assets(
     # spread: single-split local sources would otherwise serialize the
     # Python workers behind one task.
     return spread(assets).mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+
+def real_resize(payload: bytes, media_type: str, w: int, h: int) -> bytes:
+    """Resize an image payload to (w, h).  STUB: needs PIL/libvips —
+    not in this container.  Production swaps this single function."""
+    raise NotImplementedError("image resize requires an imaging library")
+
+
+def fake_resize(payload: bytes, media_type: str, w: int, h: int) -> bytes:
+    """Deterministic stand-in: tile/truncate the payload to w*h bytes
+    (same output cardinality/shape a real thumbnail would have)."""
+    need = w * h
+    reps = (need + max(len(payload), 1) - 1) // max(len(payload), 1)
+    return (payload * max(reps, 1))[:need]
+
+
+def resize_assets(
+    assets: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    resize_fn: Callable[[bytes, str, int, int], bytes] = real_resize,
+) -> DataFrame:
+    """Arrow-batched thumbnailing via mapInPandas (image assets only —
+    the media_type filter happens BEFORE the Python hop, so pushdown
+    prunes non-image row groups and their payload bytes)."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "thumb": [
+                        resize_fn(bytes(p), m, width, height)
+                        for p, m in zip(pdf["payload"], pdf["media_type"])
+                    ],
+                }
+            )
+
+    images = assets.filter(F.col("media_type").startswith("image/"))
+    return spread(images).mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame,
+    every_n: int = 4,
+    decode_fn: Callable[[bytes, str], tuple[int, int, int]] = fake_decode,
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of each video asset — a
+    fan-out mapInPandas (rows out > rows in), the batch shape real
+    frame extraction (ffmpeg) would use.  Frame bytes here are
+    deterministic payload slices; production swaps the slicer."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for aid, p, m in zip(pdf["asset_id"], pdf["payload"], pdf["media_type"]):
+                raw = bytes(p)
+                _, _, n_frames = decode_fn(raw, m)
+                span = max(len(raw) // max(n_frames, 1), 1)
+                for f in range(0, n_frames, every_n):
+                    ids.append(aid)
+                    idxs.append(f)
+                    frames.append(raw[f * span : (f + 1) * span])
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame": frames})
+
+    videos = assets.filter(F.col("media_type").startswith("video/"))
+    return spread(videos).mapInPandas(frame_batches, schema=FRAME_SCHEMA)

@@ -76,6 +76,112 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b).
+
+    Correctness baseline: broadcast self-join over the full pair
+    space — inherently O(n²), intended for bounded corpora and as the
+    oracle for the LSH tier.  At 100 TB use
+    :func:`cosine_near_dup_lsh`, which generates candidates from
+    hyperplane-signature buckets and only rescores those.
+    """
+    v = spread(corpus).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), norm_sq(vec_col).alias("n")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.id") < F.col("b.id"))
+    cos = dot(F.col("a.vec"), F.col("b.vec")) / (F.sqrt(F.col("a.n")) * F.sqrt(F.col("b.n")))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= threshold)
+        .select(
+            "id_a", "id_b", F.round("cos_raw", 6).cast("decimal(10,6)").alias("cosine")
+        )
+    )
+
+
+def cosine_near_dup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    max_hamming: int = 7,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane signatures + pigeonhole.
+
+    The ``n_planes``-bit sign signature approximates angle: P(bit
+    differs) = θ/π.  Candidates come from an equi-join on signature
+    *chunks* (any pair within the Hamming budget must agree on at
+    least one of ``max_hamming + 1`` chunks — guaranteed recall at the
+    signature level), then exact cosine rescoring keeps only true
+    near-dups.  All shuffles are hash joins on chunk keys — no cross
+    join, which is what makes this the 100 TB formulation; recall
+    vs. the exact tier is governed by (n_planes, max_hamming).
+    """
+    planes = _hyperplanes(dim, n_planes, seed=seed)
+    v = spread(corpus).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_sq(vec_col).alias("n"),
+        signature_bits(vec_col, planes).alias("sig"),
+    )
+    n_chunks = max_hamming + 1
+    bounds = [(i * n_planes) // n_chunks for i in range(n_chunks + 1)]
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftright("sig", bounds[i])
+                .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+                .alias("chunk_val"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    ex = v.select("id", "vec", "n", "sig", F.explode(chunks).alias("c"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c.chunk_id") == F.col("b.c.chunk_id"))
+            & (F.col("a.c.chunk_val") == F.col("b.c.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))) <= max_hamming
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = dot("vec_a", "vec_b") / (F.sqrt("n_a") * F.sqrt("n_b"))
+    return (
+        cand.select("id_a", "id_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= threshold)
+        .select(
+            "id_a", "id_b", F.round("cos_raw", 6).cast("decimal(10,6)").alias("cosine")
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

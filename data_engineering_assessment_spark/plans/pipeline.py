@@ -30,8 +30,21 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from ..operators.multimodal import asset_meta, decode_assets, fake_decode, synth_assets
-from ..operators.similarity import cosine_topk, lsh_ann_topk
+from ..operators.multimodal import (
+    asset_meta,
+    decode_assets,
+    fake_decode,
+    fake_resize,
+    resize_assets,
+    sample_frames,
+    synth_assets,
+)
+from ..operators.similarity import (
+    cosine_near_dup_lsh,
+    cosine_near_dup_pairs,
+    cosine_topk,
+    lsh_ann_topk,
+)
 from ..session import ensure_deterministic_session
 from ..sources.tables import load_table
 from .registry import query
@@ -204,6 +217,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+@query(
+    "dedup_embed_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+      FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, CAST(ROUND(cos, 6) AS DECIMAL(10,6)) AS cosine
+    FROM p WHERE cos >= 0.4
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cos ≥ 0.4) — broadcast
+    self-join baseline; the LSH tier below is the scale path."""
+    ensure_deterministic_session(spark)
+    return cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query("dedup_embed_lsh")  # candidate generation is sketch-based — rows-only
+def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane signatures + pigeonhole chunk
+    join, exact cosine rescoring (cos ≥ 0.4) — no cross join; output
+    is a recall-governed subset of dedup_embed_cosine."""
+    ensure_deterministic_session(spark)
+    return cosine_near_dup_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -285,3 +333,34 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic_session(spark)
     assets = synth_assets(load_table(spark, sf_dir, "documents"))
     return decode_assets(assets, decode_fn=fake_decode)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS asset_id, 'image/png' AS media_type,
+           8 AS width, 8 AS height,
+           md5(substring(repeat(text, CAST(ceil(64.0 / strlen(text)) AS INT)), 1, 64)) AS thumb_md5
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail pipeline: media_type filter → mapInPandas resize (the
+    deterministic fake tiler) → md5 digest of the thumb bytes so the
+    oracle can compare values byte-exactly (corpus text is ASCII)."""
+    ensure_deterministic_session(spark)
+    assets = synth_assets(load_table(spark, sf_dir, "documents"))
+    resized = resize_assets(assets, width=8, height=8, resize_fn=fake_resize)
+    return resized.select(
+        "asset_id", "media_type", "width", "height", F.md5("thumb").alias("thumb_md5")
+    )
+
+
+@query("multimodal_frames")  # fan-out mapInPandas — rows-only
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video assets — fan-out mapInPandas (rows
+    out > rows in); emits (asset_id, frame_idx, frame digest)."""
+    ensure_deterministic_session(spark)
+    assets = synth_assets(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(assets, every_n=4)
+    return frames.select("asset_id", "frame_idx", F.md5("frame").alias("frame_md5"))

@@ -1,0 +1,129 @@
+"""Unit tests for the training-data-pipeline operators: planted
+near-duplicate recall (embedding + text tiers) and multimodal
+plumbing shape (thumbnail bytes, frame fan-out)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_engineering_assessment_spark.operators.dedup import (
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from data_engineering_assessment_spark.operators.multimodal import (
+    fake_resize,
+    resize_assets,
+    sample_frames,
+    synth_assets,
+)
+from data_engineering_assessment_spark.operators.similarity import (
+    cosine_near_dup_lsh,
+    cosine_near_dup_pairs,
+)
+from tests.conftest import SF_DIR
+
+
+def _planted_vectors(spark, n=40, dim=64, seed=7):
+    """n random unit-ish vectors plus one planted near-identical pair
+    (ids 1000/1001, cosine ≈ 1)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    near = [x + 1e-4 * rng.gauss(0, 1) for x in base]
+    rows.append((1000, base))
+    rows.append((1001, near))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_embed_near_dup_exact_finds_planted_pair(spark):
+    vecs = _planted_vectors(spark)
+    pairs = cosine_near_dup_pairs(vecs, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1000, 1001)]
+    assert float(pairs[0].cosine) > 0.999
+
+
+def test_embed_near_dup_lsh_finds_planted_pair(spark):
+    vecs = _planted_vectors(spark)
+    pairs = cosine_near_dup_lsh(vecs, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1000, 1001)]
+
+
+def test_embed_lsh_subset_of_exact(spark):
+    vecs = _planted_vectors(spark)
+    exact = {
+        (r.id_a, r.id_b) for r in cosine_near_dup_pairs(vecs, threshold=0.3).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b) for r in cosine_near_dup_lsh(vecs, threshold=0.3).collect()
+    }
+    assert approx <= exact
+
+
+def _planted_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words that share nothing with the others at all"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+
+
+def test_ngram_jaccard_finds_planted_near_dup(spark):
+    docs = _planted_docs(spark)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+
+
+def test_minhash_agrees_on_planted_near_dup(spark):
+    docs = _planted_docs(spark)
+    pairs = minhash_candidate_pairs(docs, min_est_jaccard=0.5).collect()
+    assert (1, 2) in {(r.doc_a, r.doc_b) for r in pairs}
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "unrelated totally disjoint vocabulary here")],
+        ["doc_id", "text"],
+    )
+    pairs = simhash_pairs(docs, max_hamming=3).collect()
+    found = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert found.get((1, 2)) == 0
+
+
+def test_resize_thumb_shape(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30)
+    assets = synth_assets(docs)
+    out = resize_assets(assets, width=8, height=8, resize_fn=fake_resize).collect()
+    assert out  # image assets exist
+    assert all(len(bytes(r.thumb)) == 64 for r in out)
+    assert all(r.media_type == "image/png" for r in out)
+
+
+def test_frame_sampling_fanout(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30)
+    assets = synth_assets(docs)
+    frames = sample_frames(assets, every_n=4)
+    per_asset = (
+        frames.groupBy("asset_id").agg(F.count("*").alias("n")).collect()
+    )
+    metas = {
+        r.asset_id: r.byte_len % 16 + 1
+        for r in assets.filter(F.col("media_type") == "video/mp4").collect()
+    }
+    assert per_asset
+    for r in per_asset:
+        n_frames = metas[r.asset_id]
+        assert r.n == len(range(0, n_frames, 4))
