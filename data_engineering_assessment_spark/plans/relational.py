@@ -64,9 +64,39 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Aggregations
-# ---------------------------------------------------------------------------
+_ROUNDTRIP_ORACLE = """
+    SELECT doc_id, lang, n_chars, md5(text) AS text_md5 FROM documents
+"""
+
+
+@query("scan_jsonl", oracle=_ROUNDTRIP_ORACLE)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink round-trip: documents → JSONL files →
+    explicit-schema read → digest projection.  Values must survive the
+    trip byte-exactly (JSON string escaping is lossless); the oracle
+    reads the original parquet, so any loss shows up as a hash miss."""
+    ensure_deterministic_session(spark)
+    from ..sources.formats import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = f"/root/repo/.scratch/roundtrip_jsonl_{abs(hash(sf_dir)) % 10**8}"
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, docs.schema)
+    return back.select("doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5"))
+
+
+@query("scan_orc", oracle=_ROUNDTRIP_ORACLE)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (columnar alternative to parquet,
+    footer-described schema, pushdown-capable)."""
+    ensure_deterministic_session(spark)
+    from ..sources.formats import read_orc, write_orc
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = f"/root/repo/.scratch/roundtrip_orc_{abs(hash(sf_dir)) % 10**8}"
+    write_orc(docs, path)
+    back = read_orc(spark, path)
+    return back.select("doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5"))
 
 
 @query(

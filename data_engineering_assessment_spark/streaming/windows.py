@@ -103,6 +103,19 @@ def session_counts(
     )
 
 
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key in the state
+    store only until the watermark passes it — the streaming twin of
+    the batch ``dedup_exact`` tier, and the formulation whose state
+    does NOT grow without bound on an infinite stream (plain
+    ``dropDuplicates`` on a stream would)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 RUNNING_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

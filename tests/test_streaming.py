@@ -108,6 +108,19 @@ def test_session_stream_matches_batch(spark, event_dir, max_ts_s):
     assert all(se > cutoff for (_u, _ss, se, _n) in batch_set - got_set)
 
 
+def test_stream_dedup_removes_duplicates(spark):
+    from data_engineering_assessment_spark.streaming.windows import stream_dedup
+
+    d = tempfile.mkdtemp(prefix="dea_stream_dup_")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.unionAll(ev).repartition(4).write.mode("overwrite").parquet(d)
+    stream = read_event_stream(spark, d)
+    got = _run_to_memory(spark, stream_dedup(stream), "t_dedup", "append").collect()
+    n_distinct = ev.select("event_id").distinct().count()
+    assert len(got) == n_distinct
+    assert len({r.event_id for r in got}) == n_distinct
+
+
 def test_stateful_running_totals(spark, event_dir):
     stream = read_event_stream(spark, event_dir)
     got = _run_to_memory(spark, running_user_totals(stream), "t_state", "update").collect()
