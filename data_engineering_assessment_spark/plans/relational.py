@@ -712,3 +712,183 @@ def event_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_s").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Widening round: lag/lead, exact percentiles, full outer join,
+# grouping sets, pivot, correlated-subquery decorrelation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_lag",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s FROM events
+    )
+    SELECT event_id, user_id, ts_s,
+           ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap_s,
+           LEAD(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) - ts_s AS next_gap_s
+    FROM e
+    """,
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead inter-event gaps per user.
+
+    Scale: one shuffle on user_id serves both lag and lead (same
+    window spec → single Window physical operator); ordering key
+    (ts_s, event_id) is unique, so results are deterministic."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", _epoch_s("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        (F.col("ts_s") - F.lag("ts_s").over(w)).alias("gap_s"),
+        (F.lead("ts_s").over(w) - F.col("ts_s")).alias("next_gap_s"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(quantile_cont(l_quantity, 0.5), 6) AS DECIMAL(18,6)) AS p50_qty,
+           CAST(ROUND(quantile_cont(l_quantity, 0.9), 6) AS DECIMAL(18,6)) AS p90_qty,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS DECIMAL(18,6)) AS p50_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group.
+
+    Scale: exact percentile buffers per-group values — fine for few
+    groups; at 100 TB with high-cardinality groups switch to
+    approx_percentile (t-digest sketch, mergeable map-side)."""
+    ensure_deterministic_session(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def p(col: str, q: float, alias: str) -> Column:
+        return (
+            F.round(F.expr(f"percentile({col}, {q})"), 6)
+            .cast("decimal(18,6)")
+            .alias(alias)
+        )
+
+    return l.groupBy("l_returnflag").agg(
+        p("l_quantity", 0.5, "p50_qty"),
+        p("l_quantity", 0.9, "p90_qty"),
+        p("l_extendedprice", 0.5, "p50_price"),
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — customers with no high-value order keep a
+    null order side (and vice versa).  Scale: shuffle hash/sort-merge
+    on the key; outer joins cannot broadcast the preserved side."""
+    ensure_deterministic_session(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL entry point (reference
+    pattern: temp view + generated SQL, ``02.py:126-128``), with
+    GROUPING() markers disambiguating the null-keyed subtotal rows."""
+    ensure_deterministic_session(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "pivot_counts",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+           count(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+           count(*) FILTER (o_orderpriority = '5-LOW') AS n_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide) with an explicit value list.
+
+    Scale: the explicit list matters — without it Spark runs an extra
+    distinct-collect job over 100 TB just to learn the columns."""
+    ensure_deterministic_session(spark)
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .count()
+    )
+    renames = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    for old, new in zip(prios, renames):
+        out = out.withColumnRenamed(old, new)
+    # pivot cells with no matching rows are null; the oracle's FILTER
+    # counts yield 0 — coalesce to match
+    return out.select(
+        "o_orderstatus", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames]
+    )
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via the SQL entry point — Catalyst
+    decorrelates to a left-semi hash join (verified in
+    tests/test_plans.py); same plan class as the join_semi key."""
+    ensure_deterministic_session(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM customer_sq c
+        WHERE EXISTS (SELECT 1 FROM orders_sq o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        """
+    )

@@ -1,0 +1,69 @@
+"""Physical-plan shape assertions — the scale guarantees the operator
+docstrings promise, enforced mechanically:
+
+- filters/projections reach the parquet scan (pushdown + pruning);
+- small dimension sides broadcast; EXISTS decorrelates to a semi join;
+- no operator ever plans a cartesian product / nested-loop join;
+- nothing outside the multimodal ops crosses into Python.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+
+QUERIES = entry_mod.queries()
+
+# Only the sanctioned Arrow hops may appear python-side.
+PY_ALLOWED = {k for k in QUERIES if k.startswith("multimodal_")}
+
+
+def _plan(spark, key: str) -> str:
+    df = QUERIES[key](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_parquet_pushdown_and_pruning(spark):
+    plan = _plan(spark, "scan_parquet")
+    assert "PushedFilters: [IsNotNull" in plan or "PushedFilters: [" in plan
+    # projection pruned to the selected + filtered columns only
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_returnflag" not in read and "l_tax" not in read
+
+
+def test_join_broadcast_actually_broadcasts(spark):
+    assert "BroadcastHashJoin" in _plan(spark, "join_broadcast")
+
+
+def test_subquery_exists_decorrelates_to_semi_join(spark):
+    plan = _plan(spark, "subquery_exists")
+    assert "LeftSemi" in plan
+
+
+def test_no_cartesian_or_nested_loop_in_scalable_tiers(spark):
+    # every pairwise-dedup / LSH operator must candidate-generate via
+    # hash joins; a nested loop or cartesian product means the plan
+    # degenerated to O(n^2) shuffle-free compute on one task
+    for key in ["dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+                "dedup_embed_lsh", "embed_ann_lsh"]:
+        plan = _plan(spark, key)
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+@pytest.mark.parametrize("key", sorted(set(QUERIES) - PY_ALLOWED))
+def test_no_python_in_jvm_operators(spark, key):
+    plan = _plan(spark, key)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"{key} crossed into Python via {marker}"
+
+
+def test_window_lag_single_window_pass(spark):
+    plan = _plan(spark, "window_lag")
+    assert plan.count("Window ") + plan.count("WindowExec") >= 1
+    # lag and lead share one window spec → exactly one Window operator
+    assert plan.count("lag(") == 1 and plan.count("lead(") == 1
