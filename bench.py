@@ -29,8 +29,11 @@ HEADLINE = [
     "join_inner",
     "join_broadcast",
     "join_asof",
+    "join_salted",
     "window_running_sum",
+    "window_lag",
     "topk_per_group",
+    "agg_percentile",
     "event_tumbling_window",
     "event_session_window",
     "json_extract",
@@ -41,6 +44,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash",
+    "dedup_embed_lsh",
     "embed_cosine_topk",
     "multimodal_decode",
 ]

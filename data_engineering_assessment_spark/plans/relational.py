@@ -892,3 +892,30 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         """
     )
+
+
+@query(
+    "join_salted",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-dim join via explicit 8-way key salting
+    (operators/skew.py) — results provably identical to the plain
+    join (the oracle runs the unsalted formulation).  The pattern for
+    power-law keys where even AQE's skew split leaves stragglers."""
+    ensure_deterministic_session(spark)
+    from ..operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    joined = salted_join(e, c, "user_id", "c_custkey", salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)").alias("total_value"),
+    )
