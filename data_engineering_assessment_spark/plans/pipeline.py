@@ -364,3 +364,51 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = synth_assets(load_table(spark, sf_dir, "documents"))
     frames = sample_frames(assets, every_n=4)
     return frames.select("asset_id", "frame_idx", F.md5("frame").alias("frame_md5"))
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+      FROM w
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM p
+      WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5
+    ), e AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u
+    )
+    SELECT u AS doc_id,
+           least(u, min(v)) AS canonical_id,
+           least(u, min(v)) = u AS is_canonical
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters by iterative connected
+    components (label propagation, operators/graph.py); canonical doc
+    = min id per cluster.  The oracle brute-forces the same answer
+    with a recursive transitive closure — feasible only at test scale,
+    which is exactly why the engine side is iterative."""
+    ensure_deterministic_session(spark)
+    from ..operators.graph import dedup_cluster_assignments
+
+    pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup_cluster_assignments(pairs)

@@ -127,3 +127,23 @@ def test_frame_sampling_fanout(spark):
     for r in per_asset:
         n_frames = metas[r.asset_id]
         assert r.n == len(range(0, n_frames, 4))
+
+
+def test_connected_components_chain_and_islands(spark):
+    from data_engineering_assessment_spark.operators.graph import (
+        connected_components,
+        dedup_cluster_assignments,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        ["doc_a", "doc_b"],
+    )
+    cc = {r.node: r.component for r in
+          connected_components(edges, "doc_a", "doc_b").collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    clusters = dedup_cluster_assignments(edges).collect()
+    canon = {r.doc_id: (r.canonical_id, r.is_canonical) for r in clusters}
+    assert canon[4] == (1, False) and canon[1] == (1, True)
+    assert canon[11] == (10, False) and canon[20] == (20, True)
