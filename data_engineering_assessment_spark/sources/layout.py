@@ -1,0 +1,73 @@
+"""Storage-layout helpers: bucketing and partitioned layouts.
+
+The two levers that remove work *before* a query runs:
+
+- **Bucketing** pre-shuffles a table by a join/agg key at write time.
+  Two tables bucketed the same way join with NO exchange on either
+  side — at 100 TB that converts the dominant shuffle of every
+  fact-fact join into a free co-located merge.  (Verified
+  shuffle-free in tests/test_layout.py.)
+- **Partitioned layout** (hive-style dirs) + in-file sorting gives
+  partition pruning (directories never listed/read) and row-group
+  skipping (min/max stats) for the partition/sort keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    n_buckets: int = 8,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed (and bucket-sorted) managed parquet table.
+
+    ``n_buckets`` should match the downstream join partner and stay
+    stable across writes — bucket count is part of the physical
+    contract, like a schema."""
+    keys = [key] if isinstance(key, str) else key
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str | list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two identically-bucketed tables.
+
+    With matching bucket specs Spark plans a sort-merge join with
+    zero Exchange operators; the merge hint suppresses broadcast so
+    the co-located path is actually taken (broadcast would hide the
+    benefit at test scale and be impossible at real scale)."""
+    l = spark.table(left_table).hint("merge")
+    r = spark.table(right_table).hint("merge")
+    return l.join(r, on, how)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str],
+    sort_within: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Hive-style partitioned parquet, optionally sorted within files
+    so min/max row-group stats make range predicates skip I/O.
+
+    Keep partition columns low-cardinality (dates, categories): at
+    100 TB a high-cardinality partition key means millions of tiny
+    files, which is its own failure mode."""
+    parts = [partition_by] if isinstance(partition_by, str) else partition_by
+    out = df
+    if sort_within:
+        sorts = [sort_within] if isinstance(sort_within, str) else sort_within
+        out = out.sortWithinPartitions(*sorts)
+    out.write.mode(mode).partitionBy(*parts).parquet(path)
+    return path
