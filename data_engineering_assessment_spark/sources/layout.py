@@ -14,6 +14,9 @@ The two levers that remove work *before* a query runs:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -31,6 +34,14 @@ def write_bucketed(
     stable across writes — bucket count is part of the physical
     contract, like a schema."""
     keys = [key] if isinstance(key, str) else key
+    spark = df.sparkSession
+    # idempotent across sessions: a prior session's warehouse dir can
+    # outlive its (session-scoped, in-memory) catalog entry
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    leftover = os.path.join(wh, table)
+    if os.path.exists(leftover):
+        shutil.rmtree(leftover)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
     if sort:
         w = w.sortBy(*keys)

@@ -45,3 +45,49 @@ def test_partitioned_layout_prunes(spark, tmp_path):
 
     n_click = ev.filter(F.col("event_type") == "click").count()
     assert back.count() == n_click
+
+
+def test_upsert_unpartitioned(spark, tmp_path):
+    from data_engineering_assessment_spark.sources.upsert import upsert_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "val"]
+    )
+    upsert_parquet(spark, base, path, "id")
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], ["id", "val"])
+    upsert_parquet(spark, updates, path, "id")
+    got = {(r.id, r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    import glob
+    import os
+
+    from data_engineering_assessment_spark.sources.upsert import upsert_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-01", "b"), (3, "2024-01-02", "c")],
+        ["id", "day", "val"],
+    )
+    upsert_parquet(spark, base, path, "id", partition_by="day")
+    untouched = sorted(glob.glob(f"{path}/day=2024-01-02/*.parquet"))
+    mtimes_before = [os.path.getmtime(p) for p in untouched]
+
+    updates = spark.createDataFrame(
+        [(2, "2024-01-01", "B"), (9, "2024-01-01", "z")], ["id", "day", "val"]
+    )
+    upsert_parquet(spark, updates, path, "id", partition_by="day")
+
+    # partition values are type-inferred on read (here: DATE)
+    got = {(r.id, str(r.day), r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, "2024-01-01", "a"), (2, "2024-01-01", "B"),
+        (9, "2024-01-01", "z"), (3, "2024-01-02", "c"),
+    }
+    # untouched partition files were not rewritten
+    after = sorted(glob.glob(f"{path}/day=2024-01-02/*.parquet"))
+    assert after == untouched
+    assert [os.path.getmtime(p) for p in after] == mtimes_before
