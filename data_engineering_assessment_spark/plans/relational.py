@@ -919,3 +919,21 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)").alias("total_value"),
     )
+
+
+@query("agg_approx_percentile")  # sketch-based (t-digest-style) — rows-only
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's mergeable quantile sketch —
+    the 100 TB replacement for agg_percentile's exact buffers (sketch
+    merges map-side; memory is O(1/accuracy), not O(rows)).  Accuracy
+    vs the exact operator asserted in tests/test_pipeline.py."""
+    ensure_deterministic_session(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("p50_qty"),
+            F.expr("approx_percentile(l_quantity, 0.9, 1000)").alias("p90_qty"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("p50_price"),
+        )
+    )

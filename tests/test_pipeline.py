@@ -147,3 +147,38 @@ def test_connected_components_chain_and_islands(spark):
     canon = {r.doc_id: (r.canonical_id, r.is_canonical) for r in clusters}
     assert canon[4] == (1, False) and canon[1] == (1, True)
     assert canon[11] == (10, False) and canon[20] == (20, True)
+
+
+def test_salted_join_equals_plain_join_under_skew(spark):
+    from data_engineering_assessment_spark.operators.skew import salted_join
+
+    # pathological skew: 90% of fact rows share one key
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else i, i, float(i)) for i in range(1000)],
+        ["k", "row_id", "v"],
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1000)], ["dk", "attr"]
+    )
+    salted = salted_join(fact, dim, "k", "dk", salts=8)
+    plain = fact.join(dim, fact.k == dim.dk)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_approx_percentile_close_to_exact(spark):
+    from data_engineering_assessment_spark.plans import queries
+
+    exact = {
+        r.l_returnflag: r
+        for r in queries()["agg_percentile"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r.l_returnflag: r
+        for r in queries()["agg_approx_percentile"](spark, SF_DIR).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(float(a.p50_qty) - float(e.p50_qty)) <= max(1.0, 0.05 * float(e.p50_qty))
+        assert abs(float(a.p90_qty) - float(e.p90_qty)) <= max(1.0, 0.05 * float(e.p90_qty))
+        assert abs(float(a.p50_price) - float(e.p50_price)) <= 0.05 * float(e.p50_price)

@@ -137,3 +137,26 @@ def test_stateful_running_totals(spark, event_dir):
         r = per_user[b.user_id]
         assert r.n_events == b.n
         assert abs(r.total_value - b.total) < 1e-6
+
+
+def test_sliding_stream_is_append_prefix_of_batch(spark, event_dir, max_ts_s):
+    from data_engineering_assessment_spark.streaming.windows import sliding_counts
+
+    stream = read_event_stream(spark, event_dir)
+    got = _run_to_memory(spark, sliding_counts(stream), "t_slide", "append").collect()
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .collect()
+    )
+    got_set, batch_set = set(map(tuple, got)), set(map(tuple, batch))
+    assert got_set and got_set <= batch_set
+    cutoff = max_ts_s - WATERMARK_S
+    # held-back panes must end within the watermark allowance
+    assert all(ws + 3600 > cutoff for (ws, *_r) in batch_set - got_set)
