@@ -50,13 +50,19 @@ def cosine_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
     ``queries`` is broadcast (bounded query batch); the corpus streams
     through one narrow stage — per corpus partition, all query dots are
     computed without any shuffle, then one shuffle on q_id ranks the
-    per-query candidates.
+    per-query candidates.  Scoring runs on the Arrow/numpy path by
+    default (batched einsum — the brief's sanctioned vectorized UDF
+    for embedding math); ``use_arrow=False`` falls back to the native
+    left-fold expression, whose summation order matches the DuckDB
+    oracle bit-for-bit (the Arrow path agrees after the 6-decimal
+    rounding both emit).
     """
     c = spread(corpus).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), norm_sq(vec_col).alias("c_n")
@@ -65,7 +71,10 @@ def cosine_topk(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), norm_sq(vec_col).alias("q_n")
     )
     pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
-    cos = dot("q_vec", "c_vec") / (F.sqrt("q_n") * F.sqrt("c_n"))
+    if use_arrow:
+        cos = pd_cosine("q_vec", "c_vec")
+    else:
+        cos = dot("q_vec", "c_vec") / (F.sqrt("q_n") * F.sqrt("c_n"))
     scored = pairs.select("q_id", "c_id", cos.alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (

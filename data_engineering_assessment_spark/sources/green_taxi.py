@@ -112,3 +112,29 @@ def read_green_taxi_csv(spark: SparkSession, path: str, fail_fast: bool = True) 
     """Full part-1 pipeline: validate → clean → typed parse."""
     validate_header(spark, path)
     return parse_typed(clean_lines(spark, path, fail_fast=fail_fast))
+
+
+def green_taxi_pipeline(
+    spark: SparkSession,
+    csv_path: str,
+    staged_parquet: str,
+    out_parquet: str,
+    fail_fast: bool = True,
+    single_file: bool = True,
+) -> DataFrame:
+    """The reference's full two-part product as one call
+    (``01.py`` main → ``02.py`` main): CSV → validate/clean/parse →
+    staged parquet → derived columns → output parquet.
+
+    ``single_file=True`` reproduces the reference's coalesce(1) +
+    part-file promotion (``02.py:131-138``); at scale leave it off and
+    the write keeps AQE-sized parallel output files."""
+    from ..functions.taxi import taxi_derived_columns
+    from .parquet_io import write_parquet
+
+    typed = read_green_taxi_csv(spark, csv_path, fail_fast=fail_fast)
+    write_parquet(typed, staged_parquet, single_file=single_file)
+    staged = spark.read.parquet(staged_parquet)
+    derived = staged.select("*", *taxi_derived_columns())
+    write_parquet(derived, out_parquet, single_file=single_file)
+    return spark.read.parquet(out_parquet)

@@ -136,3 +136,25 @@ def test_fixture_typed_values(spark):
     assert str(r.Fare_amount) == "-0.50"
     assert r.Ehail_fee is None
     assert r.Trip_type == 1
+
+
+def test_end_to_end_pipeline_from_fixture(spark, tmp_path):
+    from data_engineering_assessment_spark.sources.green_taxi import green_taxi_pipeline
+
+    fixture = (
+        "data_engineering_assessment_spark/fixtures/green_taxi_fixture.csv"
+    )
+    out = green_taxi_pipeline(
+        spark,
+        fixture,
+        str(tmp_path / "staged.parquet"),
+        str(tmp_path / "out.parquet"),
+    )
+    # 20 source + 33 derived (24 hour + 7 dow + duration + jfk) = 53,
+    # matching the reference's 02.parquet column count
+    assert len(out.columns) == 53
+    assert out.count() > 0
+    # single-file promotion produced real files, not directories
+    import os
+    assert os.path.isfile(tmp_path / "staged.parquet")
+    assert os.path.isfile(tmp_path / "out.parquet")
