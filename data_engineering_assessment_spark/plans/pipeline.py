@@ -412,3 +412,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
     return dedup_cluster_assignments(pairs)
+
+
+@query("embed_ann_ivf")  # learned-quantizer ANN — rows-only
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer, nprobe-limited
+    cell search, exact rescoring (operators/ivf.py).  Exhaustive-probe
+    equivalence to the brute-force key asserted in pytest."""
+    ensure_deterministic_session(spark)
+    from ..operators.ivf import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, nprobe=4)

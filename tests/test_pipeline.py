@@ -182,3 +182,30 @@ def test_approx_percentile_close_to_exact(spark):
         assert abs(float(a.p50_qty) - float(e.p50_qty)) <= max(1.0, 0.05 * float(e.p50_qty))
         assert abs(float(a.p90_qty) - float(e.p90_qty)) <= max(1.0, 0.05 * float(e.p90_qty))
         assert abs(float(a.p50_price) - float(e.p50_price)) <= 0.05 * float(e.p50_price)
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(spark):
+    from data_engineering_assessment_spark.operators.ivf import ivf_ann_topk
+    from data_engineering_assessment_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = cosine_topk(emb, q, k=3).collect()
+    full_probe = ivf_ann_topk(emb, q, k=3, n_clusters=8, nprobe=8).collect()
+    key = lambda rows: sorted((r.q_id, r.neighbor_id, r.rank) for r in rows)
+    assert key(full_probe) == key(brute)
+
+
+def test_ivf_limited_probe_is_subset_with_exact_scores(spark):
+    from data_engineering_assessment_spark.operators.ivf import ivf_ann_topk
+    from data_engineering_assessment_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = {(r.q_id, r.neighbor_id): r.cosine for r in cosine_topk(emb, q, k=50).collect()}
+    probed = ivf_ann_topk(emb, q, k=3, n_clusters=8, nprobe=2).collect()
+    assert probed  # returns something
+    for r in probed:
+        # every retrieved neighbor carries its true cosine score
+        assert (r.q_id, r.neighbor_id) in brute
+        assert abs(float(r.cosine) - float(brute[(r.q_id, r.neighbor_id)])) < 2e-6

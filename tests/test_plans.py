@@ -23,6 +23,7 @@ QUERIES = entry_mod.queries()
 PY_ALLOWED = {k for k in QUERIES if k.startswith("multimodal_")} | {
     "dedup_embed_lsh",
     "embed_ann_lsh",
+    "embed_ann_ivf",
     "embed_cosine_topk",  # Arrow einsum scoring; oracle-verified post-rounding
 }
 
