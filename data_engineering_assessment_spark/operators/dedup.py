@@ -72,17 +72,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     cache_index: bool = True,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via an inverted shingle index.
 
     Plan: explode distinct shingles → self-equi-join on the shingle →
     count shared shingles per pair → Jaccard from |A|,|B|,|A∩B|.
     Scale notes: the join key is the shingle, so hot (very common)
-    shingles create skew — at 100 TB add a document-frequency cap
-    (drop shingles with df > limit, a standard prefix-filtering move)
-    and AQE skew-join handles the remainder.  No cross join anywhere.
-    The (doc, shingles) index is materialized once (``_materialized``)
-    so the self-join's two sides don't each rebuild it.
+    shingles create skew.  ``df_cap`` drops postings for shingles whose
+    document frequency exceeds the cap before the join — the standard
+    stop-shingle move at 100 TB.  IMPORTANT: capped runs undercount
+    intersections for pairs that share dropped shingles, so Jaccard
+    becomes a lower bound (results ⊆ uncapped results; equality holds
+    when every df ≤ cap — both asserted in tests).  AQE skew-join
+    handles residual skew.  No cross join anywhere.  The
+    (doc, shingles) index is materialized once (``_materialized``) so
+    the self-join's two sides don't each rebuild it.
     """
     sh = _shingled(docs, id_col, text_col, n)
     if cache_index:
@@ -90,6 +95,14 @@ def ngram_jaccard_pairs(
     ex = sh.select(
         "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
     )
+    if df_cap is not None:
+        hot = (
+            ex.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("sh")
+        )
+        ex = ex.join(F.broadcast(hot), "sh", "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     # Size-compatibility pruning: Jaccard ≥ t forces t·|B| ≤ |A| ≤ |B|/t
     # (since |A∩B| ≤ min and |A∪B| ≥ max). Dropping incompatible pairs

@@ -937,3 +937,143 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("p50_price"),
         )
     )
+
+
+@query(
+    "multi_join_pricing",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue,
+           CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) AS o_orderdate_s,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-06-01'
+      AND l.l_shipdate > TIMESTAMP '1999-03-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+)
+def multi_join_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority shape (TPC-H Q3): 3-table join with selective
+    filters on every input.
+
+    Scale: all three filters reach their scans before any join
+    (pushdown), customer is broadcast (small after the segment
+    filter), and Catalyst/AQE order the remaining joins by runtime
+    stats — exactly the plan a hand-tuned engine would pick."""
+    ensure_deterministic_session(spark)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-06-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-03-01").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(12,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            _epoch_s("o_orderdate").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "multi_join_region",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def multi_join_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume shape (TPC-H Q5 core): a 4-table snowflake
+    join — region→nation→supplier are successive broadcasts feeding
+    one streaming pass over lineitem; a single shuffle for the final
+    group-by."""
+    ensure_deterministic_session(spark)
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(12,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"))
+    )
+
+
+@query(
+    "event_rollup_hierarchy",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+             event_type,
+             count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT CAST(FLOOR(epoch(date_trunc('day', to_timestamp(bucket_s)))) AS BIGINT) AS bucket_s,
+             event_type,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(sum_value) AS DECIMAL(18,2)) AS sum_value
+      FROM h GROUP BY 1, 2
+    )
+    SELECT 'hour' AS resolution, * FROM h
+    UNION ALL
+    SELECT 'day' AS resolution, * FROM d
+    """,
+)
+def event_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (hypertable-style): the daily tier
+    re-aggregates the hourly tier's output instead of rescanning raw
+    events — at 100 TB the hour→day→month chain touches raw data
+    exactly once, and every tier's aggregates are decimal-exact so
+    re-aggregation is lossless by construction."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events")
+    hour = (
+        e.groupBy(
+            _epoch_s(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias("bucket_s"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)").alias("sum_value"),
+        )
+    )
+    day = (
+        hour.groupBy(
+            _epoch_s(F.date_trunc("day", F.timestamp_seconds("bucket_s"))).alias("bucket_s"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_value").cast("decimal(18,2)").alias("sum_value"),
+        )
+    )
+    cols = ["resolution", "bucket_s", "event_type", "n", "sum_value"]
+    return (
+        hour.select(F.lit("hour").alias("resolution"), "bucket_s", "event_type", "n", "sum_value")
+        .unionByName(day.select(F.lit("day").alias("resolution"), *cols[1:]))
+    )

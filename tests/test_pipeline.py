@@ -209,3 +209,21 @@ def test_ivf_limited_probe_is_subset_with_exact_scores(spark):
         # every retrieved neighbor carries its true cosine score
         assert (r.q_id, r.neighbor_id) in brute
         assert abs(float(r.cosine) - float(brute[(r.q_id, r.neighbor_id)])) < 2e-6
+
+
+def test_ngram_df_cap_soundness(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, df_cap=10**6).collect()
+    }
+    assert uncapped == base  # cap above max df changes nothing
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, df_cap=2).collect()
+    }
+    assert capped <= base  # aggressive cap only removes pairs
