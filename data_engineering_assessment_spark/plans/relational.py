@@ -1077,3 +1077,42 @@ def event_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         hour.select(F.lit("hour").alias("resolution"), "bucket_s", "event_type", "n", "sum_value")
         .unionByName(day.select(F.lit("day").alias("resolution"), *cols[1:]))
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s, value FROM events
+    )
+    SELECT p.event_id, p.user_id, p.ts_s,
+           (SELECT max(c.ts_s) FROM e c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts_s <= p.ts_s AND c.ts_s >= p.ts_s - 3600) AS click_ts_right
+    FROM e p WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of operator (operators/asof.py) with a 1-hour
+    tolerance: each purchase gets the most recent click of the same
+    user within the preceding hour, else null.  The oracle brute-
+    forces it with a correlated subquery; the engine runs the
+    single-shuffle union-stream window."""
+    ensure_deterministic_session(spark)
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", _epoch_s("ts").alias("ts_s")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_s"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_s", F.col("ts_s").alias("click_ts")
+    )
+    out = asof_join(
+        purchases, clicks, on="ts_s", by="user_id",
+        value_cols=["click_ts"], direction="backward", tolerance=3600,
+    )
+    return out.select("event_id", "user_id", "ts_s", F.col("click_ts_right"))

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -227,3 +229,64 @@ def test_ngram_df_cap_soundness(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.5, df_cap=2).collect()
     }
     assert capped <= base  # aggressive cap only removes pairs
+
+
+def _asof_frames(spark, seed=11, n_left=120, n_right=80, n_keys=5):
+    import pandas as pd
+
+    rng = random.Random(seed)
+    left = pd.DataFrame(
+        {
+            "k": [rng.randrange(n_keys) for _ in range(n_left)],
+            "t": [rng.randrange(1000) for _ in range(n_left)],
+            "lv": list(range(n_left)),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [rng.randrange(n_keys) for _ in range(n_right)],
+            "t": [rng.randrange(1000) for _ in range(n_right)],
+            "rv": [i * 10 for i in range(n_right)],
+        }
+    )
+    # merge_asof requires unique, sorted keys per (k, t) — dedupe ties
+    right = right.drop_duplicates(subset=["k", "t"]).reset_index(drop=True)
+    return left, right
+
+
+@pytest.mark.parametrize("direction,tolerance", [
+    ("backward", None), ("forward", None), ("backward", 50), ("forward", 25),
+])
+def test_asof_join_matches_pandas_merge_asof(spark, direction, tolerance):
+    import pandas as pd
+
+    from data_engineering_assessment_spark.operators.asof import asof_join
+
+    left, right = _asof_frames(spark)
+    expected = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort"),
+        on="t",
+        by="k",
+        direction=direction,
+        tolerance=tolerance,
+        suffixes=("", "_right"),
+    )
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="t",
+        by="k",
+        direction=direction,
+        tolerance=tolerance,
+    ).toPandas()
+
+    exp = sorted(
+        (int(r.k), int(r.t), int(r.lv), None if pd.isna(r.rv) else int(r.rv))
+        for r in expected.itertuples()
+    )
+    act = sorted(
+        (int(r.k), int(r.t), int(r.lv), None if pd.isna(r.rv_right) else int(r.rv_right))
+        for r in got.itertuples()
+    )
+    assert act == exp
