@@ -29,13 +29,17 @@ HEADLINE = [
     "join_inner",
     "join_broadcast",
     "join_asof",
+    "join_asof_tolerance",
     "join_salted",
+    "multi_join_pricing",
+    "multi_join_region",
     "window_running_sum",
     "window_lag",
     "topk_per_group",
     "agg_percentile",
     "event_tumbling_window",
     "event_session_window",
+    "event_rollup_hierarchy",
     "json_extract",
     "one_hot_hour",
     "duration_seconds",

@@ -62,6 +62,34 @@ def bucketed_join(
     return l.join(r, on, how)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+) -> int:
+    """Rewrite a parquet dataset into ~``target_mb`` files; returns the
+    new file count.
+
+    The small-files problem is the quiet killer of 100 TB pipelines
+    (every file is a task + a name-node entry + a footer read); daily
+    upsert/streaming output should be compacted on a schedule.  The
+    file count comes from the dataset's actual byte size, the rewrite
+    is one read + one narrow coalesce write, and the swap is
+    directory-atomic (write to .compact_tmp, then rename)."""
+    import glob as _glob
+
+    files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, round(total / (target_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + ".compact_tmp"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    backup = path.rstrip("/") + ".compact_old"
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup)
+    return n_out
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -43,3 +43,21 @@ def test_rows_only_executes(spark, key):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_join_and_setop_null_semantics(spark):
+    """SQL null semantics hold: null join keys never match (even to
+    other nulls); set ops treat null cells as equal (distinct- and
+    except-style grouping)."""
+    a = spark.createDataFrame([(1, "x"), (None, "y"), (None, "z")], ["k", "v"])
+    b = spark.createDataFrame([(1, "p"), (None, "q")], ["k", "w"])
+
+    joined = a.join(b, "k").collect()
+    assert [(r.k, r.v, r.w) for r in joined] == [(1, "x", "p")]
+    # full outer: 1 matched row + 3 unmatched null-key rows (2 left, 1 right)
+    assert a.join(b, "k", "full_outer").count() == 4
+
+    s1 = spark.createDataFrame([(1,), (None,), (None,)], ["k"])
+    s2 = spark.createDataFrame([(None,), (2,)], ["k"])
+    assert {r.k for r in s1.intersect(s2).collect()} == {None}
+    assert {r.k for r in s1.exceptAll(s2).collect()} == {1, None}

@@ -91,3 +91,21 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
     after = sorted(glob.glob(f"{path}/day=2024-01-02/*.parquet"))
     assert after == untouched
     assert [os.path.getmtime(p) for p in after] == mtimes_before
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from data_engineering_assessment_spark.sources.layout import compact_parquet
+
+    path = str(tmp_path / "many")
+    spark.range(10_000).repartition(64).write.parquet(path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before == 64
+
+    n_out = compact_parquet(spark, path, target_mb=128)
+    after = glob.glob(f"{path}/*.parquet")
+    assert len(after) == n_out < before
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))
