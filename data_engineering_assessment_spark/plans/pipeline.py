@@ -424,3 +424,44 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, nprobe=4)
+
+
+@query(
+    "sample_hash",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE left(md5(CAST(doc_id AS VARCHAR)), 2) <= '28'
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~16% hash sample (md5-prefix predicate).
+
+    Unlike ``df.sample()`` (partitioning-dependent RNG), a content-
+    hash predicate yields the SAME sample on any engine, any cluster,
+    any partitioning — which is what makes training-data subsets
+    reproducible and joinable across runs.  The predicate is a narrow
+    filter: no shuffle, evaluated at scan speed."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary")).substr(1, 2)
+    return d.filter(h <= "28").select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE left(md5(CAST(doc_id AS VARCHAR)), 2) <=
+          CASE WHEN lang = 'en' THEN '0f' ELSE '7f' END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-class rates via the same
+    hash predicate (~6% of 'en', ~50% of everything else) — the
+    rebalancing move for skewed training corpora, still shuffle-free
+    and bit-reproducible."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary")).substr(1, 2)
+    cap = F.when(F.col("lang") == "en", F.lit("0f")).otherwise(F.lit("7f"))
+    return d.filter(h <= cap).select("doc_id", "lang")

@@ -1,0 +1,48 @@
+"""Streaming sinks beyond the built-ins.
+
+``start_upsert_sink`` wires Structured Streaming to the batch upsert
+(sources/upsert.py) via foreachBatch: each micro-batch MERGEs into a
+keyed parquet target instead of blind-appending.  With the batch
+first deduped on the key, replayed micro-batches (checkpoint
+recovery) converge to the same target state — the standard
+idempotent-sink recipe for exactly-once-to-storage on plain parquet.
+
+Scale: each micro-batch's merge cost is bounded by the batch size
+plus the touched partitions (partition-scoped rewrite), never the
+whole target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.upsert import upsert_parquet
+
+
+def start_upsert_sink(
+    stream: DataFrame,
+    target_path: str,
+    key: str | list[str],
+    checkpoint: str,
+    partition_by: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run a stream into a keyed parquet target via MERGE-per-batch."""
+    keys = [key] if isinstance(key, str) else key
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        # last-writer-wins inside a batch: one row per key
+        deduped = batch.dropDuplicates(keys)
+        upsert_parquet(spark, deduped, target_path, keys, partition_by=partition_by)
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -160,3 +160,32 @@ def test_sliding_stream_is_append_prefix_of_batch(spark, event_dir, max_ts_s):
     cutoff = max_ts_s - WATERMARK_S
     # held-back panes must end within the watermark allowance
     assert all(ws + 3600 > cutoff for (ws, *_r) in batch_set - got_set)
+
+
+def test_foreachbatch_upsert_sink_is_idempotent(spark, tmp_path):
+    from data_engineering_assessment_spark.streaming.sinks import start_upsert_sink
+
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ev = load_table(spark, SF_DIR, "events")
+    # duplicated input: the sink must still land one row per event_id
+    ev.unionAll(ev).repartition(4).write.mode("overwrite").parquet(src)
+
+    q = start_upsert_sink(
+        read_event_stream(spark, src), target, "event_id",
+        checkpoint=str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+    n_distinct = ev.select("event_id").distinct().count()
+    assert spark.read.parquet(target).count() == n_distinct
+
+    # replaying the same data through a FRESH checkpoint converges to
+    # the same state (idempotent MERGE, not blind append)
+    q2 = start_upsert_sink(
+        read_event_stream(spark, src), target, "event_id",
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    got = spark.read.parquet(target)
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
