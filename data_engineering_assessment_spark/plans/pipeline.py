@@ -465,3 +465,37 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.md5(F.col("doc_id").cast("string").cast("binary")).substr(1, 2)
     cap = F.when(F.col("lang") == "en", F.lit("0f")).otherwise(F.lit("7f"))
     return d.filter(h <= cap).select("doc_id", "lang")
+
+
+@query(
+    "text_quality_filter",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','of','and','to','in'], w))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM s
+    WHERE n_words >= 10
+      AND CAST(n_uniq AS DOUBLE) / n_words >= 0.3
+      AND CAST(n_stop AS DOUBLE) / n_words BETWEEN 0.01 AND 0.6
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer of the quality stats: a C4-style heuristic filter
+    (min length, lexical diversity, stopword-ratio band) — pure
+    scan-speed predicates, the first stage of any pretraining corpus
+    pipeline."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    nw = word_count("text").cast("double")
+    uniq_ratio = uniq_word_count("text").cast("double") / nw
+    stop_ratio = stopword_count("text").cast("double") / nw
+    return d.filter(
+        (word_count("text") >= 10)
+        & (uniq_ratio >= 0.3)
+        & stop_ratio.between(0.01, 0.6)
+    ).select("doc_id", "lang", "n_chars")
