@@ -499,3 +499,42 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (uniq_ratio >= 0.3)
         & stop_ratio.between(0.01, 0.6)
     ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "token_topk",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), c AS (
+      SELECT tok, count(*) AS n FROM t GROUP BY tok
+    )
+    SELECT tok, n, CAST(rank AS INT) AS rank FROM (
+      SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM c
+    ) WHERE rank <= 20
+    """,
+)
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level heavy hitters: top-20 tokens by frequency.
+
+    Scale: explode → map-side-combined count (shuffle keyed on token;
+    hot tokens are exactly what partial aggregation flattens) → a
+    single-partition top-20 of the already-tiny distinct-token table.
+    The (n DESC, tok) tie-break makes ranking deterministic."""
+    ensure_deterministic_session(spark)
+    from pyspark.sql import Window
+
+    from ..functions.text import words
+    from ..sources.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        d.select(F.explode(words("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+    )

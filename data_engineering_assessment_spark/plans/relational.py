@@ -1116,3 +1116,29 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["click_ts"], direction="backward", tolerance=3600,
     )
     return out.select("event_id", "user_id", "ts_s", F.col("click_ts_right"))
+
+
+@query(
+    "sql_entrypoint",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's primary user surface — register tables, run SQL
+    text (``02.py:126-128``) — exposed over the whole corpus: any
+    query a reference user writes runs unchanged through
+    register_corpus + spark.sql."""
+    ensure_deterministic_session(spark)
+    from ..sources.tables import register_corpus
+
+    register_corpus(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_qty
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
