@@ -35,8 +35,12 @@ HEADLINE = [
     "multi_join_region",
     "window_running_sum",
     "window_lag",
+    "window_range_frame",
     "topk_per_group",
     "agg_percentile",
+    "agg_conditional",
+    "subquery_scalar",
+    "token_topk",
     "event_tumbling_window",
     "event_session_window",
     "event_rollup_hierarchy",

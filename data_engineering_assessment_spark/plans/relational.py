@@ -1142,3 +1142,303 @@ def sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery decorrelation, richer windows, scalar-function suites
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT count(*) AS n_small,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_price
+    FROM lineitem l
+    WHERE 5 * l.l_quantity
+          * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT SUM(l3.l_quantity) FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (TPC-H Q17): lineitems whose
+    quantity is under 20% of their part's average.
+
+    The oracle states it as two correlated scalars; the engine states
+    the already-decorrelated plan — ONE per-part aggregate joined back
+    — which is what any optimizer must reach anyway, and halves the
+    fact-table scans.  The predicate is multiplied through
+    (5·qty·cnt < sum) so it stays in exact integer-valued-double
+    arithmetic: no avg() division whose last-bit rounding could
+    disagree between engines at the boundary.
+
+    Scale: agg and join share the l_partkey shuffle key; AQE picks
+    the join strategy (the per-part stats side is |parts| rows, far
+    smaller than lineitem)."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_partkey").agg(
+        F.count("*").alias("part_cnt"), F.sum("l_quantity").alias("part_qty")
+    )
+    return (
+        li.join(stats, "l_partkey")
+        .filter(F.lit(5) * F.col("l_quantity") * F.col("part_cnt") < F.col("part_qty"))
+        .agg(
+            F.count("*").alias("n_small"),
+            _dec(F.sum(_dec("l_extendedprice")), 18, 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "subquery_in_having",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
+           CAST(s.sum_qty AS DECIMAL(18,2)) AS sum_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) s
+      ON s.l_orderkey = o.o_orderkey
+    """,
+)
+def subquery_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-over-grouped-HAVING shape (TPC-H Q18 large-volume customer):
+    orders whose total quantity exceeds 300, with their customer.
+
+    Scale: the HAVING aggregate reduces lineitem to a small keyed set
+    BEFORE any join touches orders/customer — the join order a
+    decorrelated IN must reach.  Quantities are integer-valued, so
+    sum and threshold are exact in double."""
+    ensure_deterministic_session(spark)
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            _dec("o_totalprice", 18, 2).alias("total_price"),
+            _dec("sum_qty", 18, 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           cume_dist() OVER w AS cd,
+           percent_rank() OVER w AS pr,
+           first_value(c_custkey) OVER w AS poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile bucketing, cumulative
+    distribution, percent rank, first_value — per market segment.
+
+    The ORDER BY carries a c_custkey tiebreak (sf0.01 customer has a
+    duplicated acctbal) so every window function is deterministic;
+    cume_dist/percent_rank become exact small-int divisions that IEEE
+    doubles answer identically in both engines.
+
+    Scale: one shuffle on c_mktsegment; all four functions share the
+    same window spec → a single sort within partitions."""
+    ensure_deterministic_session(spark)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+        F.first_value("c_custkey").over(w).alias("poorest"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS ts_s,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS spend_90d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: each order's trailing-90-day customer
+    spend.  RANGE (value-based) semantics — same-timestamp peers are
+    all included — distinguish this from the ROWS frames elsewhere in
+    the registry; decimal sums keep it order-independent.
+
+    Scale: one shuffle on o_custkey; the frame is evaluated by a
+    running two-pointer pass over each sorted partition, no
+    per-row rescans."""
+    ensure_deterministic_session(spark)
+    ts = _epoch_s("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(ts.alias("ts_s"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        ts.alias("ts_s"),
+        _dec(F.sum(_dec("o_totalprice")).over(w), 18, 2).alias("spend_90d"),
+    )
+
+
+@query(
+    "date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+             AS days_since_95
+    FROM orders
+    """,
+)
+def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function suite: month truncation, quarter, day-of-year,
+    month end, day difference from an epoch date.  All values derive
+    from the NTZ wall clock (session pinned UTC), so both engines read
+    identical calendar fields.
+
+    Scale: pure narrow projection — no shuffle, whole-stage codegen,
+    and only (o_orderkey, o_orderdate) read from the scan."""
+    ensure_deterministic_session(spark)
+    d = F.col("o_orderdate").cast("date")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.trunc(d, "month").alias("month_start"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+    )
+
+
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           regexp_extract(p_name, '^[a-z]+') AS first_word,
+           CAST(strlen(p_name) AS INT) AS name_len,
+           lpad(p_brand, 10, '*') AS brand_pad,
+           replace(p_name, ' ', '_') AS name_snake,
+           substr(p_type, 1, 3) AS type3,
+           concat_ws('|', p_brand, p_type) AS brand_type
+    FROM part
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function suite: case mapping, regex extraction, length,
+    padding, replacement, substring, delimiter join — the scalar
+    string surface a SQL user expects (reference relies on the same
+    class of builtins via generated SQL, ``02.py:17-103``).
+
+    Scale: narrow projection, codegen'd JVM string ops — no UDFs."""
+    ensure_deterministic_session(spark)
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
+        F.length("p_name").alias("name_len"),
+        F.lpad("p_brand", 10, "*").alias("brand_pad"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.substring("p_type", 1, 3).alias("type3"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                  FILTER (WHERE l_shipdate >= TIMESTAMP '1999-01-01'),
+                0) AS DECIMAL(18,2)) AS qty_recent,
+           count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25) AS n_bulk_supp
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause): per return flag,
+    a filtered count, a filtered decimal sum, and a filtered distinct
+    count — each condition scoped to its own aggregate, one pass.
+
+    Scale: single shuffle on l_returnflag with map-side partials;
+    the filtered distinct adds the usual two-phase distinct expand,
+    still one scan of lineitem."""
+    ensure_deterministic_session(spark)
+    recent = F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+            _dec(
+                F.coalesce(
+                    F.sum(F.when(recent, _dec("l_quantity"))), F.lit(0)
+                ),
+                18,
+                2,
+            ).alias("qty_recent"),
+            F.count_distinct(
+                F.when(F.col("l_quantity") > 25, F.col("l_suppkey"))
+            ).alias("n_bulk_supp"),
+        )
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           count(*) AS n
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive list aggregation made deterministic: suppliers
+    per nation as a sorted comma-joined string.  collect_list order is
+    partition-arrival order (nondeterministic under parallelism), so
+    the engine sorts the collected array before joining — the only
+    portable contract for list aggs on a cluster.
+
+    Scale: one shuffle; per-group state is the supplier-name list,
+    fine for group sizes like suppliers-per-nation, and the pattern
+    degrades gracefully (switch to window + row_number for huge
+    groups)."""
+    ensure_deterministic_session(spark)
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
