@@ -91,3 +91,26 @@ def lang_guess(text: Column | str, lang_col: Column | str | None = None) -> Colu
         .when(stopword_count(text) >= 1, F.lit("en"))
         .otherwise(F.lit("und"))
     )
+
+
+# PII patterns, applied in this order on progressively scrubbed text
+# (card first so a digit run never double-counts as a phone).  Kept in
+# the RE2-compatible subset so the DuckDB oracle executes the exact
+# same automaton.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("<CARD>", r"\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}"),
+    ("<PHONE>", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"),
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+)
+
+
+def scrub_pii(text: Column | str) -> tuple[Column, Column]:
+    """(scrubbed_text, n_redactions) after the :data:`PII_PATTERNS`
+    redaction chain — each pattern counted on the text as it stands
+    when that pattern applies, then replaced globally."""
+    cur = F.col(text) if isinstance(text, str) else text
+    n_total = F.lit(0)
+    for token, pat in PII_PATTERNS:
+        n_total = n_total + F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, token)
+    return cur, n_total.cast("long")

@@ -538,3 +538,100 @@ def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 20)
     )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH s0 AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text,
+                 '\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{4}')) AS n_card,
+             regexp_replace(text,
+                 '\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{4}', '<CARD>', 'g') AS t1
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id, n_card,
+             len(regexp_extract_all(t1,
+                 '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS n_phone,
+             regexp_replace(t1,
+                 '\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g') AS t2
+      FROM s0
+    ), s2 AS (
+      SELECT doc_id, n_card, n_phone,
+             len(regexp_extract_all(t2,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(t2,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t3
+      FROM s1
+    )
+    SELECT doc_id, md5(t3) AS scrubbed_md5,
+           CAST(n_card + n_phone + n_email AS BIGINT) AS n_redactions
+    FROM s2
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: card numbers, phone numbers, then email
+    addresses replaced by typed placeholder tokens, with a per-doc
+    redaction count.  Patterns apply in a fixed order on progressively
+    scrubbed text (so a card never double-counts as a phone), and stay
+    in the RE2-compatible regex subset both engines execute
+    identically.  The corpus is synthetic word-salad (zero matches
+    expected here); tests/test_pipeline.py plants real PII and asserts
+    the redactions.
+
+    Scale: narrow projection of JVM regex ops — no shuffle, no UDF."""
+    ensure_deterministic_session(spark)
+    from ..functions.text import scrub_pii
+
+    scrubbed, n_red = scrub_pii("text")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+        n_red.alias("n_redactions"),
+    )
+
+
+@query(
+    "decontaminate_overlap",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+      FROM w WHERE len(ws) >= 3
+    ), b AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id < 5
+    )
+    SELECT s.doc_id, count(DISTINCT s.sh) AS n_hits
+    FROM sh s JOIN b USING (sh)
+    WHERE s.doc_id >= 5
+    GROUP BY s.doc_id
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    3-word shingle with a held-out benchmark set (here: doc_id < 5),
+    reporting how many distinct shingles leak.  This is the standard
+    n-gram-overlap contamination check run before training.
+
+    Scale: the benchmark side collapses to a distinct-shingle set that
+    is tiny relative to the corpus → broadcast inverted-index join; the
+    corpus side streams through explode + join + partial-agg without
+    ever self-joining.  At 100 TB the benchmark set is still MB-scale,
+    so the broadcast holds."""
+    ensure_deterministic_session(spark)
+    from ..functions.text import shingles
+    from ..sources.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", F.explode(shingles("text", 3)).alias("sh"))
+    bench = sh.filter(F.col("doc_id") < 5).select("sh").distinct()
+    return (
+        sh.filter(F.col("doc_id") >= 5)
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_hits"))
+    )

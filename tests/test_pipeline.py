@@ -290,3 +290,26 @@ def test_asof_join_matches_pandas_merge_asof(spark, direction, tolerance):
         for r in got.itertuples()
     )
     assert act == exp
+
+
+def test_pii_scrub_plants_and_redacts(spark):
+    from data_engineering_assessment_spark.functions.text import scrub_pii
+
+    rows = [
+        (1, "contact me at alice.smith+x@example.org today"),
+        (2, "card 1234-5678-9012-3456 and phone 555-867-5309 ok"),
+        (3, "nothing sensitive here"),
+        (4, "two mails a@b.io c.d@e-f.com and +1 555.123.4567x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    scrubbed, n = scrub_pii("text")
+    got = {
+        r.doc_id: (r.s, r.n)
+        for r in df.select("doc_id", scrubbed.alias("s"), n.alias("n")).collect()
+    }
+    assert got[1] == ("contact me at <EMAIL> today", 1)
+    assert got[2] == ("card <CARD> and phone <PHONE> ok", 2)
+    assert got[3] == ("nothing sensitive here", 0)
+    # "+1 555.123.4567" — the phone pattern needs 3-3-4 digit groups,
+    # so it matches "555.123.4567" (the leading "+1 " survives).
+    assert got[4] == ("two mails <EMAIL> <EMAIL> and +1 <PHONE>x", 3)
