@@ -1442,3 +1442,56 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "multi_join_topn",
+    oracle="""
+    WITH r AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+        AND o.o_orderdate < TIMESTAMP '1999-07-01'
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_custkey, c_name, n_name,
+           CAST(revenue AS DECIMAL(18,4)) AS revenue,
+           CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS INT) AS rank
+    FROM r ORDER BY rank LIMIT 20
+    """,
+)
+def multi_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item customer ranking (TPC-H Q10 shape): snowflake
+    join over four tables, per-customer revenue, global top-20.
+
+    Scale: the top-20 runs as TakeOrderedAndProject (per-partition
+    heaps merged on the driver — no global sort, no single-partition
+    window over the full grouped set); rank is assigned afterwards on
+    the 20 surviving rows.  Decimal revenue keeps the ordering key
+    exact, and the c_custkey tie-break makes the cut deterministic."""
+    ensure_deterministic_session(spark)
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    one = F.lit(1).cast("decimal(12,2)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    grouped = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"))
+    )
+    top = grouped.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -109,3 +109,60 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 10_000
     assert got.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))
+
+
+def test_zorder_interleave_known_bits(spark):
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources.layout import zorder_value
+
+    df = spark.createDataFrame([(0b101, 0b011)], "x int, y int")
+    got = df.select(
+        zorder_value([F.col("x"), F.col("y")], bits=3).alias("z")
+    ).first().z
+    # bit b of col i lands at position b*2 + i:
+    # x=101 -> positions 0,4 ; y=011 -> positions 1,3
+    assert got == (1 << 0) | (1 << 4) | (1 << 1) | (1 << 3)
+
+
+def _files_overlapping(path, col, lo, hi):
+    """Count parquet files whose footer min/max for `col` intersects
+    [lo, hi] — exactly the pruning decision a scan makes."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    hit = 0
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        mn = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        mx = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        if mx >= lo and mn <= hi:
+            hit += 1
+    return hit
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    from data_engineering_assessment_spark.sources.layout import write_zordered
+
+    n = 128
+    grid = spark.range(n * n).selectExpr(
+        "CAST(id % 128 AS INT) AS x", "CAST(id DIV 128 AS INT) AS y", "id AS payload"
+    )
+
+    linear = str(tmp_path / "rowmajor")
+    grid.repartitionByRange(16, "y", "x").sortWithinPartitions("y", "x").write.parquet(linear)
+    zpath = str(tmp_path / "zorder")
+    write_zordered(grid, zpath, ["x", "y"], bits=7, n_files=16)
+
+    # row-major: y prunes perfectly, x not at all
+    assert _files_overlapping(linear, "x", 0, 15) == 16
+    # z-order: a one-sided box on EITHER dimension touches ~sqrt of the
+    # files (16 files = 4x4 tiles of 32x32 -> one tile row/column)
+    zx = _files_overlapping(zpath, "x", 0, 15)
+    zy = _files_overlapping(zpath, "y", 0, 15)
+    assert zx <= 6, zx
+    assert zy <= 6, zy
+    # and the data survives intact
+    assert spark.read.parquet(zpath).count() == n * n
