@@ -635,3 +635,57 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("sh").alias("n_hits"))
     )
+
+
+@query(
+    "embed_dim_stats",
+    oracle="""
+    WITH u AS (
+      SELECT unnest(list_transform(range(1, 1 + len(embedding)),
+                    i -> {d: i, v: embedding[i]})) AS s
+      FROM embeddings
+    )
+    SELECT CAST(s.d AS INT) AS dim,
+           count(*) AS n,
+           CAST(SUM(CAST(FLOOR(CAST(s.v AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS sum_q9,
+           CAST(SUM(CAST(FLOOR(CAST(s.v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+             / 1e9 / count(*) AS mean,
+           CAST(MIN(s.v) AS DOUBLE) AS vmin,
+           CAST(MAX(s.v) AS DOUBLE) AS vmax
+    FROM u GROUP BY 1
+    """,
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (the health check run before
+    any similarity indexing: dead dims, scale drift, outliers).
+
+    Engine-portability: float sums are order-dependent, and even
+    float->decimal CASTS round differently across engines (measured:
+    Spark goes through the shortest decimal repr, DuckDB scales the
+    exact binary value — they disagree in the 9th digit).  So each
+    element is quantized with floor(v * 1e9) — identical IEEE ops
+    everywhere — and summed as exact 64-bit integers; the mean
+    divides that integer total back down.  min/max are pure
+    comparisons (no accumulation), safe in float.  Headroom: the
+    quantized sum overflows signed-64 only past ~1.8e10 rows per
+    dimension; shard or widen to decimal beyond that.
+
+    Scale: posexplode fans out rows x dims, then one
+    map-side-combined shuffle on 64 keys; no vector ever leaves the
+    JVM."""
+    ensure_deterministic_session(spark)
+    from ..sources.tables import spread
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    exploded = e.select(F.posexplode("embedding").alias("pos", "v"))
+    q = F.floor(F.col("v").cast("double") * 1e9)
+    return (
+        exploded.groupBy((F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(q).cast("long").alias("sum_q9"),
+            (F.sum(q).cast("double") / F.lit(1e9) / F.count("*")).alias("mean"),
+            F.min("v").cast("double").alias("vmin"),
+            F.max("v").cast("double").alias("vmax"),
+        )
+    )

@@ -1495,3 +1495,46 @@ def multi_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = grouped.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
     w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority
+      ) AS rk FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_mode
+    FROM r WHERE rk = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value) per group.  Built-in
+    mode() breaks frequency ties arbitrarily in both engines, so the
+    engine states the argmax explicitly: count per (group, value),
+    then rank with a value tie-break — reproducible on any cluster.
+
+    Scale: two stages over already-tiny aggregates; the heavy shuffle
+    is the first count, map-side combined."""
+    ensure_deterministic_session(spark)
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_mode"),
+        )
+    )
