@@ -33,6 +33,7 @@ HEADLINE = [
     "join_salted",
     "multi_join_pricing",
     "multi_join_region",
+    "multi_join_topn",
     "window_running_sum",
     "window_lag",
     "window_range_frame",
@@ -54,6 +55,9 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_embed_lsh",
     "embed_cosine_topk",
+    "embed_dim_stats",
+    "text_pii_scrub",
+    "decontaminate_overlap",
     "multimodal_decode",
 ]
 

@@ -627,11 +627,18 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", F.explode(shingles("text", 3)).alias("sh"))
-    bench = sh.filter(F.col("doc_id") < 5).select("sh").distinct()
+    # filter BEFORE exploding: the benchmark side fans out 5 docs, not
+    # the whole corpus (measured 4x on this key at sf0.1)
+    bench = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(F.explode(shingles("text", 3)).alias("sh"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") >= 5).select(
+        "doc_id", F.explode(shingles("text", 3)).alias("sh")
+    )
     return (
-        sh.filter(F.col("doc_id") >= 5)
-        .join(F.broadcast(bench), "sh")
+        corpus.join(F.broadcast(bench), "sh")
         .groupBy("doc_id")
         .agg(F.count_distinct("sh").alias("n_hits"))
     )

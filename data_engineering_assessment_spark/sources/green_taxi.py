@@ -109,7 +109,15 @@ def parse_typed(lines: DataFrame) -> DataFrame:
 
 
 def read_green_taxi_csv(spark: SparkSession, path: str, fail_fast: bool = True) -> DataFrame:
-    """Full part-1 pipeline: validate → clean → typed parse."""
+    """Full part-1 pipeline: validate → clean → typed parse.
+
+    ``path`` accepts the reference's whole URL surface
+    (``01.py:179-181``: local / file: / hdfs: / s3: / gs: / http(s)):
+    object-store schemes go straight to the distributed reader,
+    http(s) is staged once driver-side (see sources/remote.py)."""
+    from .remote import resolve_url
+
+    path = resolve_url(path)
     validate_header(spark, path)
     return parse_typed(clean_lines(spark, path, fail_fast=fail_fast))
 

@@ -166,3 +166,46 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert zy <= 6, zy
     # and the data survives intact
     assert spark.read.parquet(zpath).count() == n * n
+
+
+def test_resolve_url_schemes(tmp_path):
+    from data_engineering_assessment_spark.sources.remote import resolve_url
+
+    # local + hadoop-native schemes pass through
+    assert resolve_url("/data/x.csv") == "/data/x.csv"
+    assert resolve_url("file:/data/x.csv") == "file:/data/x.csv"
+    assert resolve_url("hdfs://nn/x.csv") == "hdfs://nn/x.csv"
+    # smart_open object-store spellings normalize to Hadoop connectors
+    assert resolve_url("s3://bucket/k.parquet") == "s3a://bucket/k.parquet"
+    assert resolve_url("s3n://bucket/k") == "s3a://bucket/k"
+    assert resolve_url("gs://bucket/k") == "gs://bucket/k"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resolve_url("ftp://host/x")
+
+
+def test_resolve_url_stages_http_like_stream(tmp_path, monkeypatch):
+    """Simulate the http(s) staging path without a network: patch the
+    opener with a local byte stream and check chunked staging +
+    idempotence."""
+    import io
+
+    import data_engineering_assessment_spark.sources.remote as remote
+
+    payload = b"h,e,a,d\n1,2,3,4\n" * 1000
+    calls = {"n": 0}
+
+    def fake_urlopen(url):
+        calls["n"] += 1
+        return io.BytesIO(payload)
+
+    monkeypatch.setattr(remote.urllib.request, "urlopen", fake_urlopen)
+    staged = remote.resolve_url("https://example.org/data/taxi.csv",
+                                staging_dir=str(tmp_path))
+    assert open(staged, "rb").read() == payload
+    assert staged == str(tmp_path / "taxi.csv")
+    # second resolve is a no-op (idempotent by basename)
+    again = remote.resolve_url("https://example.org/data/taxi.csv",
+                               staging_dir=str(tmp_path))
+    assert again == staged and calls["n"] == 1
