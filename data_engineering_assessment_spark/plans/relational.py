@@ -1538,3 +1538,97 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_mode"),
         )
     )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (inverse of pivot): three measure columns become
+    (metric, value) rows keyed by the line identity.
+
+    Scale: unpivot is a generate-style narrow op — each input row
+    emits k rows with no shuffle; the 3x fan-out happens inside the
+    scan stage."""
+    ensure_deterministic_session(spark)
+    return load_table(spark, sf_dir, "lineitem").unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(LEAST(9, GREATEST(0,
+               FLOOR((o_totalprice - 0.0) * 10 / 600000.0))) AS INT) AS bucket
+      FROM orders
+    )
+    SELECT bucket, count(*) AS n FROM b GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (10 buckets over a fixed
+    domain, edge values clamped).  The bucket expression is the same
+    floor-division in both engines — identical IEEE double ops, so
+    bucket boundaries can't disagree.
+
+    Scale: histogramming is the canonical map-side-combine win — each
+    task reduces to ≤10 partial rows before the (tiny) shuffle."""
+    ensure_deterministic_session(spark)
+    bucket = F.least(
+        F.lit(9),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("o_totalprice") - 0.0) * 10 / 600000.0),
+        ),
+    ).cast("int")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_linenumber, NULLIF(l_returnflag, 'N') AS k
+      FROM lineitem
+    ), d AS (
+      SELECT NULLIF(l_returnflag, 'N') AS k, count(*) AS n_k
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.k, d.n_k
+    FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): null keys
+    match null keys — the contract plain SQL equality silently drops
+    (those rows vanish from an inner join).  Exercised by NULLIF-ing
+    the dominant flag so a large null partition exists.
+
+    Scale: <=> is still hash-joinable — Spark plans a regular
+    shuffled/broadcast hash join with a null-safe key, NOT a nested
+    loop; the all-null key is the skew case AQE splits."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    left = li.select("l_orderkey", "l_linenumber", k.alias("k"))
+    dim = li.groupBy(k.alias("kd")).agg(F.count("*").alias("n_k"))
+    return (
+        left.join(dim, left.k.eqNullSafe(dim.kd))
+        .select("l_orderkey", "l_linenumber", "k", "n_k")
+    )
