@@ -1632,3 +1632,90 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         left.join(dim, left.k.eqNullSafe(dim.kd))
         .select("l_orderkey", "l_linenumber", "k", "n_k")
     )
+
+
+@query(
+    "sessionize_lag",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s FROM events
+    ), l AS (
+      SELECT user_id, ts_s,
+             CASE WHEN lag(ts_s) OVER w IS NULL
+                    OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+    ), s AS (
+      SELECT user_id, ts_s,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM l
+    )
+    SELECT user_id, CAST(session_no AS INT) AS session_no,
+           count(*) AS n_events, MIN(ts_s) AS start_s, MAX(ts_s) AS end_s
+    FROM s GROUP BY 1, 2
+    """,
+)
+def sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) via
+    lag + running sum — the engine-portable twin of the native
+    session_window key (`event_session_window`), and the formulation
+    that also works over plain SQL engines.
+
+    Determinism under timestamp ties: tied rows have gap 0, so their
+    relative order can't change any session number.
+
+    Scale: one shuffle on user_id shared by both window passes and
+    the final aggregation — Catalyst collapses them onto the same
+    partitioning."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", _epoch_s("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s")
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        e.withColumn("session_no", F.sum(is_new).over(cum).cast("int"))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_s").alias("start_s"),
+            F.max("ts_s").alias("end_s"),
+        )
+    )
+
+
+@query(
+    "agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(corr(l_quantity, l_extendedprice), 6) AS DECIMAL(10,6)) AS qty_price_corr,
+           CAST(ROUND(covar_samp(l_quantity, l_discount), 6) AS DECIMAL(12,6)) AS qty_disc_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped bivariate statistics: Pearson correlation and sample
+    covariance.  Both engines accumulate co-moments in doubles with
+    engine-specific merge order, so results are rounded to 6 decimals
+    before comparison (relative error is ~1e-14; the rounding is 8
+    orders of magnitude coarser).
+
+    Scale: single map-side-combinable shuffle — co-moment states
+    merge associatively (Welford/Chan), same as any sum."""
+    ensure_deterministic_session(spark)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+            .cast("decimal(10,6)")
+            .alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6)
+            .cast("decimal(12,6)")
+            .alias("qty_disc_cov"),
+        )
+    )
