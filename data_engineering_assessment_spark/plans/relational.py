@@ -1719,3 +1719,30 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qty_disc_cov"),
         )
     )
+
+
+@query(
+    "map_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys,
+           CAST(json_extract(props, '$.k') AS INT) AS k_val
+    FROM events
+    """,
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: JSON props parsed into map<string,int>, then
+    key enumeration (sorted — map iteration order is not a contract),
+    cardinality, and key lookup — all native map functions.
+
+    Scale: narrow projection; from_json is JVM-side Jackson, no
+    Python."""
+    ensure_deterministic_session(spark)
+    m = F.from_json("props", "map<string,int>")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.size(m).cast("int").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
+        F.element_at(m, "k").cast("int").alias("k_val"),
+    )
