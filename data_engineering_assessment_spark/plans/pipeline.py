@@ -696,3 +696,47 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").cast("double").alias("vmax"),
         )
     )
+
+
+@query(
+    "dedup_fuzzy_blocked",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND levenshtein(a.p_name, b.p_name) <= 1
+    """,
+)
+def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (record linkage): candidate pairs share
+    a blocking key (brand) and are verified with edit distance ≤ 1 —
+    the classic typo-dup shape.
+
+    Scale: the join is an EQUI-join on the blocking key, so the O(b²)
+    Levenshtein work is confined to each block; total cost is
+    Σ|block|², which the blocking-key choice controls (at 100 TB use
+    a finer key — brand+type, or a char-ngram LSH bucket — exactly
+    like every other candidate-generation tier here).  Levenshtein
+    runs JVM-side; no Python."""
+    ensure_deterministic_session(spark)
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "brand")
+        .filter((F.col("key_a") < F.col("key_b")) & (dist <= 1))
+        .select("key_a", "key_b", "name_a", "name_b", dist.cast("int").alias("edit_dist"))
+    )
