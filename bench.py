@@ -78,12 +78,14 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Best-of-2 per query: the second run measures steady state (JIT,
-    # shuffle-service buffers); min is the standard steady-state metric.
+    # Best-of-3 per query: later runs measure steady state (JIT,
+    # shuffle-service buffers); min is the standard steady-state
+    # metric, and single runs on this box vary 3-4x under identical
+    # conditions, so two samples are not enough.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
