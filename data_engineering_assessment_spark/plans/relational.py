@@ -1746,3 +1746,33 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
         F.element_at(m, "k").cast("int").alias("k_val"),
     )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() and dense_rank() under heavy ties (integer quantities):
+    tied rows share a rank, so the result is deterministic even though
+    the ORDER BY key is far from unique — the property row_number
+    lacks and the reason all three ranking functions exist.
+
+    Scale: one shuffle on the partition key; both functions share one
+    sort pass."""
+    ensure_deterministic_session(spark)
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+    )
