@@ -1776,3 +1776,80 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("int").alias("rnk"),
         F.dense_rank().over(w).cast("int").alias("drnk"),
     )
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, l.l_linenumber,
+           CAST(l.l_quantity AS DECIMAL(12,2)) AS qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join over bucketed tables: both sides are
+    written bucketed (8 buckets) on the join key, so the join plans
+    with ZERO Exchange operators — the shuffle moved to write time,
+    where it amortizes over every later join.
+
+    Scale: this is the bucketing contract itself; the write is
+    one-time and the join is a per-bucket merge.  (Exchange-free plan
+    asserted in tests/test_layout.py for this same helper.)"""
+    ensure_deterministic_session(spark)
+    from ..sources.layout import bucketed_join, write_bucketed
+
+    tag = abs(hash(sf_dir)) % 10**8
+    lt, ot = f"li_b_{tag}", f"or_b_{tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        ),
+        lt,
+        "l_orderkey",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        ot,
+        "o_orderkey",
+    )
+    j = bucketed_join(
+        spark, ot, lt, on=F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return j.select(
+        "o_orderkey", "o_custkey", "l_linenumber", _dec("l_quantity").alias("qty")
+    )
+
+
+@query(
+    "scan_partitioned",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+    FROM orders
+    WHERE date_trunc('month', o_orderdate) = DATE '1999-03-01'
+    """,
+)
+def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition-pruned scan: orders written
+    partitioned by month, then one month read back — the scan lists
+    exactly one directory (PartitionFilters), never touching the other
+    ~80 months' files.
+
+    Scale: partition pruning is THE first-order I/O saver for
+    time-series at 100 TB; the month key keeps cardinality low (no
+    small-files explosion)."""
+    ensure_deterministic_session(spark)
+    from ..sources.layout import write_partitioned
+
+    path = f"/root/repo/.scratch/orders_bymonth_{abs(hash(sf_dir)) % 10**8}"
+    write_partitioned(
+        load_table(spark, sf_dir, "orders").withColumn(
+            "part_month", F.trunc(F.col("o_orderdate").cast("date"), "month")
+        ),
+        path,
+        partition_by="part_month",
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("part_month") == F.lit("1999-03-01").cast("date"))
+        .select("o_orderkey", _dec("o_totalprice", 18, 2).alias("total_price"))
+    )
