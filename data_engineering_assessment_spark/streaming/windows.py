@@ -159,3 +159,47 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def purchase_click_join(
+    events: DataFrame, within_s: int = 3600, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding ``within_s`` seconds.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, so Spark can prove when buffered rows on
+    either side are no longer joinable and evict them — without the
+    range bound, stream-stream join state grows forever.  Works
+    identically on a batch DataFrame (the twin the equivalence test
+    runs)."""
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within_s} SECONDS"))
+    )
+    return p.join(c, cond).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").cast("long").alias("purchase_ts_s"),
+        "click_id",
+        F.col("c_ts").cast("long").alias("click_ts_s"),
+    )

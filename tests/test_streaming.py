@@ -189,3 +189,28 @@ def test_foreachbatch_upsert_sink_is_idempotent(spark, tmp_path):
     got = spark.read.parquet(target)
     assert got.count() == n_distinct
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream inner join == the same join run in
+    batch.  Single-file source → one availableNow micro-batch, so no
+    cross-batch state eviction can drop matches and equality is exact.
+    """
+    from data_engineering_assessment_spark.streaming.windows import (
+        purchase_click_join,
+    )
+
+    d = tempfile.mkdtemp(prefix="dea_ssj_")
+    load_table(spark, SF_DIR, "events").coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = read_event_stream(spark, d)
+    got = _run_to_memory(
+        spark, purchase_click_join(stream), "t_ssjoin", "append"
+    ).collect()
+
+    batch = spark.read.schema(stream.schema).parquet(d)
+    exp = purchase_click_join(batch).collect()
+
+    key = lambda r: (r.purchase_id, r.click_id)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, exp))
+    assert len(exp) > 0  # the join actually matched something
