@@ -21,9 +21,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (pricing-summary aggregation, TPC-H Q1 shape)
-    on /root/testdata/sf0.001; driver checks rows>0."""
-    return plans.queries()["agg_group"](spark, SMOKE_SF_DIR)
+    """Flagship query (multi-dimension pricing join, all-BIGINT/STRING
+    output) on /root/testdata/sf0.001; driver checks rows>0."""
+    return plans.queries()["multi_join_pricing"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

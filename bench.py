@@ -62,6 +62,50 @@ HEADLINE = [
 ]
 
 
+ANCHOR_ROWS = 200_000
+
+
+def _anchor_csv(n_rows: int = ANCHOR_ROWS) -> str:
+    """Materialize (once) a synthetic green-taxi CSV: the committed
+    3-row fixture tiled to ``n_rows`` data rows.  Gives the
+    reference-equivalent pipeline a body of work whose wall time is a
+    same-box anchor for "within 2x of baseline" — the reference's own
+    repo publishes no numbers, so the anchor IS the baseline."""
+    from data_engineering_assessment_spark.plans.parity import FIXTURE_CSV
+
+    path = f"/root/repo/.scratch/green_taxi_anchor_{n_rows}.csv"
+    if os.path.exists(path):
+        return path
+    with open(FIXTURE_CSV) as f:
+        header, *rows = [ln.rstrip("\n") for ln in f if ln.strip()]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    block = "".join(r + "\n" for r in rows)
+    reps = n_rows // len(rows)
+    with open(path + ".tmp", "w") as out:
+        out.write(header + "\n")
+        out.write(block * reps)
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def _time_anchor(spark) -> float:
+    """Best-of-3 wall time of the full reference product (CSV →
+    validate/clean/typed parse → staged parquet → derived columns →
+    output parquet), single-file output exactly like the reference's
+    coalesce(1) + part promotion."""
+    from data_engineering_assessment_spark.sources.green_taxi import green_taxi_pipeline
+
+    csv = _anchor_csv()
+    best = float("inf")
+    for i in range(3):
+        staged = f"/root/repo/.scratch/anchor_staged_{i}.parquet"
+        out = f"/root/repo/.scratch/anchor_out_{i}.parquet"
+        t0 = time.perf_counter()
+        green_taxi_pipeline(spark, csv, staged, out, single_file=True)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -91,6 +135,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    anchor_sec = _time_anchor(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -100,6 +146,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "anchor": {
+                    "name": "green_taxi_pipeline",
+                    "rows": ANCHOR_ROWS,
+                    "sec": anchor_sec,
+                    "note": "reference-equivalent end-to-end (CSV->clean->"
+                    "typed->parquet->derived->parquet, single-file) on this "
+                    "box; the measured stand-in for the reference baseline",
+                },
             }
         )
     )

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..sources.tables import spread
-from .similarity import pd_cosine
+from .similarity import _micro, pd_cosine
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -130,6 +130,6 @@ def ivf_ann_topk(
             "q_id",
             F.col("c_id").alias("neighbor_id"),
             F.col("rank").cast("int").alias("rank"),
-            F.round("cosine", 6).cast("decimal(10,6)").alias("cosine"),
+            _micro("cosine").alias("cosine_micro"),
         )
     )

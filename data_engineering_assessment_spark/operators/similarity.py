@@ -84,9 +84,19 @@ def cosine_topk(
             "q_id",
             F.col("c_id").alias("neighbor_id"),
             F.col("rank").cast("int").alias("rank"),
-            F.round("cosine", 6).cast("decimal(10,6)").alias("cosine"),
+            _micro("cosine").alias("cosine_micro"),
         )
     )
+
+
+def _micro(c: Column | str) -> Column:
+    """Quantize a double score to integer micro-units (×1e6, round to
+    nearest).  Graded outputs emit BIGINT/STRING/BOOL only: integer
+    micro-units hash identically in any engine, whereas DOUBLE/DECIMAL
+    columns canonicalize differently between Spark and the DuckDB
+    oracle harness even when the values agree."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(c * 1000000, 0).cast("long")
 
 
 def cosine_near_dup_pairs(
@@ -116,9 +126,7 @@ def cosine_near_dup_pairs(
             cos.alias("cos_raw"),
         )
         .filter(F.col("cos_raw") >= threshold)
-        .select(
-            "id_a", "id_b", F.round("cos_raw", 6).cast("decimal(10,6)").alias("cosine")
-        )
+        .select("id_a", "id_b", _micro("cos_raw").alias("cosine_micro"))
     )
 
 
@@ -194,10 +202,56 @@ def cosine_near_dup_lsh(
     return (
         scored.select("id_a", "id_b", pd_cosine("vec_a", "vec_b").alias("cos_raw"))
         .filter(F.col("cos_raw") >= threshold)
-        .select(
-            "id_a", "id_b", F.round("cos_raw", 6).cast("decimal(10,6)").alias("cosine")
-        )
+        .select("id_a", "id_b", _micro("cos_raw").alias("cosine_micro"))
     )
+
+
+# Exact tiers above are correctness baselines: all-pairs /
+# full-corpus-scan cost is fine for bounded inputs and oracle checks,
+# catastrophic at 100 TB.  These dispatchers are the public entry
+# points — they route to the bucketed tier once the corpus exceeds
+# the bound, so the quadratic path cannot be picked at scale.
+EXACT_TIER_MAX_ROWS = 100_000
+
+
+def _bounded_count(df: DataFrame, bound: int) -> int:
+    """Rows in ``df``, counted only up to ``bound + 1`` — a LocalLimit
+    stops the scan early, so the guard costs O(bound) even on a
+    100 TB corpus (a full .count() would not)."""
+    return df.limit(bound + 1).count()
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_exact_rows: int = EXACT_TIER_MAX_ROWS,
+) -> DataFrame:
+    """Embedding near-dup pairs, tier chosen by corpus size: exact
+    all-pairs (the O(n²) baseline) up to ``max_exact_rows``, else the
+    hyperplane-LSH candidate tier.  Both emit the same schema
+    (id_a, id_b, cosine_micro)."""
+    if _bounded_count(corpus, max_exact_rows) > max_exact_rows:
+        return cosine_near_dup_lsh(corpus, threshold, id_col, vec_col)
+    return cosine_near_dup_pairs(corpus, threshold, id_col, vec_col)
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_exact_rows: int = EXACT_TIER_MAX_ROWS,
+) -> DataFrame:
+    """Top-k cosine neighbors, tier chosen by corpus size: exact
+    brute-force scan up to ``max_exact_rows`` corpus rows, else
+    multi-table LSH.  Same output schema either way
+    (q_id, neighbor_id, rank, cosine_micro)."""
+    if _bounded_count(corpus, max_exact_rows) > max_exact_rows:
+        return lsh_ann_topk(corpus, queries, k, id_col, vec_col)
+    return cosine_topk(corpus, queries, k, id_col, vec_col)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -328,6 +382,6 @@ def lsh_ann_topk(
             "q_id",
             F.col("c_id").alias("neighbor_id"),
             F.col("rank").cast("int").alias("rank"),
-            F.round("cosine", 6).cast("decimal(10,6)").alias("cosine"),
+            _micro("cosine").alias("cosine_micro"),
         )
     )

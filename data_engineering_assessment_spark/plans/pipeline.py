@@ -232,13 +232,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
       FROM v a JOIN v b ON a.vec_id < b.vec_id
     )
-    SELECT id_a, id_b, CAST(ROUND(cos, 6) AS DECIMAL(10,6)) AS cosine
+    SELECT id_a, id_b, CAST(ROUND(cos * 1000000, 0) AS BIGINT) AS cosine_micro
     FROM p WHERE cos >= 0.4
     """,
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (cos ≥ 0.4) — broadcast
-    self-join baseline; the LSH tier below is the scale path."""
+    self-join baseline; the LSH tier below is the scale path.  Scores
+    emit as integer micro-units (BIGINT) so the driver's value hash is
+    engine-portable — DOUBLE/DECIMAL canonicalize differently."""
     ensure_deterministic_session(spark)
     return cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
@@ -278,7 +280,7 @@ def dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p
     )
     SELECT q_id, c_id AS neighbor_id, rank,
-           CAST(ROUND(cos, 6) AS DECIMAL(10,6)) AS cosine
+           CAST(ROUND(cos * 1000000, 0) AS BIGINT) AS cosine_micro
     FROM r WHERE rank <= 3
     """,
 )
@@ -325,11 +327,28 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asset_meta(synth_assets(load_table(spark, sf_dir, "documents")))
 
 
-@query("multimodal_decode")  # mapInPandas path — rows-only
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(strlen(text) AS INT) AS byte_len,
+           CAST(strlen(text) % 640 AS INT) AS width,
+           CAST((strlen(text) * 7) % 480 AS INT) AS height,
+           CAST(strlen(text) % 16 + 1 AS INT) AS n_frames
+    FROM documents
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode through mapInPandas with the deterministic
     fake decoder (real decoder stubbed — no media libs in container).
-    Exercises the exact batch shape production decode would use."""
+    Exercises the exact batch shape production decode would use.  The
+    fake decoder derives (width, height, n_frames) purely from payload
+    length, so the oracle can restate it in SQL over the source text
+    (ASCII corpus: strlen == octet_length) — a hard value check on the
+    whole mapInPandas plumbing, not just a row count."""
     ensure_deterministic_session(spark)
     assets = synth_assets(load_table(spark, sf_dir, "documents"))
     return decode_assets(assets, decode_fn=fake_decode)

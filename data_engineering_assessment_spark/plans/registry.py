@@ -50,3 +50,25 @@ def queries() -> dict[str, QueryFn]:
 
 def oracles() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+def set_priority(keys: list[str]) -> None:
+    """Reorder the registry so ``keys`` come first (in the given
+    order), then all remaining keys in their registration order.
+
+    The external grader samples a bounded prefix of the registry each
+    round, so insertion order decides which keys receive a correctness
+    verdict.  Keys that have never been graded, or whose output
+    contract changed since their last verdict, are rotated to the
+    front each round; keys with a standing green verdict keep it and
+    can safely wait at the back.  Unknown names are an error — the
+    priority list must track renames."""
+    unknown = [k for k in keys if k not in _QUERIES]
+    if unknown:
+        raise KeyError(f"unknown priority keys: {unknown}")
+    ordered = list(dict.fromkeys(keys))
+    tail = [k for k in _QUERIES if k not in set(ordered)]
+    for name, store in (("q", _QUERIES), ("o", _ORACLES)):
+        resorted = {k: store[k] for k in ordered + tail if k in store}
+        store.clear()
+        store.update(resorted)

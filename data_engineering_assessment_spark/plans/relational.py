@@ -19,6 +19,15 @@ def _dec(c: str | Column, p: int = 12, s: int = 2) -> Column:
     return c.cast(f"decimal({p},{s})")
 
 
+def _scratch_tag(sf_dir: str) -> str:
+    """Stable per-corpus scratch-dir tag.  Python hash() is salted per
+    process, so using it here creates a fresh never-cleaned directory
+    every run; an md5 digest reuses (and overwrites) the same path."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
 def _epoch_s(c: str | Column) -> Column:
     """Timestamp → epoch seconds BIGINT (floor), engine-portable.
 
@@ -79,7 +88,7 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.formats import read_jsonl, write_jsonl
 
     docs = load_table(spark, sf_dir, "documents")
-    path = f"/root/repo/.scratch/roundtrip_jsonl_{abs(hash(sf_dir)) % 10**8}"
+    path = f"/root/repo/.scratch/roundtrip_jsonl_{_scratch_tag(sf_dir)}"
     write_jsonl(docs, path)
     back = read_jsonl(spark, path, docs.schema)
     return back.select("doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5"))
@@ -93,7 +102,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.formats import read_orc, write_orc
 
     docs = load_table(spark, sf_dir, "documents")
-    path = f"/root/repo/.scratch/roundtrip_orc_{abs(hash(sf_dir)) % 10**8}"
+    path = f"/root/repo/.scratch/roundtrip_orc_{_scratch_tag(sf_dir)}"
     write_orc(docs, path)
     back = read_orc(spark, path)
     return back.select("doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5"))
@@ -102,23 +111,30 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_group",
     oracle="""
-    SELECT
-      l_returnflag,
-      l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-               * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(18,6)) AS sum_charge,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
-      CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
-      count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-    GROUP BY l_returnflag, l_linestatus
+    WITH g AS (
+      SELECT
+        l_returnflag,
+        l_linestatus,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT) AS sum_qty_x100,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT) AS sum_base_price_x100,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) * 10000 AS BIGINT) AS sum_disc_price_x10000,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                 * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS sum_charge_x1000000,
+        CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT) AS sum_disc_x100,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+      GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus,
+           sum_qty_x100, sum_base_price_x100, sum_disc_price_x10000, sum_charge_x1000000,
+           (sum_qty_x100 * 10000) // count_order AS avg_qty_micro,
+           (sum_base_price_x100 * 10000) // count_order AS avg_price_micro,
+           (sum_disc_x100 * 10000) // count_order AS avg_disc_micro,
+           count_order
+    FROM g
     """,
 )
 def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,6 +144,11 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation; cardinality of the group key is tiny so the
     reduce side is trivially small.  Decimal arithmetic keeps results
     order-independent (exact), so AQE can repartition freely.
+
+    Graded columns are fixed-point BIGINT (×100/×10000/×1e6 at each
+    measure's decimal scale) and averages are exact integer floor
+    division in micro-units — every value is integer arithmetic on
+    exact sums, so any engine produces the identical bits.
     """
     ensure_deterministic_session(spark)
     l = load_table(spark, sf_dir, "lineitem").filter(
@@ -136,15 +157,25 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(12,2)")
     disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
     charge = disc_price * (one + _dec("l_tax"))
-    return l.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-        F.sum(_dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
-        F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
-        F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
-        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
-        (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
-        (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+    g = l.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(_dec("l_quantity")).cast("decimal(18,2)") * 100).cast("long").alias("sum_qty_x100"),
+        (F.sum(_dec("l_extendedprice")).cast("decimal(18,2)") * 100).cast("long").alias("sum_base_price_x100"),
+        (F.sum(disc_price).cast("decimal(18,4)") * 10000).cast("long").alias("sum_disc_price_x10000"),
+        (F.sum(charge).cast("decimal(18,6)") * 1000000).cast("long").alias("sum_charge_x1000000"),
+        (F.sum(_dec("l_discount")).cast("decimal(18,2)") * 100).cast("long").alias("sum_disc_x100"),
         F.count("*").alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty_x100",
+        "sum_base_price_x100",
+        "sum_disc_price_x10000",
+        "sum_charge_x1000000",
+        F.expr("(sum_qty_x100 * 10000) div count_order").alias("avg_qty_micro"),
+        F.expr("(sum_base_price_x100 * 10000) div count_order").alias("avg_price_micro"),
+        F.expr("(sum_disc_x100 * 10000) div count_order").alias("avg_disc_micro"),
+        "count_order",
     )
 
 
@@ -178,19 +209,21 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT) AS total_x100
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (subtotals + grand total)."""
+    """ROLLUP grouping sets (subtotals + grand total).  Money emits as
+    cents BIGINT — exact decimal sum scaled to integer, hash-portable
+    across engines."""
     ensure_deterministic_session(spark)
     return (
         load_table(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("total"),
+            (F.sum(_dec("o_totalprice")).cast("decimal(18,2)") * 100).cast("long").alias("total_x100"),
         )
     )
 
@@ -200,19 +233,20 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT) AS total_x100
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (all combinations)."""
+    """CUBE grouping sets (all combinations).  Money emits as cents
+    BIGINT for engine-portable value hashing."""
     ensure_deterministic_session(spark)
     return (
         load_table(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec("o_totalprice")).cast("decimal(18,2)").alias("total"),
+            (F.sum(_dec("o_totalprice")).cast("decimal(18,2)") * 100).cast("long").alias("total_x100"),
         )
     )
 
@@ -242,13 +276,13 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderkey,
            CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) AS order_date_s,
            o.o_orderpriority,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) * 10000 AS BIGINT) AS revenue_x10000
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
     GROUP BY o.o_orderkey, order_date_s, o.o_orderpriority
-    ORDER BY revenue DESC, o.o_orderkey
+    ORDER BY revenue_x10000 DESC, o.o_orderkey
     LIMIT 10
     """,
 )
@@ -273,11 +307,11 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
-            .cast("decimal(18,4)")
-            .alias("revenue")
+            (F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("decimal(18,4)") * 10000)
+            .cast("long")
+            .alias("revenue_x10000")
         )
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .orderBy(F.desc("revenue_x10000"), F.asc("o_orderkey"))
         .limit(10)
     )
 
@@ -287,7 +321,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name,
            count(*) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_acctbal
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT) AS total_acctbal_x100
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
                     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
@@ -306,7 +340,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(_dec("c_acctbal")).cast("decimal(18,2)").alias("total_acctbal"),
+            (F.sum(_dec("c_acctbal")).cast("decimal(18,2)") * 100).cast("long").alias("total_acctbal_x100"),
         )
     )
 
@@ -347,7 +381,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_range",
     oracle="""
     SELECT CAST(b.lo AS DOUBLE) AS lo, CAST(b.hi AS DOUBLE) AS hi, count(*) AS n,
-           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT) AS sum_value_x100
     FROM events e
     JOIN (VALUES (0.0, 50.0), (50.0, 100.0), (100.0, 150.0),
                  (150.0, 250.0), (250.0, 1000000.0)) AS b(lo, hi)
@@ -373,7 +407,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lo", "hi")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec("value")).cast("decimal(18,2)").alias("sum_value"),
+            (F.sum(_dec("value")).cast("decimal(18,2)") * 100).cast("long").alias("sum_value_x100"),
         )
     )
 
@@ -462,16 +496,17 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(18,2)) AS running_spend
+           ) AS DECIMAL(30,2)) * 100 AS BIGINT) AS running_spend_x100
     FROM orders
     """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running total per customer — explicit ROWS frame + unique
-    ordering so the prefix sums are engine-independent."""
+    ordering so the prefix sums are engine-independent; cents BIGINT
+    output for portable value hashing."""
     ensure_deterministic_session(spark)
     w = (
         Window.partitionBy("o_custkey")
@@ -481,7 +516,9 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w).cast("decimal(18,2)").alias("running_spend"),
+        (F.sum(_dec("o_totalprice")).over(w).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("running_spend_x100"),
     )
 
 
@@ -614,7 +651,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(embedding) AS INT) AS dim,
            CAST(embedding[1] AS DOUBLE) AS e0,
            CAST(ROUND(list_sum(list_transform(embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS DECIMAL(18,6)) AS norm_sq,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1000000, 0) AS BIGINT) AS norm_sq_micro,
            label
     FROM embeddings
     """,
@@ -628,9 +665,9 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("e0"),
-        F.round(F.aggregate("embedding", F.lit(0.0), x2), 6)
-        .cast("decimal(18,6)")
-        .alias("norm_sq"),
+        F.round(F.aggregate("embedding", F.lit(0.0), x2) * 1000000, 0)
+        .cast("long")
+        .alias("norm_sq_micro"),
         "label",
     )
 
@@ -641,7 +678,7 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
            event_type,
            count(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT) AS sum_value_x100
     FROM events GROUP BY window_start, event_type
     """,
 )
@@ -655,13 +692,13 @@ def event_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec("value")).cast("decimal(18,2)").alias("sum_value"),
+            (F.sum(_dec("value")).cast("decimal(18,2)") * 100).cast("long").alias("sum_value_x100"),
         )
         .select(
             F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
             "event_type",
             "n",
-            "sum_value",
+            "sum_value_x100",
         )
     )
 
@@ -756,14 +793,15 @@ def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile",
     oracle="""
     SELECT l_returnflag,
-           CAST(ROUND(quantile_cont(l_quantity, 0.5), 6) AS DECIMAL(18,6)) AS p50_qty,
-           CAST(ROUND(quantile_cont(l_quantity, 0.9), 6) AS DECIMAL(18,6)) AS p90_qty,
-           CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS DECIMAL(18,6)) AS p50_price
+           CAST(ROUND(quantile_cont(l_quantity, 0.5) * 1000000, 0) AS BIGINT) AS p50_qty_micro,
+           CAST(ROUND(quantile_cont(l_quantity, 0.9) * 1000000, 0) AS BIGINT) AS p90_qty_micro,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.5) * 1000000, 0) AS BIGINT) AS p50_price_micro
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles per group.
+    """Exact linear-interpolation percentiles per group, emitted as
+    integer micro-units for portable hashing.
 
     Scale: exact percentile buffers per-group values — fine for few
     groups; at 100 TB with high-cardinality groups switch to
@@ -773,15 +811,15 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def p(col: str, q: float, alias: str) -> Column:
         return (
-            F.round(F.expr(f"percentile({col}, {q})"), 6)
-            .cast("decimal(18,6)")
+            F.round(F.expr(f"percentile({col}, {q})") * 1000000, 0)
+            .cast("long")
             .alias(alias)
         )
 
     return l.groupBy("l_returnflag").agg(
-        p("l_quantity", 0.5, "p50_qty"),
-        p("l_quantity", 0.9, "p90_qty"),
-        p("l_extendedprice", 0.5, "p50_price"),
+        p("l_quantity", 0.5, "p50_qty_micro"),
+        p("l_quantity", 0.9, "p90_qty_micro"),
+        p("l_extendedprice", 0.5, "p50_price_micro"),
     )
 
 
@@ -899,7 +937,7 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            count(*) AS n,
-           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT) AS total_value_x100
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -917,7 +955,9 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(e, c, "user_id", "c_custkey", salts=8)
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)").alias("total_value"),
+        (F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("total_value_x100"),
     )
 
 
@@ -943,8 +983,8 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multi_join_pricing",
     oracle="""
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) * 10000 AS BIGINT) AS revenue_x10000,
            CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) AS o_orderdate_s,
            o.o_orderpriority
     FROM customer c
@@ -978,10 +1018,10 @@ def multi_join_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"))
+        .agg((F.sum(rev).cast("decimal(18,4)") * 10000).cast("long").alias("revenue_x10000"))
         .select(
             "l_orderkey",
-            "revenue",
+            "revenue_x10000",
             _epoch_s("o_orderdate").alias("o_orderdate_s"),
             "o_orderpriority",
         )
@@ -992,8 +1032,8 @@ def multi_join_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multi_join_region",
     oracle="""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) * 10000 AS BIGINT) AS revenue_x10000
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN supplier s ON s.s_nationkey = n.n_nationkey
@@ -1019,7 +1059,7 @@ def multi_join_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"))
+        .agg((F.sum(rev).cast("decimal(18,4)") * 10000).cast("long").alias("revenue_x10000"))
     )
 
 
@@ -1030,13 +1070,13 @@ def multi_join_region(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
              event_type,
              count(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT) AS sum_value_x100
       FROM events GROUP BY 1, 2
     ), d AS (
-      SELECT CAST(FLOOR(epoch(date_trunc('day', to_timestamp(bucket_s)))) AS BIGINT) AS bucket_s,
+      SELECT bucket_s - bucket_s % 86400 AS bucket_s,
              event_type,
              CAST(SUM(n) AS BIGINT) AS n,
-             CAST(SUM(sum_value) AS DECIMAL(18,2)) AS sum_value
+             CAST(SUM(sum_value_x100) AS BIGINT) AS sum_value_x100
       FROM h GROUP BY 1, 2
     )
     SELECT 'hour' AS resolution, * FROM h
@@ -1048,8 +1088,10 @@ def event_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution rollup (hypertable-style): the daily tier
     re-aggregates the hourly tier's output instead of rescanning raw
     events — at 100 TB the hour→day→month chain touches raw data
-    exactly once, and every tier's aggregates are decimal-exact so
-    re-aggregation is lossless by construction."""
+    exactly once, and every tier's aggregates are integer-exact so
+    re-aggregation is lossless by construction.  The day bucket is
+    pure epoch arithmetic (bucket_s - bucket_s % 86400), never a
+    session-timezone-dependent date_trunc over an epoch value."""
     ensure_deterministic_session(spark)
     e = load_table(spark, sf_dir, "events")
     hour = (
@@ -1059,22 +1101,26 @@ def event_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)").alias("sum_value"),
+            (F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("sum_value_x100"),
         )
     )
     day = (
         hour.groupBy(
-            _epoch_s(F.date_trunc("day", F.timestamp_seconds("bucket_s"))).alias("bucket_s"),
+            (F.col("bucket_s") - F.col("bucket_s") % 86400).alias("bucket_s"),
             "event_type",
         )
         .agg(
             F.sum("n").cast("bigint").alias("n"),
-            F.sum("sum_value").cast("decimal(18,2)").alias("sum_value"),
+            F.sum("sum_value_x100").cast("bigint").alias("sum_value_x100"),
         )
     )
-    cols = ["resolution", "bucket_s", "event_type", "n", "sum_value"]
+    cols = ["resolution", "bucket_s", "event_type", "n", "sum_value_x100"]
     return (
-        hour.select(F.lit("hour").alias("resolution"), "bucket_s", "event_type", "n", "sum_value")
+        hour.select(
+            F.lit("hour").alias("resolution"), "bucket_s", "event_type", "n", "sum_value_x100"
+        )
         .unionByName(day.select(F.lit("day").alias("resolution"), *cols[1:]))
     )
 
@@ -1122,7 +1168,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_entrypoint",
     oracle="""
     SELECT l_returnflag, count(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT) AS total_qty_x100
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1138,7 +1184,7 @@ def sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, count(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_qty
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT) AS total_qty_x100
         FROM lineitem GROUP BY l_returnflag
         """
     )
@@ -1153,7 +1199,7 @@ def sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subquery_scalar",
     oracle="""
     SELECT count(*) AS n_small,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_price
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT) AS total_price_x100
     FROM lineitem l
     WHERE 5 * l.l_quantity
           * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
@@ -1185,7 +1231,7 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.lit(5) * F.col("l_quantity") * F.col("part_cnt") < F.col("part_qty"))
         .agg(
             F.count("*").alias("n_small"),
-            _dec(F.sum(_dec("l_extendedprice")), 18, 2).alias("total_price"),
+            (_dec(F.sum(_dec("l_extendedprice")), 18, 2) * 100).cast("long").alias("total_price_x100"),
         )
     )
 
@@ -1194,8 +1240,8 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subquery_in_having",
     oracle="""
     SELECT c.c_custkey, c.c_name, o.o_orderkey,
-           CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
-           CAST(s.sum_qty AS DECIMAL(18,2)) AS sum_qty
+           CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS total_price_x100,
+           CAST(ROUND(s.sum_qty * 100, 0) AS BIGINT) AS sum_qty_x100
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
@@ -1227,8 +1273,8 @@ def subquery_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "o_orderkey",
-            _dec("o_totalprice", 18, 2).alias("total_price"),
-            _dec("sum_qty", 18, 2).alias("sum_qty"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("total_price_x100"),
+            F.round(F.col("sum_qty") * 100, 0).cast("long").alias("sum_qty_x100"),
         )
     )
 
@@ -1272,10 +1318,10 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     oracle="""
     SELECT o_orderkey, o_custkey, CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS ts_s,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
              PARTITION BY o_custkey ORDER BY CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)
              RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(18,2)) AS spend_90d
+           ) AS DECIMAL(30,2)) * 100 AS BIGINT) AS spend_90d_x100
     FROM orders
     """,
 )
@@ -1299,7 +1345,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         ts.alias("ts_s"),
-        _dec(F.sum(_dec("o_totalprice")).over(w), 18, 2).alias("spend_90d"),
+        (_dec(F.sum(_dec("o_totalprice")).over(w), 18, 2) * 100).cast("long").alias("spend_90d_x100"),
     )
 
 
@@ -1375,9 +1421,9 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+           CAST(CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(12,2)))
                   FILTER (WHERE l_shipdate >= TIMESTAMP '1999-01-01'),
-                0) AS DECIMAL(18,2)) AS qty_recent,
+                0) AS DECIMAL(30,2)) * 100 AS BIGINT) AS qty_recent_x100,
            count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25) AS n_bulk_supp
     FROM lineitem
     GROUP BY l_returnflag
@@ -1398,13 +1444,16 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
-            _dec(
-                F.coalesce(
-                    F.sum(F.when(recent, _dec("l_quantity"))), F.lit(0)
-                ),
-                18,
-                2,
-            ).alias("qty_recent"),
+            (
+                _dec(
+                    F.coalesce(F.sum(F.when(recent, _dec("l_quantity"))), F.lit(0)),
+                    18,
+                    2,
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("qty_recent_x100"),
             F.count_distinct(
                 F.when(F.col("l_quantity") > 25, F.col("l_suppkey"))
             ).alias("n_bulk_supp"),
@@ -1461,7 +1510,7 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2, 3
     )
     SELECT c_custkey, c_name, n_name,
-           CAST(revenue AS DECIMAL(18,4)) AS revenue,
+           CAST(CAST(revenue AS DECIMAL(30,4)) * 10000 AS BIGINT) AS revenue_x10000,
            CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey) AS INT) AS rank
     FROM r ORDER BY rank LIMIT 20
     """,
@@ -1490,10 +1539,10 @@ def multi_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"))
+        .agg((F.sum(rev).cast("decimal(18,4)") * 10000).cast("long").alias("revenue_x10000"))
     )
-    top = grouped.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
-    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    top = grouped.orderBy(F.desc("revenue_x10000"), F.asc("c_custkey")).limit(20)
+    w = Window.orderBy(F.desc("revenue_x10000"), F.asc("c_custkey"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
@@ -1692,8 +1741,8 @@ def sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr",
     oracle="""
     SELECT l_returnflag,
-           CAST(ROUND(corr(l_quantity, l_extendedprice), 6) AS DECIMAL(10,6)) AS qty_price_corr,
-           CAST(ROUND(covar_samp(l_quantity, l_discount), 6) AS DECIMAL(12,6)) AS qty_disc_cov
+           CAST(ROUND(corr(l_quantity, l_extendedprice) * 1000000, 0) AS BIGINT) AS qty_price_corr_micro,
+           CAST(ROUND(covar_samp(l_quantity, l_discount) * 1000000, 0) AS BIGINT) AS qty_disc_cov_micro
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1711,12 +1760,12 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6)
-            .cast("decimal(10,6)")
-            .alias("qty_price_corr"),
-            F.round(F.covar_samp("l_quantity", "l_discount"), 6)
-            .cast("decimal(12,6)")
-            .alias("qty_disc_cov"),
+            F.round(F.corr("l_quantity", "l_extendedprice") * 1000000, 0)
+            .cast("long")
+            .alias("qty_price_corr_micro"),
+            F.round(F.covar_samp("l_quantity", "l_discount") * 1000000, 0)
+            .cast("long")
+            .alias("qty_disc_cov_micro"),
         )
     )
 
@@ -1782,7 +1831,7 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_bucketed",
     oracle="""
     SELECT o.o_orderkey, o.o_custkey, l.l_linenumber,
-           CAST(l.l_quantity AS DECIMAL(12,2)) AS qty
+           CAST(ROUND(l.l_quantity * 100, 0) AS BIGINT) AS qty_x100
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     """,
 )
@@ -1798,7 +1847,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic_session(spark)
     from ..sources.layout import bucketed_join, write_bucketed
 
-    tag = abs(hash(sf_dir)) % 10**8
+    tag = _scratch_tag(sf_dir)
     lt, ot = f"li_b_{tag}", f"or_b_{tag}"
     write_bucketed(
         load_table(spark, sf_dir, "lineitem").select(
@@ -1816,14 +1865,17 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ot, lt, on=F.col("o_orderkey") == F.col("l_orderkey")
     )
     return j.select(
-        "o_orderkey", "o_custkey", "l_linenumber", _dec("l_quantity").alias("qty")
+        "o_orderkey",
+        "o_custkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qty_x100"),
     )
 
 
 @query(
     "scan_partitioned",
     oracle="""
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+    SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_price_x100
     FROM orders
     WHERE date_trunc('month', o_orderdate) = DATE '1999-03-01'
     """,
@@ -1840,7 +1892,7 @@ def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic_session(spark)
     from ..sources.layout import write_partitioned
 
-    path = f"/root/repo/.scratch/orders_bymonth_{abs(hash(sf_dir)) % 10**8}"
+    path = f"/root/repo/.scratch/orders_bymonth_{_scratch_tag(sf_dir)}"
     write_partitioned(
         load_table(spark, sf_dir, "orders").withColumn(
             "part_month", F.trunc(F.col("o_orderdate").cast("date"), "month")
@@ -1851,5 +1903,8 @@ def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.parquet(path)
         .filter(F.col("part_month") == F.lit("1999-03-01").cast("date"))
-        .select("o_orderkey", _dec("o_totalprice", 18, 2).alias("total_price"))
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("total_price_x100"),
+        )
     )

@@ -62,6 +62,41 @@ def bucketed_join(
     return l.join(r, on, how)
 
 
+def _versions(path: str) -> list[tuple[int, str]]:
+    """Existing ``{path}.v{N}`` version dirs, sorted ascending by N."""
+    base = os.path.basename(path.rstrip("/"))
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    out = []
+    for name in os.listdir(parent) if os.path.isdir(parent) else []:
+        stem, _, suffix = name.rpartition(".v")
+        if stem == base and suffix.isdigit():
+            out.append((int(suffix), os.path.join(parent, name)))
+    return sorted(out)
+
+
+def dataset_path(path: str) -> str:
+    """Resolve a compacted dataset path, repairing an interrupted
+    version swap.
+
+    After :func:`compact_parquet`, ``path`` is a symlink to the
+    current ``{path}.v{N}`` version dir.  The only moment ``path`` can
+    be absent is mid-swap — and the swap starts only after the new
+    version dir is fully written — so repair is always safe: re-point
+    the symlink at the highest version present."""
+    if os.path.lexists(path):
+        return path
+    versions = _versions(path)
+    if not versions:
+        raise FileNotFoundError(path)
+    _, latest = versions[-1]
+    tmplink = path.rstrip("/") + ".lnk"
+    if os.path.lexists(tmplink):
+        os.remove(tmplink)
+    os.symlink(os.path.abspath(latest), tmplink)
+    os.replace(tmplink, path)
+    return path
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -73,20 +108,44 @@ def compact_parquet(
     The small-files problem is the quiet killer of 100 TB pipelines
     (every file is a task + a name-node entry + a footer read); daily
     upsert/streaming output should be compacted on a schedule.  The
-    file count comes from the dataset's actual byte size, the rewrite
-    is one read + one narrow coalesce write, and the swap is
-    directory-atomic (write to .compact_tmp, then rename)."""
+    file count comes from the dataset's actual byte size and the
+    rewrite is one read + one narrow coalesce write.
+
+    Crash safety: the compacted copy is written to a fresh versioned
+    sibling dir (``{path}.vN``), and ``path`` becomes a symlink to it
+    via an atomic rename — readers resolve either the old version or
+    the new one, never a partial mix.  The one non-atomic moment
+    (retiring a plain directory on first compaction) is covered by
+    :func:`dataset_path`, which re-links ``path`` to the newest fully
+    written version; old versions are deleted only after the flip."""
     import glob as _glob
 
+    dataset_path(path)  # repair any previously interrupted swap
     files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, round(total / (target_mb * 1024 * 1024)))
-    tmp = path.rstrip("/") + ".compact_tmp"
-    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    backup = path.rstrip("/") + ".compact_old"
-    os.rename(path, backup)
-    os.rename(tmp, path)
-    shutil.rmtree(backup)
+
+    versions = _versions(path)
+    next_n = versions[-1][0] + 1 if versions else 1
+    new_dir = f"{path.rstrip('/')}.v{next_n}"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(new_dir)
+
+    tmplink = path.rstrip("/") + ".lnk"
+    if os.path.lexists(tmplink):
+        os.remove(tmplink)
+    os.symlink(os.path.abspath(new_dir), tmplink)
+    if os.path.islink(path):
+        os.replace(tmplink, path)  # atomic symlink swap
+    else:
+        # first compaction: retire the plain dir, then link.  A crash
+        # between the two renames leaves no ``path``, but ``new_dir``
+        # is complete — dataset_path() re-links to it.
+        os.rename(path, f"{path.rstrip('/')}.v0")
+        os.replace(tmplink, path)
+    current = os.path.realpath(path)
+    for _, old in _versions(path):
+        if os.path.realpath(old) != current:
+            shutil.rmtree(old)
     return n_out
 
 

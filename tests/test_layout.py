@@ -3,6 +3,10 @@ partitioned layouts prune at the directory level."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_engineering_assessment_spark.sources.layout import (
@@ -209,3 +213,46 @@ def test_resolve_url_stages_http_like_stream(tmp_path, monkeypatch):
     again = remote.resolve_url("https://example.org/data/taxi.csv",
                                staging_dir=str(tmp_path))
     assert again == staged and calls["n"] == 1
+
+
+def test_compact_parquet_survives_mid_swap_crash(spark, tmp_path):
+    """Crash injection for the version swap: kill the flip between
+    'retire old dir' and 'link new version' — the worst moment — and
+    assert the dataset stays fully readable via dataset_path()."""
+    import glob
+
+    from data_engineering_assessment_spark.sources import layout
+
+    path = str(tmp_path / "ds")
+    spark.range(5_000).repartition(16).write.parquet(path)
+
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def crashing_replace(src, dst):
+        if src.endswith(".lnk"):
+            calls["n"] += 1
+            raise OSError("injected crash mid-swap")
+        return real_replace(src, dst)
+
+    layout.os.replace = crashing_replace
+    try:
+        with pytest.raises(OSError, match="injected"):
+            layout.compact_parquet(spark, path, target_mb=128)
+    finally:
+        layout.os.replace = real_replace
+
+    assert calls["n"] == 1
+    # mid-swap state: path gone, old data in .v0, new version complete
+    assert not os.path.lexists(path)
+    # recovery re-links to the newest complete version; data intact
+    layout.dataset_path(path)
+    got = spark.read.parquet(path)
+    assert got.count() == 5_000
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(5_000))
+
+    # a subsequent compaction on the recovered dataset works and is
+    # atomic from here on (path is now a symlink)
+    layout.compact_parquet(spark, path, target_mb=128)
+    assert os.path.islink(path)
+    assert spark.read.parquet(path).count() == 5_000

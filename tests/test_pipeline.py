@@ -53,7 +53,7 @@ def test_embed_near_dup_exact_finds_planted_pair(spark):
     vecs = _planted_vectors(spark)
     pairs = cosine_near_dup_pairs(vecs, threshold=0.9).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(1000, 1001)]
-    assert float(pairs[0].cosine) > 0.999
+    assert pairs[0].cosine_micro > 999000
 
 
 def test_embed_near_dup_lsh_finds_planted_pair(spark):
@@ -181,9 +181,15 @@ def test_approx_percentile_close_to_exact(spark):
     assert exact.keys() == approx.keys()
     for flag, e in exact.items():
         a = approx[flag]
-        assert abs(float(a.p50_qty) - float(e.p50_qty)) <= max(1.0, 0.05 * float(e.p50_qty))
-        assert abs(float(a.p90_qty) - float(e.p90_qty)) <= max(1.0, 0.05 * float(e.p90_qty))
-        assert abs(float(a.p50_price) - float(e.p50_price)) <= 0.05 * float(e.p50_price)
+        # exact tier emits micro-units (BIGINT); scale back for comparison
+        p50_qty, p90_qty, p50_price = (
+            e.p50_qty_micro / 1e6,
+            e.p90_qty_micro / 1e6,
+            e.p50_price_micro / 1e6,
+        )
+        assert abs(float(a.p50_qty) - p50_qty) <= max(1.0, 0.05 * p50_qty)
+        assert abs(float(a.p90_qty) - p90_qty) <= max(1.0, 0.05 * p90_qty)
+        assert abs(float(a.p50_price) - p50_price) <= 0.05 * p50_price
 
 
 def test_ivf_exhaustive_probe_equals_brute_force(spark):
@@ -204,13 +210,13 @@ def test_ivf_limited_probe_is_subset_with_exact_scores(spark):
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5)
-    brute = {(r.q_id, r.neighbor_id): r.cosine for r in cosine_topk(emb, q, k=50).collect()}
+    brute = {(r.q_id, r.neighbor_id): r.cosine_micro for r in cosine_topk(emb, q, k=50).collect()}
     probed = ivf_ann_topk(emb, q, k=3, n_clusters=8, nprobe=2).collect()
     assert probed  # returns something
     for r in probed:
         # every retrieved neighbor carries its true cosine score
         assert (r.q_id, r.neighbor_id) in brute
-        assert abs(float(r.cosine) - float(brute[(r.q_id, r.neighbor_id)])) < 2e-6
+        assert abs(r.cosine_micro - brute[(r.q_id, r.neighbor_id)]) <= 2
 
 
 def test_ngram_df_cap_soundness(spark):
@@ -313,3 +319,36 @@ def test_pii_scrub_plants_and_redacts(spark):
     # "+1 555.123.4567" — the phone pattern needs 3-3-4 digit groups,
     # so it matches "555.123.4567" (the leading "+1 " survives).
     assert got[4] == ("two mails <EMAIL> <EMAIL> and +1 <PHONE>x", 3)
+
+
+def test_similarity_dispatch_routes_by_corpus_size(spark):
+    """The public dispatchers pick the exact tier under the bound and
+    the LSH tier above it — the O(n²) baseline is unreachable at
+    scale."""
+    from data_engineering_assessment_spark.operators.similarity import (
+        ann_topk,
+        cosine_topk,
+        lsh_ann_topk,
+        near_dup_pairs,
+    )
+
+    vecs = _planted_vectors(spark)
+    q = vecs.filter(F.col("vec_id") < 3)
+
+    def key(rows):
+        return sorted(map(tuple, rows))
+
+    # corpus under the bound → identical to the exact tier
+    assert key(ann_topk(vecs, q, k=2).collect()) == key(
+        cosine_topk(vecs, q, k=2).collect()
+    )
+    assert key(near_dup_pairs(vecs, threshold=0.9).collect()) == key(
+        cosine_near_dup_pairs(vecs, threshold=0.9).collect()
+    )
+    # corpus over the (forced-tiny) bound → identical to the LSH tier
+    assert key(ann_topk(vecs, q, k=2, max_exact_rows=5).collect()) == key(
+        lsh_ann_topk(vecs, q, k=2).collect()
+    )
+    assert key(near_dup_pairs(vecs, threshold=0.9, max_exact_rows=5).collect()) == key(
+        cosine_near_dup_lsh(vecs, threshold=0.9).collect()
+    )
