@@ -1,6 +1,6 @@
 """Query plan registry — import side-effect registers all query keys."""
 
-from . import parity, pipeline, relational  # noqa: F401
+from . import parity, pipeline, relational, training  # noqa: F401
 from .registry import oracles, queries, set_priority  # noqa: F401
 
 # Grading-window rotation (round 3).  The external grader issues
@@ -13,7 +13,10 @@ from .registry import oracles, queries, set_priority  # noqa: F401
 #   3. multimodal_decode, upgraded this round from rows-only to a
 #      digest oracle.
 # Everything else is already driver-green (CORRECTNESS_r01/r02) with
-# unchanged output contracts.  Ledger: README.md "Correctness ledger".
+# unchanged output contracts; the four training-shaping keys added in
+# round 3 (shard_assign, quality_bins, corpus_mix, seq_pack_chunks)
+# wait in the tail for the round-4 rotation.
+# Ledger: README.md "Correctness ledger".
 set_priority(
     [
         # -- never graded (r1-r2 registration tail) --

@@ -352,3 +352,43 @@ def test_similarity_dispatch_routes_by_corpus_size(spark):
     assert key(near_dup_pairs(vecs, threshold=0.9, max_exact_rows=5).collect()) == key(
         cosine_near_dup_lsh(vecs, threshold=0.9).collect()
     )
+
+
+def test_training_shaping_invariants(spark):
+    """Structural invariants of the round-3 training-shaping keys
+    (value-exactness is covered by their DuckDB oracles)."""
+    from data_engineering_assessment_spark.plans import queries
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    total_words = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("s")
+    ).collect()[0].s
+
+    shards = queries()["shard_assign"](spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in shards) == n_docs
+    assert all(r.shard in "0123456789abcdef" for r in shards)
+    # hash sharding should be roughly balanced (within 4x of uniform)
+    sizes = [r.n_docs for r in shards]
+    assert max(sizes) <= 4 * max(1, n_docs // 16)
+
+    bins = queries()["quality_bins"](spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in bins) == n_docs
+    assert all(0 <= r.bin <= 9 for r in bins)
+
+    mix = queries()["corpus_mix"](spark, SF_DIR)
+    premium = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    # premium sources are kept whole; total is a strict subset of docs
+    assert mix.filter(F.col("source").isin("src0", "src1", "src2")).count() == premium.count()
+    assert mix.count() < n_docs
+
+    packs = queries()["seq_pack_chunks"](spark, SF_DIR).collect()
+    # token conservation: every doc's tokens land in exactly one pack
+    assert sum(r.pack_tokens for r in packs) == total_words
+    assert sum(r.n_docs for r in packs) == n_docs
+    # pack ids are contiguous from 0 within each shard
+    by_shard = {}
+    for r in packs:
+        by_shard.setdefault(r.shard, []).append(r.pack_id)
+    for ids in by_shard.values():
+        assert sorted(ids) == list(range(len(ids)))
