@@ -59,6 +59,8 @@ HEADLINE = [
     "text_pii_scrub",
     "decontaminate_overlap",
     "multimodal_decode",
+    "shard_assign",
+    "seq_pack_chunks",
 ]
 
 
