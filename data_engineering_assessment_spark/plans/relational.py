@@ -108,6 +108,24 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5"))
 
 
+@query("scan_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic quoted-CSV source/sink round-trip: documents → RFC-4180
+    CSV files → explicit-schema read → digest projection.  Exercises
+    quoting/escaping (commas and quotes inside text must survive),
+    complementing the reference's unquoted green-taxi CSV contract;
+    the oracle reads the original parquet, so any loss is a hash
+    miss.  Splittable text — scans parallelize like JSONL."""
+    ensure_deterministic_session(spark)
+    from ..sources.formats import read_csv, write_csv
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = f"/root/repo/.scratch/roundtrip_csv_{_scratch_tag(sf_dir)}"
+    write_csv(docs, path)
+    back = read_csv(spark, path, docs.schema)
+    return back.select("doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5"))
+
+
 @query(
     "agg_group",
     oracle="""
@@ -690,6 +708,49 @@ def event_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "events")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_dec("value")).cast("decimal(18,2)") * 100).cast("long").alias("sum_value_x100"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value_x100",
+        )
+    )
+
+
+@query(
+    "event_sliding_window",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_type, value FROM events
+    ), w AS (
+      SELECT t - t % 1800 AS ws, event_type, value FROM e
+      UNION ALL
+      SELECT (t - t % 1800) - 1800, event_type, value FROM e
+    )
+    SELECT ws AS window_start, event_type, count(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT) AS sum_value_x100
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (hopping): each event
+    lands in exactly duration/slide = 2 windows.  The oracle restates
+    the window assignment as integer epoch arithmetic (the two
+    enclosing slide-aligned starts), so the comparison is exact and
+    timezone-free.
+
+    Scale: F.window with a slide is a 2x row expansion inside the
+    scan stage followed by one map-side-combined shuffle — the same
+    expression runs under Structured Streaming with a watermark
+    (streaming/windows.py has the sliding twin)."""
+    ensure_deterministic_session(spark)
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
             (F.sum(_dec("value")).cast("decimal(18,2)") * 100).cast("long").alias("sum_value_x100"),

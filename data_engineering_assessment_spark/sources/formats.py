@@ -1,8 +1,8 @@
-"""Additional source/sink formats: JSON-lines and ORC.
+"""Additional source/sink formats: JSON-lines, ORC, and quoted CSV.
 
-Both are thin wrappers over Spark's native readers/writers — explicit
+All are thin wrappers over Spark's native readers/writers — explicit
 schemas always (streams and 100 TB batch jobs never infer), and the
-reader path is split-parallel (JSONL and ORC are both splittable, so
+reader path is split-parallel (JSONL/ORC/CSV are all splittable, so
 a 1000-executor cluster scans one large file as many tasks).
 """
 
@@ -34,3 +34,33 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """Read ORC — schema comes from the file footer (self-describing,
     like parquet); pushdown/pruning work the same way."""
     return spark.read.orc(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """Write as RFC-4180 quoted CSV with a header row.
+
+    Unlike the reference's unquoted green-taxi contract, the generic
+    sink quotes/escapes so commas and quotes inside values round-trip
+    byte-exactly; ``emptyValue=""`` distinguishes the empty string
+    from null (written unquoted-empty)."""
+    (
+        df.write.mode(mode)
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .option("emptyValue", '""')
+        .csv(path)
+    )
+    return path
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Read quoted CSV with an explicit schema (no inference scan);
+    mirror options of :func:`write_csv` so the round trip is exact."""
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("escape", '"')
+        .option("emptyValue", '""')
+        .csv(path)
+    )
