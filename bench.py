@@ -61,6 +61,8 @@ HEADLINE = [
     "multimodal_decode",
     "shard_assign",
     "seq_pack_chunks",
+    "chunk_overlap",
+    "repetition_stats",
 ]
 
 

@@ -13,9 +13,11 @@ from .registry import oracles, queries, set_priority  # noqa: F401
 #   3. multimodal_decode, upgraded this round from rows-only to a
 #      digest oracle.
 # Everything else is already driver-green (CORRECTNESS_r01/r02) with
-# unchanged output contracts; the four training-shaping keys added in
-# round 3 (shard_assign, quality_bins, corpus_mix, seq_pack_chunks)
-# wait in the tail for the round-4 rotation.
+# unchanged output contracts; the keys added in round 3 (shard_assign,
+# quality_bins, corpus_mix, seq_pack_chunks, scan_csv_roundtrip,
+# event_sliding_window, split_train_eval, chunk_overlap,
+# repetition_stats) wait in the tail for the round-4 rotation
+# (tools/rotation.py generates the next prefix).
 # Ledger: README.md "Correctness ledger".
 set_priority(
     [

@@ -117,6 +117,153 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_train_eval",
+    oracle="""
+    SELECT CASE WHEN left(md5(CAST(doc_id AS VARCHAR)), 2) < 'f0' THEN 'train'
+                WHEN left(md5(CAST(doc_id AS VARCHAR)), 2) < 'f8' THEN 'valid'
+                ELSE 'test' END AS split,
+           source, count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY split, source
+    """,
+)
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (~93.75/3.125/3.125 by md5
+    prefix of doc_id) with per-(split, source) volume — the audit a
+    data owner runs to confirm the eval slices are source-stratified.
+
+    Hash membership makes the split a pure function of doc_id:
+    appending new data never moves an old doc across splits (the
+    property that prevents silent eval contamination on incremental
+    corpus builds; the [[decontaminate_overlap]] key covers the
+    content-level variant).  Scale: shuffle-free scan + a small agg."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    h2 = _md5_prefix("doc_id", 2)
+    split = (
+        F.when(h2 < "f0", "train").when(h2 < "f8", "valid").otherwise("test")
+    )
+    return (
+        d.groupBy(split.alias("split"), "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "chunk_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents WHERE len(string_split(text, ' ')) >= 1
+    )
+    SELECT doc_id, CAST(s // 96 AS INT) AS chunk_idx,
+           CAST(s AS INT) AS chunk_start,
+           CAST(LEAST(128, n_tok - s) AS INT) AS n_chunk_tok,
+           md5(array_to_string(list_slice(toks, s + 1, s + 128), ' ')) AS chunk_md5
+    FROM (
+      SELECT doc_id, toks, n_tok,
+             unnest(generate_series(0, n_tok - 1, 96)) AS s
+      FROM t
+    )
+    """,
+)
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: 128-token chunks with a
+    96-token stride (32-token overlap), one output row per chunk with
+    an md5 content digest.  Overlapping windows keep sentences that
+    straddle a cut retrievable from both sides — the standard chunker
+    in retrieval indexing.
+
+    Chunk membership is arithmetic on the token count, so the plan is
+    a scan + generator (posexplode of an integer sequence) with no
+    shuffle at all — each task chunks its own documents, and a 100 TB
+    corpus chunks at scan speed.  The md5 digest keeps the output
+    hash-portable while still pinning the exact chunk text."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n_tok")).filter(
+        F.col("n_tok") >= 1
+    )
+    starts = F.sequence(F.lit(0), F.col("n_tok") - 1, F.lit(96))
+    return (
+        d.select("doc_id", "n_tok", "toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.expr("CAST(s div 96 AS INT)").alias("chunk_idx"),
+            F.col("s").cast("int").alias("chunk_start"),
+            F.least(F.lit(128), F.col("n_tok") - F.col("s")).cast("int").alias("n_chunk_tok"),
+            F.md5(
+                F.concat_ws(" ", F.slice("toks", F.col("s") + 1, F.lit(128))).cast("binary")
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ), g AS (
+      SELECT doc_id, n_tok - 2 AS n_tri,
+             len(list_distinct(list_transform(
+               generate_series(1, n_tok - 2),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS n_uniq_tri
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tri AS INT) AS n_tri,
+           CAST(n_uniq_tri AS INT) AS n_uniq_tri,
+           CAST(((n_tri - n_uniq_tri) * 10000) // n_tri AS BIGINT) AS dup_ratio_x10000,
+           (n_tri - n_uniq_tri) * 5 <= n_tri AS keep
+    FROM g
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition audit: duplicate word-trigram ratio
+    per doc, plus the keep/drop verdict at a 20% threshold — the
+    Gopher/C4-style filter that drops boilerplate and degenerate
+    repetition before pretraining.
+
+    The ratio is emitted as exact integer fixed-point and the verdict
+    as an integer-arithmetic inequality ((dups * 5) <= n_tri), so no
+    float crosses the engine boundary.  Scale: trigrams come from a
+    per-row higher-order function (transform over an int sequence) —
+    no explode, no shuffle; the whole audit runs at scan speed."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n_tok")).filter(
+        F.col("n_tok") >= 3
+    )
+    tri = F.transform(
+        F.sequence(F.lit(1), F.col("n_tok") - 2, F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice("toks", i, F.lit(3))),
+    )
+    n_tri = (F.col("n_tok") - 2).cast("int")
+    n_uniq = F.size(F.array_distinct(tri)).cast("int")
+    dups = F.col("n_tri") - F.col("n_uniq_tri")
+    return (
+        d.select("doc_id", n_tri.alias("n_tri"), n_uniq.alias("n_uniq_tri"))
+        .select(
+            "doc_id",
+            "n_tri",
+            "n_uniq_tri",
+            F.expr("CAST((n_tri - n_uniq_tri) * 10000 div n_tri AS BIGINT)").alias(
+                "dup_ratio_x10000"
+            ),
+            (dups * 5 <= F.col("n_tri")).alias("keep"),
+        )
+    )
+
+
+@query(
     "seq_pack_chunks",
     oracle="""
     WITH t AS (

@@ -428,3 +428,63 @@ def test_seq_pack_chunks_edge_cases(spark, tmp_path, monkeypatch):
     for ids in by_shard.values():
         assert len(ids) == len(set(ids))
         assert max(ids) <= total_words // 1024
+
+
+def test_split_chunk_repetition_invariants(spark):
+    """Structural invariants of the split/chunk/repetition trio
+    (value-exactness is covered by their DuckDB oracles)."""
+    from data_engineering_assessment_spark.plans import queries
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+
+    splits = queries()["split_train_eval"](spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in splits) == n_docs
+    by_split = {}
+    for r in splits:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert set(by_split) <= {"train", "valid", "test"}
+    # train dominates (93.75% expected share)
+    assert by_split["train"] > 0.8 * n_docs
+
+    chunks = queries()["chunk_overlap"](spark, SF_DIR).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == n_docs  # every doc (n_tok >= 1) chunks
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.chunk_idx)
+        # stride-96 starts, contiguous idx, every chunk non-empty and
+        # within size; only the last chunk may be short
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        assert all(r.chunk_start == 96 * r.chunk_idx for r in rows)
+        assert all(1 <= r.n_chunk_tok <= 128 for r in rows)
+        # a chunk with a successor covers at least one full stride
+        # past its start (it may still be <128: stride < size means
+        # the tail can straddle two short chunks)
+        assert all(r.n_chunk_tok >= 97 for r in rows[:-1])
+
+    reps = queries()["repetition_stats"](spark, SF_DIR).collect()
+    for r in reps:
+        assert 1 <= r.n_uniq_tri <= r.n_tri
+        assert 0 <= r.dup_ratio_x10000 <= 10000
+        assert r.keep == ((r.n_tri - r.n_uniq_tri) * 5 <= r.n_tri)
+
+
+def test_repetition_stats_degenerate_doc(spark, tmp_path):
+    """A degenerate doc ('spam ham ' repeated) must be dropped; a
+    varied doc kept."""
+    from data_engineering_assessment_spark.plans import queries
+
+    rows = [
+        (0, "spam ham " * 50 + "spam", "en", "src0", 9),
+        (1, " ".join(f"w{i}" for i in range(100)), "en", "src0", 100),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in queries()["repetition_stats"](spark, sf).collect()}
+    assert not out[0].keep and out[0].dup_ratio_x10000 > 9000
+    assert out[1].keep and out[1].dup_ratio_x10000 == 0
