@@ -63,6 +63,8 @@ HEADLINE = [
     "seq_pack_chunks",
     "chunk_overlap",
     "repetition_stats",
+    "event_funnel",
+    "event_retention",
 ]
 
 

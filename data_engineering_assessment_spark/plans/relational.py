@@ -1969,3 +1969,131 @@ def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("total_price_x100"),
         )
     )
+
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS INT) AS stage, 'view' AS event_type,
+           (SELECT count(*) FROM v) AS n_users
+    UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+    UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    counts at stage N only with a strictly-later event than their
+    stage-N−1 entry time (the product-analytics funnel, not mere
+    set intersection).
+
+    Scale: each stage is a filtered groupBy(user_id) min + an
+    equi-join on user_id with the timestamp bound as a residual
+    predicate — all three stages shuffle on the same key, so AQE
+    reuses the exchange; per-stage state is one row per surviving
+    user.  The final counts are three single-row aggregates unioned
+    JVM-side (no driver collect)."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage_min(df: DataFrame, etype: str, prev: DataFrame | None, prev_t: str, t: str) -> DataFrame:
+        s = df.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return s.groupBy("user_id").agg(F.min("ts").alias(t))
+
+    v = stage_min(e, "view", None, "", "t1")
+    c = stage_min(e, "click", v, "t1", "t2")
+    p = stage_min(e, "purchase", c, "t2", "t3")
+
+    def row(stage: int, etype: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(etype).alias("event_type"),
+            "n_users",
+        )
+
+    return row(1, "view", v).unionAll(row(2, "click", c)).unionAll(row(3, "purchase", p))
+
+
+@query(
+    "event_retention",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events
+    ), f AS (
+      SELECT user_id, day,
+             MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM d
+    )
+    SELECT cohort_day, CAST(day - cohort_day AS INT) AS day_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM f WHERE day - cohort_day <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day
+    (integer epoch-day — timezone-free), counted distinct on each of
+    the next 7 day offsets they return.
+
+    Scale: cohort assignment is a window min over user_id (one
+    shuffle), and the distinct-count agg shuffles on the small
+    (cohort, offset) key space; no self-join materializes the event
+    table twice."""
+    ensure_deterministic_session(spark)
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", _epoch_s("ts").alias("ts_s"))
+        .select("user_id", F.expr("ts_s div 86400").alias("day"))
+    )
+    f = d.withColumn("cohort_day", F.min("day").over(Window.partitionBy("user_id")))
+    return (
+        f.filter(F.col("day") - F.col("cohort_day") <= 7)
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).cast("int").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS and_linenum,
+           CAST(bit_or(l_linenumber) AS BIGINT) AS or_linenum,
+           CAST(bit_xor(CAST(l_partkey AS BIGINT)) AS BIGINT) AS xor_partkey,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates per group — flag-mask
+    consolidation and order-insensitive checksumming (XOR of a key
+    column is a cheap content fingerprint that any engine reproduces
+    exactly).
+
+    Scale: all three are associative+commutative, so they partial-agg
+    map-side like SUM; one shuffle on the 6-group key."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.bit_and("l_linenumber").cast("long").alias("and_linenum"),
+        F.bit_or("l_linenumber").cast("long").alias("or_linenum"),
+        F.bit_xor(F.col("l_partkey").cast("long")).alias("xor_partkey"),
+        F.count("*").alias("n"),
+    )
