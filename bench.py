@@ -65,6 +65,7 @@ HEADLINE = [
     "repetition_stats",
     "event_funnel",
     "event_retention",
+    "merge_upsert",
 ]
 
 

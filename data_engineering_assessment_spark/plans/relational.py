@@ -2097,3 +2097,84 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(F.col("l_partkey").cast("long")).alias("xor_partkey"),
         F.count("*").alias("n"),
     )
+
+
+@query("sink_parquet_single", oracle=_ROUNDTRIP_ORACLE)
+def sink_parquet_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-file parquet sink round-trip: documents → coalesce(1)
+    write + lone-part-file promotion (the reference's exact sink
+    contract, 02.py:131-138) → re-scan → digest projection.  Drives
+    sources/parquet_io.py through the driver's oracle gate; the
+    single-file mode is an option precisely because at 100 TB the
+    default path writes many parts."""
+    ensure_deterministic_session(spark)
+    from ..sources.parquet_io import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = f"/root/repo/.scratch/single_file_{_scratch_tag(sf_dir)}.parquet"
+    write_parquet(docs, path, single_file=True)
+    back = spark.read.parquet(path)
+    return back.select("doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5"))
+
+
+@query("scan_url_source", oracle=_ROUNDTRIP_ORACLE)
+def scan_url_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-addressed scan: a file:// URI resolved by the smart_open
+    parity layer (sources/remote.py — passthrough for schemes with a
+    Hadoop filesystem, driver-staged for http/https) and scanned
+    natively.  The digest oracle proves byte-identical content to a
+    plain path scan; on a cluster the same call with s3a://or gs://
+    reads distributed with pushdown."""
+    ensure_deterministic_session(spark)
+    from ..sources.remote import resolve_url
+
+    path = resolve_url(f"file://{sf_dir}/documents.parquet")
+    back = spark.read.parquet(path)
+    return back.select("doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5"))
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey, 'U' AS new_status, o_totalprice * 2 AS new_price
+      FROM orders WHERE left(md5(CAST(o_orderkey AS VARCHAR)), 1) = '0'
+    )
+    SELECT o.o_orderkey,
+           COALESCE(u.new_status, o.o_orderstatus) AS o_orderstatus,
+           CAST(ROUND(COALESCE(u.new_price, o.o_totalprice) * 100, 0) AS BIGINT)
+             AS total_x100
+    FROM orders o LEFT JOIN u ON o.o_orderkey = u.o_orderkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE on plain parquet, end-to-end through the driver
+    gate: seed a scratch dataset with orders, upsert a deterministic
+    ~1/16 slice (md5-nibble of o_orderkey) with doubled price and a
+    changed status, re-scan and emit a fixed-point digest.  The
+    oracle restates the merge as a left join on the same slice.
+
+    Scale: the rewrite path is sources/upsert.py — left-anti join on
+    the key + union; with a partitioned layout and dynamic partition
+    overwrite only touched partitions rewrite (asserted via mtimes in
+    tests/test_layout.py).  Here the dataset is unpartitioned because
+    the digest, not the layout, is under test."""
+    ensure_deterministic_session(spark)
+    from ..sources.parquet_io import write_parquet
+    from ..sources.upsert import upsert_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = f"/root/repo/.scratch/merge_upsert_{_scratch_tag(sf_dir)}"
+    write_parquet(orders, path)
+    updates = (
+        orders.filter(F.md5(F.col("o_orderkey").cast("string").cast("binary")).substr(1, 1) == "0")
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    upsert_parquet(spark, updates, path, "o_orderkey")
+    back = spark.read.parquet(path)
+    return back.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("total_x100"),
+    )
