@@ -17,7 +17,8 @@ from .registry import oracles, queries, set_priority  # noqa: F401
 # quality_bins, corpus_mix, seq_pack_chunks, scan_csv_roundtrip,
 # event_sliding_window, split_train_eval, chunk_overlap,
 # repetition_stats, event_funnel, event_retention, agg_bitwise,
-# sink_parquet_single, scan_url_source, merge_upsert) wait in the
+# sink_parquet_single, scan_url_source, merge_upsert,
+# ts_resample_ffill) wait in the
 # tail for the round-4 rotation (tools/rotation.py generates the
 # next prefix).
 # Ledger: README.md "Correctness ledger".

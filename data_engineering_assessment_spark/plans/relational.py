@@ -2178,3 +2178,89 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("total_x100"),
     )
+
+
+@query(
+    "ts_resample_ffill",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s, event_id, value
+      FROM events WHERE user_id < 20 AND value IS NOT NULL
+    ), b AS (
+      SELECT user_id, ts_s // 3600 AS bucket,
+             ts_s * 100000 + event_id AS k, value
+      FROM e
+    ), obs AS (
+      SELECT user_id, bucket, arg_max(value, k) AS v_obs, count(*) AS n_events
+      FROM b GROUP BY user_id, bucket
+    ), bounds AS (
+      SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM bounds
+    ), j AS (
+      SELECT g.user_id, g.bucket, o.v_obs,
+             COALESCE(o.n_events, 0) AS n_events
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket
+    )
+    SELECT user_id, bucket * 3600 AS bucket_s,
+           last_value(v_obs IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+           n_events, n_events > 0 AS is_observed
+    FROM j
+    """,
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a regular hourly grid with forward
+    fill: per user, every hour between their first and last event
+    gets a row carrying the last observation at or before it (gap
+    filling — the step before any rolling metric or ML feature over
+    irregular event streams).  Bounded to user_id < 20 so the graded
+    grid is a fixed ~20 x 720 rows at any scale factor.
+
+    The within-bucket representative is max_by over a unique
+    (ts, event_id) ordinal — deterministic under any partitioning —
+    and the filled value is a raw parquet double (passthrough, never
+    arithmetic-derived), so it hashes identically in both engines.
+
+    Scale: one shuffle on user_id serves the per-bucket agg, the
+    bounds agg, the grid join, and the fill window; the grid itself
+    is a generator expression (explode of sequence), never a driver
+    loop.  At 100 TB the same plan resamples per device/sensor with
+    the grid bounded per key, not globally."""
+    ensure_deterministic_session(spark)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("user_id") < 20) & F.col("value").isNotNull())
+        .select("user_id", _epoch_s("ts").alias("ts_s"), "event_id", "value")
+    )
+    b = e.select(
+        "user_id",
+        F.expr("ts_s div 3600").alias("bucket"),
+        (F.col("ts_s") * 100000 + F.col("event_id")).alias("k"),
+        "value",
+    )
+    obs = b.groupBy("user_id", "bucket").agg(
+        F.max_by("value", "k").alias("v_obs"), F.count("*").alias("n_events")
+    )
+    bounds = b.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    j = grid.join(obs, ["user_id", "bucket"], "left").withColumn(
+        "n_events", F.coalesce("n_events", F.lit(0))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        (F.col("bucket") * 3600).alias("bucket_s"),
+        F.last("v_obs", ignorenulls=True).over(w).alias("value_ff"),
+        "n_events",
+        (F.col("n_events") > 0).alias("is_observed"),
+    )
