@@ -2264,3 +2264,54 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("n_events") > 0).alias("is_observed"),
     )
+
+
+@query(
+    "layout_zorder",
+    oracle="""
+    WITH s AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_partkey % 4096 AS BIGINT) AS x,
+             CAST(l_suppkey % 4096 AS BIGINT) AS y
+      FROM lineitem
+    ), a AS (
+      SELECT *, (x | (x << 8)) & 16711935 AS x1,
+                (y | (y << 8)) & 16711935 AS y1 FROM s
+    ), b AS (
+      SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+                (y1 | (y1 << 4)) & 252645135 AS y2 FROM a
+    ), c AS (
+      SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+                (y2 | (y2 << 2)) & 858993459 AS y3 FROM b
+    ), d AS (
+      SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+                (y3 | (y3 << 1)) & 1431655765 AS y4 FROM c
+    )
+    SELECT l_orderkey, l_linenumber, x, y,
+           x4 | (y4 << 1) AS zval
+    FROM d
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (l_partkey, l_suppkey)
+    mod 4096 — the multi-column data-skipping layout: sorting files by
+    this key gives useful parquet min/max ranges on BOTH columns at
+    once, so 2-D range predicates prune files a single-column sort
+    cannot (write path + footer-stats proof: sources/layout.py
+    write_zordered, tests/test_layout.py).
+
+    The engine builds the key with sources/layout.py:zorder_value — a
+    pure shift/mask expression tree (codegen'd, no UDF); the oracle
+    recomputes it with the classic bit-spreading magic constants, so
+    agreement proves the interleave bit-exactly.  Scale: scan-speed
+    map-only projection."""
+    ensure_deterministic_session(spark)
+    from ..sources.layout import zorder_value
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 4096).cast("long").alias("x"),
+        (F.col("l_suppkey") % 4096).cast("long").alias("y"),
+    )
+    return li.withColumn("zval", zorder_value([F.col("x"), F.col("y")], bits=12))
