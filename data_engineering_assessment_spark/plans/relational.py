@@ -2315,3 +2315,43 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") % 4096).cast("long").alias("y"),
     )
     return li.withColumn("zval", zorder_value([F.col("x"), F.col("y")], bits=12))
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority) FROM orders
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profile of orders: exact null and distinct
+    counts for every column (operators/profile.py).  The whole
+    profile is a single scan — per-column statistics are aggregate
+    expressions in one agg (Catalyst plans the multi-distinct with
+    one expand), then a stack generator unpivots the wide row.
+
+    Scale: profiling a 100 TB table must not be one job per column;
+    this is one job total, and the distincts degrade gracefully to
+    approx_count_distinct when cardinality makes exact counting
+    unreasonable."""
+    ensure_deterministic_session(spark)
+    from ..operators.profile import profile_columns
+
+    return profile_columns(load_table(spark, sf_dir, "orders"))
