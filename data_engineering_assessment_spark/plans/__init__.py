@@ -18,7 +18,8 @@ from .registry import oracles, queries, set_priority  # noqa: F401
 # event_sliding_window, split_train_eval, chunk_overlap,
 # repetition_stats, event_funnel, event_retention, agg_bitwise,
 # sink_parquet_single, scan_url_source, merge_upsert,
-# ts_resample_ffill, layout_zorder, profile_table) wait in the
+# ts_resample_ffill, layout_zorder, profile_table, agg_boolean,
+# join_interval_overlap) wait in the
 # tail for the round-4 rotation (tools/rotation.py generates the
 # next prefix).
 # Ledger: README.md "Correctness ledger".

@@ -2355,3 +2355,108 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_columns
 
     return profile_columns(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT l_linestatus,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           bool_or(l_discount > 0.08) AS any_deep_discount,
+           count(*) FILTER (l_tax = 0) AS n_tax_free,
+           count(*) AS n
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (universal/existential quantifiers) and a
+    filtered count per group — the data-quality assertions a pipeline
+    runs before promoting a table partition.
+
+    Predicates compare raw parquet doubles against literals, so both
+    engines evaluate the identical IEEE comparison.  Scale: all three
+    are associative partial-aggregating functions — map-side combine,
+    one shuffle on the 2-group key."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.08).alias("any_deep_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+      FROM events
+    ), a AS (
+      SELECT event_id AS a_id, user_id, s AS a_s, s + 1800 AS a_e
+      FROM e WHERE event_type = 'purchase'
+    ), b AS (
+      SELECT event_id AS b_id, user_id, s AS b_s, s + 900 AS b_e
+      FROM e WHERE event_type = 'error'
+    )
+    SELECT a.user_id, a_id, b_id,
+           LEAST(a_e, b_e) - GREATEST(a_s, b_s) AS overlap_s
+    FROM a JOIN b ON a.user_id = b.user_id
+                 AND a_s < b_e AND b_s < a_e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (big-big, non-equi): 30-minute purchase
+    attribution windows matched against 15-minute error windows for
+    the same user wherever the two intervals intersect.
+
+    The oracle states it as the textbook inequality join; the engine
+    never runs that plan.  Instead each interval explodes into the
+    ≤2 width-1800 time buckets it touches, the join is EQUI on
+    (user_id, bucket) with the exact overlap predicate as a residual
+    filter, and a distinct collapses pairs found in two buckets —
+    the bucketize-then-equi-join decomposition that keeps a 100 TB
+    interval join a hash join (no BroadcastNestedLoop, no
+    CartesianProduct; bucket width = the max interval length bounds
+    the fan-out at 2x).
+
+    Scale: shuffle on (user_id, bucket) — co-partitioned both sides —
+    then a distinct on the pair key; skewed users split across
+    buckets by construction."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", _epoch_s("ts").alias("s")
+    )
+    a = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("s").alias("a_s"),
+        (F.col("s") + 1800).alias("a_e"),
+    )
+    b = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"),
+        "user_id",
+        F.col("s").alias("b_s"),
+        (F.col("s") + 900).alias("b_e"),
+    )
+    ax = a.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.expr("a_s div 1800"), F.expr("(a_e - 1) div 1800"))),
+    )
+    bx = b.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.expr("b_s div 1800"), F.expr("(b_e - 1) div 1800"))),
+    )
+    return (
+        ax.join(bx, ["user_id", "bucket"])
+        .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .select(
+            "user_id",
+            "a_id",
+            "b_id",
+            (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).alias("overlap_s"),
+        )
+        .distinct()
+    )
