@@ -19,7 +19,7 @@ from .registry import oracles, queries, set_priority  # noqa: F401
 # repetition_stats, event_funnel, event_retention, agg_bitwise,
 # sink_parquet_single, scan_url_source, merge_upsert,
 # ts_resample_ffill, layout_zorder, profile_table, agg_boolean,
-# join_interval_overlap) wait in the
+# join_interval_overlap, stream_tumbling_counts) wait in the
 # tail for the round-4 rotation (tools/rotation.py generates the
 # next prefix).
 # Ledger: README.md "Correctness ledger".
