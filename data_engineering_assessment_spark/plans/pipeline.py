@@ -11,7 +11,7 @@ exact operators in tests/test_pipeline.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -758,4 +758,81 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "brand")
         .filter((F.col("key_a") < F.col("key_b")) & (dist <= 1))
         .select("key_a", "key_b", "name_a", "name_b", dist.cast("int").alias("edit_dist"))
+    )
+
+
+@query(
+    "doc_length_quartiles",
+    oracle="""
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ), q AS (
+      SELECT source,
+             MAX(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS p25,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50,
+             MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN n_chars END) AS p75,
+             MAX(n) AS n_docs
+      FROM r GROUP BY source
+    )
+    SELECT q.source, p25, p50, p75, CAST(n_docs AS BIGINT) AS n_docs,
+           (SELECT count(*) FROM documents d
+            WHERE d.source = q.source
+              AND (2 * d.n_chars < 5 * p25 - 3 * p75
+                   OR 2 * d.n_chars > 5 * p75 - 3 * p25)) AS n_outliers
+    FROM q
+    """,
+)
+def doc_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quartiles (exact DISCRETE
+    percentiles — the value AT rank ceil(p*n), never an interpolated
+    float) plus Tukey-fence outlier counts at 1.5x IQR.  The length
+    histogram + outlier tally is the first chart in any corpus-intake
+    review; discrete selection keeps every emitted number an actual
+    n_chars value, so the whole result is integer and hash-portable.
+
+    The fences are kept integral by multiplying through by 2:
+    x < p25 - 1.5*IQR  <=>  2x < 5*p25 - 3*p75.
+
+    Scale: rank + count windows share one shuffle on source; the
+    quartile table is |sources| rows, broadcast back for the outlier
+    count — the corpus streams through twice at scan speed (or once,
+    if the engine caches the ranked projection)."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars", "doc_id")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    pick = lambda idx: F.max(F.when(F.col("rn") == idx, F.col("n_chars")))  # noqa: E731
+    q = r.groupBy("source").agg(
+        pick(F.expr("(n + 3) div 4")).alias("p25"),
+        pick(F.expr("(n + 1) div 2")).alias("p50"),
+        pick(F.expr("(3 * n + 3) div 4")).alias("p75"),
+        F.max("n").alias("n_docs"),
+    )
+    out = (
+        d.join(F.broadcast(q), "source")
+        .filter(
+            (2 * F.col("n_chars") < 5 * F.col("p25") - 3 * F.col("p75"))
+            | (2 * F.col("n_chars") > 5 * F.col("p75") - 3 * F.col("p25"))
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_out"))
+    )
+    return (
+        q.join(out, "source", "left")
+        .select(
+            "source",
+            "p25",
+            "p50",
+            "p75",
+            "n_docs",
+            F.coalesce(F.col("n_out"), F.lit(0)).alias("n_outliers"),
+        )
     )

@@ -2071,6 +2071,123 @@ def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_paths_topk",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), p AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path
+      FROM s WHERE e3 IS NOT NULL
+    ), c AS (
+      SELECT path, count(*) AS n FROM p GROUP BY path
+    )
+    SELECT path, n FROM (
+      SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rn FROM c
+    ) WHERE rn <= 10
+    """,
+)
+def event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 10 most frequent 3-step event
+    sequences across all users, from per-user time-ordered streams
+    (lead×2 windows; (ts, event_id) gives a total order so ties
+    cannot reorder between engines).
+
+    Scale: one shuffle on user_id for the lead windows, then the
+    path-count agg collapses to at most |event_types|³ rows — the
+    final ranking window runs over that tiny set, not the event
+    stream, so the single-partition rank is O(125) regardless of
+    corpus size."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    c = (
+        s.select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("n").desc(), "path"))
+    return c.withColumn("rn", rn).filter(F.col("rn") <= 10).select("path", "n")
+
+
+@query(
+    "scd_type2",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, event_id
+      FROM events
+    ), m AS (
+      SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+    ), g AS (
+      SELECT *, SUM(chg) OVER (
+        PARTITION BY user_id ORDER BY s, event_id ROWS UNBOUNDED PRECEDING
+      ) AS ver
+      FROM m
+    ), v AS (
+      SELECT user_id, CAST(ver AS INT) AS version, event_type AS status,
+             MIN(s) AS valid_from_s, count(*) AS n_events
+      FROM g GROUP BY user_id, ver, event_type
+    )
+    SELECT user_id, version, status, valid_from_s,
+           COALESCE(lead(valid_from_s) OVER pv, 253402300800) AS valid_to_s,
+           lead(valid_from_s) OVER pv IS NULL AS is_current,
+           n_events
+    FROM v WINDOW pv AS (PARTITION BY user_id ORDER BY version)
+    """,
+)
+def scd_type2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 compaction: each user's event
+    stream collapses into status versions — consecutive runs of the
+    same event_type become one row with [valid_from, valid_to)
+    validity, a version number, and an is_current flag (open versions
+    get the year-9999 sentinel).  This is the history-table build
+    step of every warehouse dimension load, done with pure window
+    arithmetic: change-flag via lag, version via running sum of
+    flags (gaps-and-islands), interval close via lead.
+
+    Scale: all four window passes and the run-collapse agg share the
+    user_id partitioning, so the whole build is ONE shuffle; no
+    self-join against the history table, no per-user driver loop."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch_s("ts").alias("s"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    g = e.withColumn("chg", chg).withColumn(
+        "ver", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    v = g.groupBy("user_id", "ver", F.col("event_type").alias("status")).agg(
+        F.min("s").alias("valid_from_s"), F.count("*").alias("n_events")
+    )
+    pv = Window.partitionBy("user_id").orderBy("ver")
+    nxt = F.lead("valid_from_s").over(pv)
+    return v.select(
+        "user_id",
+        F.col("ver").cast("int").alias("version"),
+        "status",
+        "valid_from_s",
+        F.coalesce(nxt, F.lit(253402300800)).alias("valid_to_s"),
+        nxt.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+@query(
     "agg_bitwise",
     oracle="""
     SELECT l_returnflag, l_linestatus,

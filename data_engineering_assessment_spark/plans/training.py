@@ -264,6 +264,126 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "global_shuffle",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) - 1
+             AS pos,
+           doc_id, source
+    FROM documents
+    """,
+)
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle: every doc gets a stable
+    0-based position in md5(doc_id) order — the epoch-0 training order,
+    reproducible on any engine and any cluster because it is a pure
+    function of the data.
+
+    The oracle states it as one global row_number; the engine never
+    runs that single-partition sort.  Instead the hash's first byte
+    pre-buckets rows into 256 ranges, each bucket ranks independently
+    (parallel window, one shuffle), and a 256-row bucket histogram —
+    prefix-summed and broadcast — converts in-bucket rank to global
+    position.  Because the bucket is a prefix of the sort key, bucket
+    order concatenates to exactly the global order; this is a
+    hand-rolled range-partitioned sort whose range bounds are known a
+    priori, so a 100 TB corpus shuffles once with no sampling pass
+    and no single-task bottleneck."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+        "doc_id",
+        "source",
+    )
+    d = d.withColumn("bucket", F.substring("h", 1, 2))
+    offsets = (
+        d.groupBy("bucket")
+        .count()
+        .select(
+            "bucket",
+            F.coalesce(
+                F.sum("count").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("bucket_off"),
+        )
+    )
+    rk = F.row_number().over(Window.partitionBy("bucket").orderBy("h", "doc_id"))
+    return (
+        d.withColumn("rk", rk)
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            (F.col("bucket_off") + F.col("rk") - 1).cast("long").alias("pos"),
+            "doc_id",
+            "source",
+        )
+    )
+
+
+@query(
+    "vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS n FROM tok GROUP BY token
+        ORDER BY n DESC, token LIMIT 256
+      )
+    ), j AS (
+      SELECT t.doc_id, count(*) AS n_tok, count(v.token) AS n_in_vocab
+      FROM tok t LEFT JOIN vocab v USING (token)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_in_vocab AS BIGINT) AS n_in_vocab,
+           CAST(n_in_vocab * 10000 // n_tok AS BIGINT) AS coverage_x10000
+    FROM j
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-256 corpus
+    vocabulary (count desc, token asc — a unique, engine-portable
+    tiebreak), then score every document's in-vocab token fraction as
+    exact fixed-point.  High OOV rate flags docs a tokenizer would
+    shred into bytes — a standard pre-training corpus health metric.
+
+    Scale: pass 1 is a token-frequency agg (map-side combined) whose
+    top-k is tiny by construction; pass 2 broadcasts the 256-row
+    vocab to a hash join against the token stream — no shuffle of the
+    corpus itself beyond the per-doc re-agg on doc_id, and the join
+    side that is large never moves."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .count()
+        .orderBy(F.col("count").desc(), "token")
+        .limit(256)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    j = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.count("in_vocab").alias("n_in_vocab"),
+        )
+    )
+    return j.select(
+        "doc_id",
+        "n_tok",
+        "n_in_vocab",
+        F.expr("CAST(n_in_vocab * 10000 div n_tok AS BIGINT)").alias(
+            "coverage_x10000"
+        ),
+    )
+
+
+@query(
     "seq_pack_chunks",
     oracle="""
     WITH t AS (
