@@ -127,7 +127,7 @@ RUNNING_SCHEMA = T.StructType(
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        T.StructField("total_cents", T.LongType()),
     ]
 )
 
@@ -137,17 +137,25 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     total via ``applyInPandasWithState`` — the template for stateful
     logic Spark's built-in aggregations can't express (the pandas
     batch sees all new rows for one key; state is an explicit tuple).
+
+    State accumulates integer CENTS, not floats: a float running sum
+    depends on arrival order, so two runs of the same stream (or the
+    batch twin) could differ in the last ulp.  Rounding each 2-decimal
+    value to cents before summing makes the state — and therefore the
+    emitted total — an exact integer, identical under any batch split.
     """
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
 
     return (
         events.groupBy("user_id")
