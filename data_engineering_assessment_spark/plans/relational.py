@@ -2771,3 +2771,188 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select("event_id", "user_id", "event_type")
+
+
+@query(
+    "stream_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ), m AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), g AS (
+      SELECT user_id, us, SUM(brk) OVER (
+        PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING
+      ) AS sess
+      FROM m
+    )
+    SELECT user_id,
+           CAST(MIN(us) // 1000000 AS BIGINT) AS session_start,
+           CAST((MAX(us) + 1800000000) // 1000000 AS BIGINT) AS session_end,
+           count(*) AS n_events
+    FROM g GROUP BY user_id, sess
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows, graded end-to-end: the gap-
+    based session aggregation (streaming/windows.py:session_counts,
+    30-minute gap) runs under Trigger.AvailableNow in complete mode
+    and must hash-match the batch gaps-and-islands oracle.  The
+    oracle works in integer MICROSECONDS (epoch_us) because corpus
+    timestamps carry sub-second precision — flooring to seconds
+    before the gap comparison would move boundary events between
+    sessions; Spark's session_window treats the window end as
+    exclusive, hence the >= gap break condition.
+
+    Scale: session state shards by user across the state store;
+    watermark evicts closed sessions in append mode (complete mode
+    here only because the graded run must emit every session; the
+    append-mode prefix property is asserted in
+    tests/test_streaming.py)."""
+    ensure_deterministic_session(spark)
+    from ..streaming.windows import read_event_stream, session_counts
+
+    path = f"/root/repo/.scratch/stream_ssj_{_scratch_tag(sf_dir)}"
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(path)
+
+    name = f"stream_sess_{_scratch_tag(sf_dir)}"
+    q = (
+        session_counts(read_event_stream(spark, path))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+    ), t AS (
+      SELECT count(*) AS total FROM orders
+    )
+    SELECT o_custkey, n,
+           CAST(n * 10000 // total AS BIGINT) AS pct_x10000
+    FROM (
+      SELECT o_custkey, n, total,
+             row_number() OVER (ORDER BY n DESC, o_custkey) AS rn
+      FROM c, t
+    ) WHERE rn <= 20
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg key-skew profiler: the 20 heaviest o_custkey values
+    with absolute and fixed-point relative frequency — the diagnostic
+    run before choosing a skew mitigation (salting factor, AQE skew
+    thresholds, broadcast cutoff) for a production join on that key.
+
+    Scale: one map-side-combined agg on the key; the total is a
+    single-row aggregate broadcast into the percentage arithmetic,
+    and the ranking window runs over the already-aggregated key
+    histogram, with the top-20 cut keeping the result tiny.  This is
+    exactly the query shape [[join_salted]] assumes you ran first."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    t = o.agg(F.count("*").alias("total"))
+    rn = F.row_number().over(Window.orderBy(F.col("n").desc(), "o_custkey"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= 20)
+        .select(
+            "o_custkey",
+            "n",
+            F.expr("CAST(n * 10000 div total AS BIGINT)").alias("pct_x10000"),
+        )
+    )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_x100
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ), v2 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0
+                  THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + 500
+                  ELSE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) END AS price_x100
+      FROM orders
+    )
+    SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                WHEN v1.price_x100 <> v2.price_x100
+                  OR v1.o_orderstatus <> v2.o_orderstatus THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           count(*) AS n,
+           CAST(SUM(COALESCE(v2.price_x100, 0) - COALESCE(v1.price_x100, 0)) AS BIGINT)
+             AS net_price_delta_x100
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    GROUP BY change_type
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: two versions of the orders table (v1 with
+    simulated deletes, v2 with simulated price updates) reconciled by
+    a keyed FULL OUTER join into added/removed/changed/unchanged
+    classes with row counts and the net monetary delta — the audit
+    that validates an incremental load against the previous snapshot,
+    and the batch shape of a MERGE-feed generator (the sibling
+    [[merge_upsert]] key applies such a delta; this one derives it).
+
+    Scale: one shuffle co-partitioning both snapshots on the primary
+    key, then a 4-group agg; no broadcast needed because both sides
+    are big — the classify step is pure projection on the joined
+    row."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    price = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    v1 = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status_1"),
+        price.alias("price_1"),
+    )
+    v2 = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status_2"),
+        F.when(F.col("o_orderkey") % 89 == 0, price + 500).otherwise(price).alias(
+            "price_2"
+        ),
+    )
+    j = v1.join(v2, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("price_1").isNull(), "added")
+        .when(F.col("price_2").isNull(), "removed")
+        .when(
+            (F.col("price_1") != F.col("price_2"))
+            | (F.col("status_1") != F.col("status_2")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.groupBy(change.alias("change_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.coalesce(F.col("price_2"), F.lit(0))
+                - F.coalesce(F.col("price_1"), F.lit(0))
+            )
+            .cast("long")
+            .alias("net_price_delta_x100"),
+        )
+    )

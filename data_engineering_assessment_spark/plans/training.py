@@ -434,3 +434,52 @@ def seq_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("pack_tokens"),
         )
     )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), p AS (
+      SELECT unnest(list_transform(
+               generate_series(1, strlen(word) - 1),
+               i -> substr(word, CAST(i AS INT), 2))) AS pair
+      FROM w WHERE strlen(word) >= 2
+    ), c AS (
+      SELECT pair, count(*) AS n FROM p GROUP BY pair
+    )
+    SELECT pair, n FROM (
+      SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rn FROM c
+    ) WHERE rn <= 20
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: corpus-wide
+    counts of adjacent character pairs inside words, top-20 with a
+    unique (count desc, pair asc) tiebreak.  Iterating this count →
+    merge → recount loop yields the merge table; the count step is
+    the only part that touches the full corpus, so it is the part
+    that must run in the engine.
+
+    Scale: pairs are generated per word by a higher-order transform
+    (no Python, no quadratic blowup — a word of length L yields L-1
+    pairs), the count is one map-side-combined shuffle on the pair
+    key (alphabet² keys at most), and the ranking window runs over
+    that tiny histogram."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    c = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    rn = F.row_number().over(Window.orderBy(F.col("n").desc(), "pair"))
+    return c.withColumn("rn", rn).filter(F.col("rn") <= 20).select("pair", "n")
