@@ -66,6 +66,12 @@ HEADLINE = [
     "event_funnel",
     "event_retention",
     "merge_upsert",
+    "global_shuffle",
+    "vocab_coverage",
+    "scd_type2",
+    "snapshot_diff",
+    "quantile_normalize",
+    "market_basket_pairs",
 ]
 
 

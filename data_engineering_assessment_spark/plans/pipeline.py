@@ -836,3 +836,104 @@ def doc_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_out"), F.lit(0)).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "quantile_normalize",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id,
+             unnest(list_transform(range(1, 1 + len(embedding)),
+                    i -> {d: i, v: embedding[i]})) AS s
+      FROM embeddings
+    ), r AS (
+      SELECT vec_id, CAST(s.d AS INT) AS dim,
+             row_number() OVER (PARTITION BY s.d ORDER BY s.v, vec_id) AS rk,
+             count(*) OVER (PARTITION BY s.d) AS n
+      FROM u
+    )
+    SELECT vec_id, dim, CAST(rk AS BIGINT) AS rank,
+           CAST((rk - 1) * 10000 // GREATEST(n - 1, 1) AS BIGINT) AS pct_x10000
+    FROM r
+    """,
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension rank (quantile) normalization of the embedding
+    corpus: each vector element is replaced by its rank position
+    within its dimension, emitted as an exact fixed-point percentile.
+    Rank normalization is the distribution-free rescaling used before
+    quantization / product-quantization codebook training when
+    dimensions have wildly different scales; ranks are integers, so
+    the output is hash-portable where a z-score never would be.
+
+    Ties break on vec_id, making the rank a total order both engines
+    agree on.  Scale: posexplode fans rows×dims, then ONE shuffle on
+    the 64-key dim partitioning; each dimension sorts independently
+    (embarrassingly parallel), and no Python touches the data."""
+    ensure_deterministic_session(spark)
+    from ..sources.tables import spread
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    u = e.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    u = u.select("vec_id", (F.col("pos") + 1).cast("int").alias("dim"), "v")
+    w = Window.partitionBy("dim")
+    r = u.select(
+        "vec_id",
+        "dim",
+        F.row_number().over(w.orderBy("v", "vec_id")).alias("rk"),
+        F.count("*").over(w).alias("n"),
+    )
+    return r.select(
+        "vec_id",
+        "dim",
+        F.col("rk").cast("long").alias("rank"),
+        F.expr("CAST((rk - 1) * 10000 div GREATEST(n - 1, 1) AS BIGINT)").alias(
+            "pct_x10000"
+        ),
+    )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH base AS (
+      SELECT text FROM documents
+      WHERE left(md5(CAST(doc_id AS VARCHAR)), 1) < 'c'
+    ), delta AS (
+      SELECT doc_id, text FROM documents
+      WHERE left(md5(CAST(doc_id AS VARCHAR)), 1) >= 'c'
+    ), base_fp AS (
+      SELECT DISTINCT md5(text) AS fp FROM base
+    ), survivors AS (
+      SELECT d.doc_id, md5(d.text) AS fp
+      FROM delta d
+      WHERE NOT EXISTS (SELECT 1 FROM base_fp b WHERE b.fp = md5(d.text))
+    )
+    SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS canonical_id, count(*) AS n_new
+    FROM survivors GROUP BY fp
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: a new delta batch (hash-partitioned
+    ~25% of the corpus, standing in for today's crawl) is deduped
+    against the already-ingested base AND within itself, emitting
+    only genuinely-new content fingerprints with a canonical id.
+    This is how a production corpus actually dedupes — per increment
+    against a fingerprint store, never re-shuffling the full history.
+
+    Scale: the base collapses to DISTINCT fingerprints (the
+    fingerprint store); the delta anti-joins against it on the hash
+    key and then groups within itself — both shuffles are keyed on
+    fp, so AQE plans them back-to-back on one exchange; cost is
+    O(delta + |store|), not O(corpus²) and not O(corpus) rescans."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    h1 = F.md5(F.col("doc_id").cast("string").cast("binary")).substr(1, 1)
+    fp = F.md5("text")
+    base_fp = d.filter(h1 < "c").select(fp.alias("fp")).distinct()
+    delta = d.filter(h1 >= "c").select("doc_id", fp.alias("fp"))
+    return (
+        delta.join(base_fp, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min("doc_id").cast("long").alias("canonical_id"), F.count("*").alias("n_new"))
+    )

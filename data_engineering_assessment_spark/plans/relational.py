@@ -2956,3 +2956,306 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("net_price_delta_x100"),
         )
     )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_orders
+    FROM li a JOIN li b
+      ON a.okey = b.okey AND a.brand < b.brand
+    GROUP BY brand_a, brand_b
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the support-count step of frequent
+    itemset mining): for every pair of brands appearing in the same
+    order, the number of orders containing both.  Items are rolled up
+    to brand before pairing so the pair space is dense enough to
+    mine; the roll-up join is a broadcast against the small part dim.
+
+    Scale: the self-join is EQUI on the order key, so pair generation
+    is confined to each order — cost Σ|basket|², bounded by the
+    biggest basket (≈7 lines in TPC-H), never corpus²; the distinct
+    collapses multi-line repeats of a brand before pairing, and the
+    final agg lands on ≤|brands|² keys."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_orderkey.isNotNull() & (li.l_partkey == p.p_partkey))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = baskets.select("okey", F.col("brand").alias("brand_a"))
+    b = baskets.select("okey", F.col("brand").alias("brand_b"))
+    return (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "ts_gap_detect",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS h FROM events
+    ), d AS (
+      SELECT DISTINCT user_id, h FROM e
+    ), g AS (
+      SELECT user_id, h, h - lag(h) OVER (PARTITION BY user_id ORDER BY h) AS step
+      FROM d
+    )
+    SELECT user_id,
+           CAST(MAX(h) - MIN(h) + 1 AS BIGINT) AS span_hours,
+           count(*) AS active_hours,
+           CAST(MAX(h) - MIN(h) + 1 - count(*) AS BIGINT) AS missing_hours,
+           CAST(COALESCE(MAX(step) - 1, 0) AS BIGINT) AS longest_gap_hours
+    FROM g GROUP BY user_id
+    """,
+)
+def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series continuity audit per user: hours spanned vs hours
+    with data, total missing hours, and the single longest gap — the
+    check run on sensor/telemetry feeds before resampling (the
+    sibling [[ts_resample_ffill]] fills what this key measures).
+
+    Gap length comes from a lag-step window over each user's DISTINCT
+    active hours, so nothing is ever exploded to the hourly grid —
+    the plan stays proportional to observed data, not to calendar
+    span (the trap at 100 TB: a year x millions of users grid is
+    quadrillions of rows; this never materializes it).
+
+    Scale: distinct + window + agg all share the user_id shuffle."""
+    ensure_deterministic_session(spark)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", _epoch_s("ts").alias("ts_s"))
+        .select("user_id", F.expr("ts_s div 3600").alias("h"))
+    )
+    d = e.distinct()
+    w = Window.partitionBy("user_id").orderBy("h")
+    g = d.withColumn("step", F.col("h") - F.lag("h").over(w))
+    return g.groupBy("user_id").agg(
+        (F.max("h") - F.min("h") + 1).cast("long").alias("span_hours"),
+        F.count("*").alias("active_hours"),
+        (F.max("h") - F.min("h") + 1 - F.count("*")).cast("long").alias("missing_hours"),
+        F.coalesce(F.max("step") - 1, F.lit(0)).cast("long").alias("longest_gap_hours"),
+    )
+
+
+@query(
+    "stream_upsert_sink",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The idempotent foreachBatch MERGE sink, graded end-to-end: a
+    DOUBLED copy of the events table streams through
+    streaming/sinks.py:start_upsert_sink into a keyed parquet target,
+    and the target must hash-match the original table — proving the
+    sink upserts (last-writer-wins per key) rather than
+    blind-appending, which is the property that makes checkpoint
+    replay after a crash converge instead of duplicating.
+
+    Scratch state (source, target, checkpoint) is wiped per run so
+    the grade always exercises a cold build.
+
+    Scale: each micro-batch MERGE costs batch-size + touched
+    partitions (partition-scoped rewrite in sources/upsert.py),
+    never the whole target."""
+    ensure_deterministic_session(spark)
+    import shutil
+
+    from ..streaming.sinks import start_upsert_sink
+    from ..streaming.windows import read_event_stream
+
+    tag = _scratch_tag(sf_dir)
+    src = f"/root/repo/.scratch/upsink_src_{tag}"
+    target = f"/root/repo/.scratch/upsink_tgt_{tag}"
+    ckpt = f"/root/repo/.scratch/upsink_ckpt_{tag}"
+    for p in (target, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    e = load_table(spark, sf_dir, "events")
+    e.unionAll(e).coalesce(1).write.mode("overwrite").parquet(src)
+    q = start_upsert_sink(read_event_stream(spark, src), target, "event_id", checkpoint=ckpt)
+    q.awaitTermination()
+    return spark.read.parquet(target).select("event_id", "user_id", "event_type")
+
+
+@query(
+    "constraint_check",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             AS n_violations,
+           (SELECT count(*) FROM orders) AS n_checked
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           (SELECT count(*) FROM lineitem WHERE l_quantity <= 0),
+           (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'orders_status_domain',
+           (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P')),
+           (SELECT count(*) FROM orders)
+    """,
+)
+def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the dbt-test / Deequ shape run
+    inside the engine): referential integrity via anti-join counts,
+    plus domain and range checks, one result row per constraint.
+    Emitting counts — not a boolean — lets the caller alert on
+    violation *rates* and keeps the output hash-portable.
+
+    Scale: each FK check is an anti equi-join (shuffle or broadcast
+    as the dim side allows); domain/range checks are scan-speed
+    count_if. The four audits share nothing, so the engine runs
+    them as independent single-row aggregates unioned JVM-side —
+    at 100 TB you'd run this per-partition-increment, not per
+    corpus, but the plan shape is identical."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def audit(name: str, viol_df: DataFrame, total_df: DataFrame) -> DataFrame:
+        v = viol_df.agg(F.count("*").alias("n_violations"))
+        t = total_df.agg(F.count("*").alias("n_checked"))
+        return v.crossJoin(t).select(
+            F.lit(name).alias("check_name"), "n_violations", "n_checked"
+        )
+
+    fk_orders = o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+    fk_lineitem = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+    qty = li.filter(F.col("l_quantity") <= 0)
+    dom = o.filter(~F.col("o_orderstatus").isin("O", "F", "P"))
+    return (
+        audit("orders_custkey_fk", fk_orders, o)
+        .unionAll(audit("lineitem_orderkey_fk", fk_lineitem, li))
+        .unionAll(audit("lineitem_qty_positive", qty, li))
+        .unionAll(audit("orders_status_domain", dom, o))
+    )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderstatus AS s, count(*) AS n,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY s
+    ), delta AS (
+      SELECT o_orderstatus AS s, count(*) AS n,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY s
+    )
+    SELECT COALESCE(old.s, delta.s) AS o_orderstatus,
+           CAST(COALESCE(old.n, 0) + COALESCE(delta.n, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(old.cents, 0) + COALESCE(delta.cents, 0) AS BIGINT)
+             AS total_x100
+    FROM old FULL OUTER JOIN delta ON old.s = delta.s
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an additive rollup: the
+    historical partition's aggregate state and the new delta's state
+    merge with a keyed FULL OUTER + coalesced addition — never
+    rescanning history.  count and integer-cents sum are associative
+    partial states (the same property Spark's own partial aggregation
+    exploits within a query); this key exercises it ACROSS queries,
+    which is how a nightly 100 TB rollup stays O(delta) instead of
+    O(corpus).
+
+    Scale: two filtered scans (partition-prunable on the date
+    boundary), tiny per-status states, broadcast-sized merge join."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cut = F.lit("1997-01-01").cast("timestamp")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderstatus").alias("s")).agg(
+            F.count("*").alias("n"), F.sum(cents).alias("cents")
+        )
+
+    old = state(o.filter(F.col("o_orderdate") < cut))
+    delta = state(o.filter(F.col("o_orderdate") >= cut))
+    j = old.alias("a").join(delta.alias("b"), F.col("a.s") == F.col("b.s"), "full_outer")
+    zero = F.lit(0).cast("long")
+    return j.select(
+        F.coalesce(F.col("a.s"), F.col("b.s")).alias("o_orderstatus"),
+        (F.coalesce(F.col("a.n"), zero) + F.coalesce(F.col("b.n"), zero))
+        .cast("long")
+        .alias("n_orders"),
+        (F.coalesce(F.col("a.cents"), zero) + F.coalesce(F.col("b.cents"), zero))
+        .cast("long")
+        .alias("total_x100"),
+    )
+
+
+@query(
+    "subquery_multi_exists",
+    oracle="""
+    WITH l1 AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+    ), cand AS (
+      SELECT s.l_suppkey
+      FROM l1 s
+      WHERE EXISTS (SELECT 1 FROM l1 o
+                    WHERE o.l_orderkey = s.l_orderkey
+                      AND o.l_suppkey <> s.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM l1 o2
+                        WHERE o2.l_orderkey = s.l_orderkey
+                          AND o2.l_shipdate > s.l_shipdate)
+    ), c AS (
+      SELECT l_suppkey, count(*) AS n_last_ship FROM cand GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, n_last_ship FROM (
+      SELECT l_suppkey, n_last_ship,
+             row_number() OVER (ORDER BY n_last_ship DESC, l_suppkey) AS rn
+      FROM c
+    ) WHERE rn <= 20
+    """,
+)
+def subquery_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's correlated-subquery shape: per supplier, how often
+    they shipped LAST on a multi-supplier order (EXISTS another
+    supplier's line + NOT EXISTS a later-shipped line).  The engine
+    never runs correlated subqueries per row: EXISTS decorrelates to
+    a distinct-supplier count per order, NOT EXISTS to an equality
+    against the order's max ship date — both window/agg expressions
+    over ONE shuffle on l_orderkey.
+
+    Scale: the heavy table shuffles once; the top-20 rank runs on the
+    per-supplier counts, which are |suppliers|-sized."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    w = Window.partitionBy("l_orderkey")
+    ann = li.select(
+        "l_suppkey",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        (F.col("l_shipdate") == F.max("l_shipdate").over(w)).alias("is_last"),
+    )
+    c = (
+        ann.filter((F.col("n_supp") >= 2) & F.col("is_last"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_last_ship"))
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("n_last_ship").desc(), "l_suppkey"))
+    return (
+        c.withColumn("rn", rn).filter(F.col("rn") <= 20).select("l_suppkey", "n_last_ship")
+    )

@@ -488,3 +488,108 @@ def test_repetition_stats_degenerate_doc(spark, tmp_path):
     out = {r.doc_id: r for r in queries()["repetition_stats"](spark, sf).collect()}
     assert not out[0].keep and out[0].dup_ratio_x10000 > 9000
     assert out[1].keep and out[1].dup_ratio_x10000 == 0
+
+
+def test_shuffle_vocab_quartile_bpe_invariants(spark):
+    """Structural invariants of the round-3 corpus-analytics keys
+    (value-exactness is covered by their DuckDB oracles)."""
+    from data_engineering_assessment_spark.plans import queries
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+
+    # global_shuffle: positions are exactly a permutation of 0..n-1
+    pos = [r.pos for r in queries()["global_shuffle"](spark, SF_DIR).collect()]
+    assert sorted(pos) == list(range(n_docs))
+
+    # vocab_coverage: one row per doc; coverage is a valid fraction
+    cov = queries()["vocab_coverage"](spark, SF_DIR).collect()
+    assert len(cov) == n_docs
+    assert all(0 <= r.coverage_x10000 <= 10000 for r in cov)
+    assert all(0 <= r.n_in_vocab <= r.n_tok for r in cov)
+
+    # doc_length_quartiles: quartiles ordered, outliers a strict minority
+    for r in queries()["doc_length_quartiles"](spark, SF_DIR).collect():
+        assert r.p25 <= r.p50 <= r.p75
+        assert 0 <= r.n_outliers < r.n_docs
+
+    # bpe_pair_counts: exactly 20 two-char pairs, sorted by count desc
+    pairs = queries()["bpe_pair_counts"](spark, SF_DIR).collect()
+    assert len(pairs) == 20
+    assert all(len(r.pair) == 2 and r.n > 0 for r in pairs)
+    assert [r.n for r in pairs] == sorted((r.n for r in pairs), reverse=True)
+
+    # key_skew_profile: top-20, shares are valid and ordered
+    skew = queries()["key_skew_profile"](spark, SF_DIR).collect()
+    assert len(skew) == 20
+    assert all(0 <= r.pct_x10000 <= 10000 for r in skew)
+    assert [r.n for r in skew] == sorted((r.n for r in skew), reverse=True)
+
+
+def test_scd_type2_interval_chain(spark):
+    """SCD2 versions per user: contiguous version numbers, chained
+    [from, to) intervals, one open current row, collapsed runs."""
+    from data_engineering_assessment_spark.plans import queries
+
+    rows = queries()["scd_type2"](spark, SF_DIR).collect()
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == n_events
+
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for vs in by_user.values():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_s == b.valid_from_s  # no gaps, no overlap
+            assert not a.is_current
+            assert a.status != b.status  # runs were collapsed
+        assert vs[-1].is_current and vs[-1].valid_to_s == 253402300800
+
+
+def test_snapshot_diff_partitions_keyspace(spark):
+    """The CDC diff classes exactly partition the v2 keyspace: v2 holds
+    every order (deletes only exist in v1), so 'removed' never appears
+    and added/changed/unchanged counts are closed-form."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.plans import queries
+
+    diff = {r.change_type: r.n for r in queries()["snapshot_diff"](spark, SF_DIR).collect()}
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n = o.count()
+    n_added = o.filter(F.col("o_orderkey") % 97 == 0).count()
+    n_changed = o.filter(
+        (F.col("o_orderkey") % 89 == 0) & (F.col("o_orderkey") % 97 != 0)
+    ).count()
+    assert diff.get("added", 0) == n_added
+    assert diff.get("changed", 0) == n_changed
+    assert "removed" not in diff
+    assert sum(diff.values()) == n
+
+
+def test_rank_basket_gap_invariants(spark):
+    """Structural invariants for quantile_normalize,
+    market_basket_pairs, and ts_gap_detect (values are oracle-checked)."""
+    from data_engineering_assessment_spark.plans import queries
+
+    qn = queries()["quantile_normalize"](spark, SF_DIR)
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    # each dimension holds a full 1..n rank permutation
+    per_dim = qn.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.min("rank").alias("lo"),
+        F.max("rank").alias("hi"),
+        F.count_distinct("rank").alias("nd"),
+    ).collect()
+    assert all(r.n == n_vecs and r.lo == 1 and r.hi == n_vecs and r.nd == n_vecs for r in per_dim)
+    assert qn.filter((F.col("pct_x10000") < 0) | (F.col("pct_x10000") > 10000)).count() == 0
+
+    mb = queries()["market_basket_pairs"](spark, SF_DIR).collect()
+    assert all(r.brand_a < r.brand_b and r.n_orders > 0 for r in mb)
+
+    gaps = queries()["ts_gap_detect"](spark, SF_DIR).collect()
+    for r in gaps:
+        assert r.span_hours == r.active_hours + r.missing_hours
+        assert 0 <= r.longest_gap_hours <= r.missing_hours
