@@ -937,3 +937,42 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").cast("long").alias("canonical_id"), F.count("*").alias("n_new"))
     )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+    WITH f AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+    FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY source_a, source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, how many word-bag fingerprints they share — the audit
+    that decides which crawls are redundant before paying for
+    full pairwise dedup, and the per-source view of what
+    [[dedup_exact]] collapses globally.
+
+    Scale: sources × distinct-fp first (one shuffle), then the
+    self-join is EQUI on the fingerprint — each fp's bucket holds
+    only the handful of sources containing it, so pair generation is
+    Σ|sources-per-fp|², bounded by the source count squared, never
+    corpus²."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select("source", fingerprint_bag("text").alias("fp")).distinct()
+    a = f.select("fp", F.col("source").alias("source_a"))
+    b = f.select("fp", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )

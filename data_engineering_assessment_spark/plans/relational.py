@@ -2161,6 +2161,12 @@ def scd_type2(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id partitioning, so the whole build is ONE shuffle; no
     self-join against the history table, no per-user driver loop."""
     ensure_deterministic_session(spark)
+    return _scd2_dim(spark, sf_dir)
+
+
+def _scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 dimension build shared by [[scd_type2]] (which grades
+    it) and [[join_dim_snapshot]] (which consumes it point-in-time)."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", _epoch_s("ts").alias("s"), "event_id"
     )
@@ -3258,4 +3264,189 @@ def subquery_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(Window.orderBy(F.col("n_last_ship").desc(), "l_suppkey"))
     return (
         c.withColumn("rn", rn).filter(F.col("rn") <= 20).select("l_suppkey", "n_last_ship")
+    )
+
+
+# oracle-side SCD2 dimension, shared by scd_type2 / join_dim_snapshot
+_SCD2_DIM_SQL = """
+    e AS (
+      SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s, event_id
+      FROM events
+    ), m AS (
+      SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+    ), g AS (
+      SELECT *, SUM(chg) OVER (
+        PARTITION BY user_id ORDER BY s, event_id ROWS UNBOUNDED PRECEDING
+      ) AS ver
+      FROM m
+    ), v AS (
+      SELECT user_id, CAST(ver AS INT) AS version, event_type AS status,
+             MIN(s) AS valid_from_s, count(*) AS n_events
+      FROM g GROUP BY user_id, ver, event_type
+    ), dim AS (
+      SELECT user_id, version, status, valid_from_s,
+             COALESCE(lead(valid_from_s) OVER pv, 253402300800) AS valid_to_s
+      FROM v WINDOW pv AS (PARTITION BY user_id ORDER BY version)
+    )
+"""
+
+
+@query(
+    "join_dim_snapshot",
+    oracle=f"""
+    WITH {_SCD2_DIM_SQL},
+    q AS (
+      SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT q.event_id, q.user_id, d.version, d.status, d.valid_from_s
+    FROM q JOIN dim d
+      ON q.user_id = d.user_id
+     AND q.s >= d.valid_from_s AND q.s < d.valid_to_s
+    """,
+)
+def join_dim_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each purchase event joined to
+    the SCD2 version (built by [[scd_type2]]'s shared dim) that was
+    valid AT the event's timestamp — the temporal join every
+    warehouse fact load runs against a type-2 dimension.
+
+    Scale: the join is EQUI on user_id with the interval bound as a
+    residual filter; versions per user are few, so the fan-out is
+    bounded and the fact table shuffles once.  No between-join
+    explosion: the dim's intervals partition time per user, so
+    exactly one version row survives per event."""
+    ensure_deterministic_session(spark)
+    dim = _scd2_dim(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"), "version", "status", "valid_from_s", "valid_to_s"
+    )
+    q = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", _epoch_s("ts").alias("s"))
+    )
+    return (
+        q.join(
+            dim,
+            (q.user_id == dim.d_user)
+            & (q.s >= dim.valid_from_s)
+            & (q.s < dim.valid_to_s),
+        )
+        .select("event_id", "user_id", "version", "status", "valid_from_s")
+    )
+
+
+@query(
+    "event_dwell_time",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             lead(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w
+               - CAST(FLOOR(epoch(ts)) AS BIGINT) AS dwell
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+    )
+    SELECT event_type, count(dwell) AS n_followed,
+           CAST(SUM(dwell) AS BIGINT) AS total_dwell_s,
+           CAST(SUM(dwell) // count(dwell) AS BIGINT) AS avg_dwell_s
+    FROM s GROUP BY event_type
+    """,
+)
+def event_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time attribution: seconds from each event to the same
+    user's next event, aggregated per event type (which screens hold
+    users longest — the product-analytics metric behind session
+    quality).  Last events per user have no successor and are
+    excluded by count/sum null semantics in both engines; the
+    average is exact integer division.
+
+    Scale: one shuffle on user_id for the lead window, then a
+    |event_types|-key agg; identical partitioning to the sessionize
+    family, so a shared pipeline reuses the exchange."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch_s("ts").alias("ts_s"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    s = e.select(
+        "event_type", (F.lead("ts_s").over(w) - F.col("ts_s")).alias("dwell")
+    )
+    return s.groupBy("event_type").agg(
+        F.count("dwell").alias("n_followed"),
+        F.sum("dwell").cast("long").alias("total_dwell_s"),
+        F.expr("CAST(SUM(dwell) div count(dwell) AS BIGINT)").alias("avg_dwell_s"),
+    )
+
+
+@query(
+    "layout_compact",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def layout_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction, graded end-to-end: the events table is
+    staged as 64 tiny files, compacted through
+    sources/layout.py:compact_parquet (versioned sibling dir + atomic
+    symlink flip — readers never see a partial mix), and the
+    compacted dataset must hash-match the original table.  Fresh
+    scratch every run, so the grade always covers the first-compaction
+    rename path too.
+
+    Scale: compaction cost is one read + one narrow coalesce write of
+    the dataset; at 100 TB it runs per partition/increment on a
+    schedule, amortizing the name-node and task-startup overhead the
+    small files would otherwise impose on every downstream query."""
+    ensure_deterministic_session(spark)
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..sources.layout import compact_parquet, dataset_path
+
+    base = f"/root/repo/.scratch/compact_{_scratch_tag(sf_dir)}"
+    for p in _glob.glob(base + "*"):
+        shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) and not os.path.islink(p) else os.remove(p)
+    load_table(spark, sf_dir, "events").repartition(64).write.parquet(base)
+    compact_parquet(spark, base, target_mb=64)
+    return spark.read.parquet(dataset_path(base)).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@query(
+    "schema_evolution_scan",
+    oracle="""
+    SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two parquet batches written under one
+    dataset root with different schemas (the second batch adds
+    n_chars), read back with mergeSchema — old rows surface the new
+    column as NULL, the contract every long-lived dataset needs as
+    columns accrete over years of ingest.
+
+    Scale: schema merge happens at footer-read planning time;
+    per-file projection adapts, so old files aren't rewritten — the
+    100 TB alternative (backfill rewrite of history) is exactly what
+    this avoids.  Reads stay scan-speed with pushdown intact on
+    columns present per file."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    base = f"/root/repo/.scratch/schevo_{_scratch_tag(sf_dir)}"
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/batch=1")
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/batch=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{base}/batch=1", f"{base}/batch=2")
+        .select("doc_id", "lang", "n_chars")
     )

@@ -75,3 +75,33 @@ def test_window_lag_single_window_pass(spark):
     assert plan.count("Window ") + plan.count("WindowExec") >= 1
     # lag and lead share one window spec → exactly one Window operator
     assert plan.count("lag(") == 1 and plan.count("lead(") == 1
+
+
+def test_dim_snapshot_dwell_schema_evolution_invariants(spark):
+    """Structural checks for the temporal-join / evolution keys
+    (values are oracle-checked in test_correctness)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources.tables import load_table
+
+    n_purchase = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    snap = QUERIES["join_dim_snapshot"](spark, SF_DIR)
+    # time intervals partition per-user time: exactly one version/event,
+    # and a purchase's own interval is by construction a purchase run
+    assert snap.count() == n_purchase
+    assert snap.filter(F.col("status") != "purchase").count() == 0
+
+    evo = QUERIES["schema_evolution_scan"](spark, SF_DIR)
+    # the evolved column is NULL exactly for the old-schema batch
+    assert evo.filter(F.col("n_chars").isNull()).count() == evo.filter(
+        F.col("doc_id") % 2 == 0
+    ).count()
+
+    dwell = QUERIES["event_dwell_time"](spark, SF_DIR).collect()
+    for r in dwell:
+        assert r.n_followed > 0 and r.total_dwell_s >= 0
+        assert r.avg_dwell_s * r.n_followed <= r.total_dwell_s
