@@ -976,3 +976,72 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+@query(
+    "corpus_build_pipeline",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source, text, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','of','and','to','in'], w))) AS n_stop
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, source, text, n_chars FROM s
+      WHERE n_words >= 10
+        AND CAST(n_uniq AS DOUBLE) / n_words >= 0.3
+        AND CAST(n_stop AS DOUBLE) / n_words BETWEEN 0.01 AND 0.6
+    ), canon AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM kept
+      GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+    ), final AS (
+      SELECT k.doc_id, k.source, k.n_chars,
+             CASE WHEN left(md5(CAST(k.doc_id AS VARCHAR)), 2) < 'f0' THEN 'train'
+                  WHEN left(md5(CAST(k.doc_id AS VARCHAR)), 2) < 'f8' THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+    )
+    SELECT split, source, count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM final GROUP BY split, source
+    """,
+)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining intake pipeline as ONE declarative plan:
+    C4-style quality filter → exact dedup (canonical = min doc_id per
+    word-bag fingerprint) → deterministic train/valid/test split →
+    per-(split, source) volume report.  Each stage exists as its own
+    graded key ([[text_quality_filter]], [[dedup_exact]],
+    [[split_train_eval]]); this key proves they COMPOSE into a single
+    job Catalyst can optimize end-to-end instead of three
+    materialized passes.
+
+    Scale: filter is scan-speed and runs BEFORE the dedup shuffle
+    (predicate order matters: the shuffle only carries survivors);
+    dedup is one fp-keyed shuffle reduced to min-id + a semi-join
+    back; split + report add one small agg.  End-to-end: two
+    corpus-sized shuffles, no Python, no driver hop."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    nw = word_count("text").cast("double")
+    kept = d.filter(
+        (word_count("text") >= 10)
+        & ((uniq_word_count("text").cast("double") / nw) >= 0.3)
+        & (stopword_count("text").cast("double") / nw).between(0.01, 0.6)
+    ).select("doc_id", "source", "text", "n_chars")
+    canon = kept.groupBy(fingerprint_bag("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    final = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    h2 = F.md5(F.col("doc_id").cast("string").cast("binary")).substr(1, 2)
+    split = F.when(h2 < "f0", "train").when(h2 < "f8", "valid").otherwise("test")
+    return (
+        final.groupBy(split.alias("split"), "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

@@ -1998,33 +1998,49 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage-N−1 entry time (the product-analytics funnel, not mere
     set intersection).
 
-    Scale: each stage is a filtered groupBy(user_id) min + an
-    equi-join on user_id with the timestamp bound as a residual
-    predicate — all three stages shuffle on the same key, so AQE
-    reuses the exchange; per-stage state is one row per surviving
-    user.  The final counts are three single-row aggregates unioned
-    JVM-side (no driver collect)."""
+    Scale: a single pass — three chained window-min expressions over
+    ONE user_id shuffle (t2's predicate references t1, t3's
+    references t2), collapsed per user and then to one stats row
+    that unpivots into the three stage rows.  The previous
+    join-per-stage formulation recomputed upstream stages on every
+    reuse (the events scan ran ~6x; measured 5.3 s → sub-second at
+    sf0.1); this plan reads events once and never joins."""
     ensure_deterministic_session(spark)
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-
-    def stage_min(df: DataFrame, etype: str, prev: DataFrame | None, prev_t: str, t: str) -> DataFrame:
-        s = df.filter(F.col("event_type") == etype)
-        if prev is not None:
-            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
-        return s.groupBy("user_id").agg(F.min("ts").alias(t))
-
-    v = stage_min(e, "view", None, "", "t1")
-    c = stage_min(e, "click", v, "t1", "t2")
-    p = stage_min(e, "purchase", c, "t2", "t3")
-
-    def row(stage: int, etype: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count("*").alias("n_users")).select(
-            F.lit(stage).cast("int").alias("stage"),
-            F.lit(etype).alias("event_type"),
-            "n_users",
+    w = Window.partitionBy("user_id")
+    ann = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    ann = ann.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    ann = ann.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = ann.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    stats = per_user.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    )
+    return stats.select(
+        F.expr(
+            "stack(3, 1, 'view', n1, 2, 'click', n2, 3, 'purchase', n3) "
+            "AS (stage, event_type, n_users)"
         )
-
-    return row(1, "view", v).unionAll(row(2, "click", c)).unionAll(row(3, "purchase", p))
+    ).select(F.col("stage").cast("int"), "event_type", F.col("n_users").cast("long"))
 
 
 @query(
@@ -3449,4 +3465,116 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.option("mergeSchema", "true")
         .parquet(f"{base}/batch=1", f"{base}/batch=2")
         .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
+    "pareto_revenue_share",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), w AS (
+      SELECT o_custkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS run_cents,
+             SUM(cents) OVER () AS total_cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn
+      FROM r
+    )
+    SELECT CAST(MIN(rn) AS BIGINT) AS n_top_customers,
+           (SELECT count(*) FROM r) AS n_customers,
+           CAST(MIN(run_cents) AS BIGINT) AS covered_x100,
+           CAST(MIN(total_cents) AS BIGINT) AS total_x100
+    FROM w WHERE run_cents * 2 >= total_cents
+    """,
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: the smallest top-revenue customer set
+    covering at least half of total revenue (running integer-cents
+    share over customers ranked by revenue) — the concentration
+    metric behind tiering and skew decisions, and the business twin
+    of [[key_skew_profile]]'s physical view.
+
+    The >= 50% frontier is found with the integer cross-multiplied
+    predicate run*2 >= total, so no ratio ever floats.  Scale: the
+    corpus-sized work is the per-customer agg (one shuffle); the
+    ranked running sum operates on the customer aggregate, and the
+    final frontier pick is a single-row min over it."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    r = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    wo = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    w = r.select(
+        F.sum("cents").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("run_cents"),
+        F.sum("cents").over(Window.partitionBy()).alias("total_cents"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    n_cust = r.agg(F.count("*").alias("n_customers"))
+    return (
+        w.filter(F.col("run_cents") * 2 >= F.col("total_cents"))
+        .agg(
+            F.min("rn").cast("long").alias("n_top_customers"),
+            F.min("run_cents").cast("long").alias("covered_x100"),
+            F.min("total_cents").cast("long").alias("total_x100"),
+        )
+        .crossJoin(F.broadcast(n_cust))
+        .select("n_top_customers", "n_customers", "covered_x100", "total_x100")
+    )
+
+
+@query(
+    "event_error_hotspots",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour,
+             count(*) AS n_events,
+             count(*) FILTER (WHERE event_type = 'error') AS n_errors
+      FROM events GROUP BY hour
+    ), t AS (
+      SELECT SUM(n_events) AS tot_events, SUM(n_errors) AS tot_errors FROM h
+    )
+    SELECT hour, CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_errors AS BIGINT) AS n_errors,
+           CAST(n_errors * 10000 // n_events AS BIGINT) AS error_rate_x10000,
+           n_errors * tot_events * 2 > tot_errors * n_events * 3 AS is_hotspot
+    FROM h, t
+    """,
+)
+def event_error_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly flags: hourly error rates with a hotspot
+    verdict where the hour's rate exceeds 1.5x the global rate.  The
+    comparison is fully cross-multiplied into 64-bit integers
+    (err*totE*2 > totErr*n*3), so the flag is exact on any engine —
+    the portable form of every 'rate above baseline' alert.
+
+    Scale: one map-side-combined agg on the hour key; the global
+    totals are a single-row aggregate joined back broadcast-style;
+    no window over the raw stream."""
+    ensure_deterministic_session(spark)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", _epoch_s("ts").alias("ts_s"))
+        .select("event_type", F.expr("ts_s div 3600").alias("hour"))
+    )
+    h = e.groupBy("hour").agg(
+        F.count("*").alias("n_events"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+    )
+    t = h.agg(
+        F.sum("n_events").alias("tot_events"), F.sum("n_errors").alias("tot_errors")
+    )
+    return h.crossJoin(F.broadcast(t)).select(
+        "hour",
+        "n_events",
+        "n_errors",
+        F.expr("CAST(n_errors * 10000 div n_events AS BIGINT)").alias(
+            "error_rate_x10000"
+        ),
+        (
+            F.col("n_errors") * F.col("tot_events") * 2
+            > F.col("tot_errors") * F.col("n_events") * 3
+        ).alias("is_hotspot"),
     )

@@ -593,3 +593,27 @@ def test_rank_basket_gap_invariants(spark):
     for r in gaps:
         assert r.span_hours == r.active_hours + r.missing_hours
         assert 0 <= r.longest_gap_hours <= r.missing_hours
+
+
+def test_composite_pareto_hotspot_invariants(spark):
+    """Structural checks for corpus_build_pipeline,
+    pareto_revenue_share, event_error_hotspots (values oracle-checked)."""
+    from data_engineering_assessment_spark.plans import queries
+
+    rep = queries()["corpus_build_pipeline"](spark, SF_DIR).collect()
+    n_kept = queries()["text_quality_filter"](spark, SF_DIR).count()
+    assert {r.split for r in rep} <= {"train", "valid", "test"}
+    # dedup only removes rows from the filtered set
+    assert 0 < sum(r.n_docs for r in rep) <= n_kept
+
+    p = queries()["pareto_revenue_share"](spark, SF_DIR).collect()
+    assert len(p) == 1
+    r = p[0]
+    assert 1 <= r.n_top_customers <= r.n_customers
+    assert r.covered_x100 * 2 >= r.total_x100
+    assert r.covered_x100 <= r.total_x100
+
+    hot = queries()["event_error_hotspots"](spark, SF_DIR).collect()
+    assert all(0 <= h.error_rate_x10000 <= 10000 for h in hot)
+    assert all(h.n_errors <= h.n_events for h in hot)
+    assert any(not h.is_hotspot for h in hot)
