@@ -13,16 +13,13 @@ from .registry import oracles, queries, set_priority  # noqa: F401
 #   3. multimodal_decode, upgraded this round from rows-only to a
 #      digest oracle.
 # Everything else is already driver-green (CORRECTNESS_r01/r02) with
-# unchanged output contracts; the keys added in round 3 (shard_assign,
-# quality_bins, corpus_mix, seq_pack_chunks, scan_csv_roundtrip,
-# event_sliding_window, split_train_eval, chunk_overlap,
-# repetition_stats, event_funnel, event_retention, agg_bitwise,
-# sink_parquet_single, scan_url_source, merge_upsert,
-# ts_resample_ffill, layout_zorder, profile_table, agg_boolean,
-# join_interval_overlap, stream_tumbling_counts) wait in the
-# tail for the round-4 rotation (tools/rotation.py generates the
-# next prefix).
-# Ledger: README.md "Correctness ledger".
+# unchanged output contracts; the ~53 keys ADDED in round 3 (training
+# shaping, graded streaming, SCD2/CDC, incremental maintenance,
+# corpus analytics — full list in README.md "Correctness ledger")
+# register in the tail so they never evict a key still awaiting its
+# first verdict, and rotate forward in round 4 via the prefix
+# tools/rotation.py prints (failing verdicts first, then
+# never-graded).
 set_priority(
     [
         # -- never graded (r1-r2 registration tail) --

@@ -3578,3 +3578,177 @@ def event_error_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("tot_errors") * F.col("n_events") * 3
         ).alias("is_hotspot"),
     )
+
+
+@query(
+    "multi_format_union",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars,
+           md5(text) AS text_md5, CAST(3 AS BIGINT) AS n_copies
+    FROM documents
+    """,
+)
+def multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-source consolidation: the same corpus
+    materialized as parquet, JSONL, and ORC, scanned with three
+    format-specific readers, unioned, and collapsed back to one row
+    per doc with a copy count that proves every format delivered
+    byte-identical content.  This is the lake-intake reality — the
+    same logical dataset arriving via different pipelines — and the
+    dedup-by-content step that reconciles it.
+
+    Scale: each format scans in parallel with its own pushdown; the
+    union is plan-level (no materialization) and the collapse is one
+    hash agg on doc_id.  JSON is the scan-speed loser of the three —
+    the audit quantifies that implicitly in the plan, which is why
+    long-lived storage should be columnar."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    base = f"/root/repo/.scratch/multifmt_{_scratch_tag(sf_dir)}"
+    pq, js, orc = f"{base}/pq", f"{base}/jsonl", f"{base}/orc"
+    d.write.mode("overwrite").parquet(pq)
+    d.write.mode("overwrite").json(js)
+    d.write.mode("overwrite").orc(orc)
+
+    cols = ["doc_id", "lang", "source", "n_chars", "text"]
+    u = (
+        spark.read.parquet(pq).select(*cols)
+        .unionAll(spark.read.schema(d.schema).json(js).select(*cols))
+        .unionAll(spark.read.orc(orc).select(*cols))
+    )
+    return u.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"),
+        F.first("source").alias("source"),
+        F.first("n_chars").alias("n_chars"),
+        F.first(F.md5("text")).alias("text_md5"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@query(
+    "agg_mom_change",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus,
+             CAST(FLOOR(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_s,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_orderstatus, month_s
+    )
+    SELECT o_orderstatus, month_s, CAST(cents AS BIGINT) AS revenue_x100,
+           CAST(cents - lag(cents) OVER w AS BIGINT) AS delta_x100,
+           CAST((cents - lag(cents) OVER w) * 10000 // lag(cents) OVER w AS BIGINT)
+             AS pct_change_x10000
+    FROM m WINDOW w AS (PARTITION BY o_orderstatus ORDER BY month_s)
+    """,
+)
+def agg_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per order status: calendar
+    truncation, integer-cents monthly rollup, then lag deltas and a
+    fixed-point percentage — the standard KPI time-series shape
+    (rollup first, window second, so the window runs over months,
+    not rows).
+
+    First months emit NULL deltas (nothing to compare against), a
+    contract both engines share.  Scale: the corpus-sized work is
+    the monthly agg (one shuffle); the lag window operates on
+    |status × months| rows."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    m = o.groupBy(
+        "o_orderstatus",
+        F.date_trunc("month", "o_orderdate").cast("timestamp").cast("long").alias("month_s"),
+    ).agg(F.sum(cents).alias("cents"))
+    w = Window.partitionBy("o_orderstatus").orderBy("month_s")
+    prev = F.lag("cents").over(w)
+    return m.select(
+        "o_orderstatus",
+        "month_s",
+        F.col("cents").alias("revenue_x100"),
+        (F.col("cents") - prev).cast("long").alias("delta_x100"),
+        F.expr(
+            "CAST((cents - lag(cents) OVER (PARTITION BY o_orderstatus ORDER BY month_s)) * 10000 "
+            "div lag(cents) OVER (PARTITION BY o_orderstatus ORDER BY month_s) AS BIGINT)"
+        ).alias("pct_change_x10000"),
+    )
+
+
+@query(
+    "agg_histogram_log2",
+    oracle="""
+    SELECT CAST(length(format('{:b}', n_chars)) AS INT) AS log2_bucket,
+           count(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS bucket_min,
+           CAST(MAX(n_chars) AS BIGINT) AS bucket_max
+    FROM documents WHERE n_chars > 0
+    GROUP BY log2_bucket
+    """,
+)
+def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram: bucket =
+    floor(log2(n)) + 1, computed as the BIT LENGTH of the integer
+    (length of its binary representation) — no floating log whose
+    rounding could disagree at power-of-two boundaries.  Exponential
+    buckets are the right histogram for heavy-tailed size
+    distributions (file sizes, doc lengths), where equi-width
+    buckets put everything in bin 1.
+
+    Scale: scan-speed expression + a ≤64-group map-side-combined
+    agg."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    bucket = F.length(F.bin("n_chars")).cast("int")
+    return d.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("bucket_min"),
+        F.max("n_chars").cast("long").alias("bucket_max"),
+    )
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_type FROM events
+    ), panes AS (
+      SELECT t, event_type,
+             unnest(generate_series(
+               (t // 900) * 900 - 2700, (t // 900) * 900, 900)) AS window_start
+      FROM e
+    )
+    SELECT window_start, event_type, count(*) AS n
+    FROM panes
+    WHERE t >= window_start AND t < window_start + 3600
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows under Structured Streaming, graded
+    end-to-end: 1-hour windows sliding every 15 minutes
+    (streaming/windows.py:sliding_counts) drained with
+    Trigger.AvailableNow in complete mode and hash-matched against a
+    batch oracle that derives each event's 4 candidate panes
+    arithmetically.  Events always land in exactly window/slide
+    panes, which the pane-generation oracle makes explicit.
+
+    Scale: state per (pane × type); watermark evicts panes older
+    than the allowance — the 4x state amplification vs tumbling is
+    the price of smoother dashboards, visible right in the pane
+    arithmetic."""
+    ensure_deterministic_session(spark)
+    from ..streaming.windows import read_event_stream, sliding_counts
+
+    path = f"/root/repo/.scratch/stream_events_{_scratch_tag(sf_dir)}"
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+
+    name = f"stream_slide_{_scratch_tag(sf_dir)}"
+    q = (
+        sliding_counts(read_event_stream(spark, path))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("window_start", "event_type", "n")
