@@ -3000,26 +3000,35 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to brand before pairing so the pair space is dense enough to
     mine; the roll-up join is a broadcast against the small part dim.
 
-    Scale: the self-join is EQUI on the order key, so pair generation
-    is confined to each order — cost Σ|basket|², bounded by the
-    biggest basket (≈7 lines in TPC-H), never corpus²; the distinct
-    collapses multi-line repeats of a brand before pairing, and the
-    final agg lands on ≤|brands|² keys."""
+    Scale: pair generation is confined to each order WITHOUT a
+    self-join — collect_set per order (one shuffle; the set dedups
+    multi-line brand repeats), then a higher-order transform emits
+    the sorted in-basket combinations row-locally; cost Σ|basket|²,
+    bounded by the biggest basket (≈7 lines in TPC-H), never
+    corpus², and the final agg lands on ≤|brands|² keys.  (The
+    obvious a⋈b self-join on okey computes the same thing with one
+    extra corpus-sized shuffle — which at 100 TB is the difference
+    that matters, even though at sf0.1 both run in ~2 s.)"""
     ensure_deterministic_session(spark)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
-        li.join(F.broadcast(p), li.l_orderkey.isNotNull() & (li.l_partkey == p.p_partkey))
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
     )
-    a = baskets.select("okey", F.col("brand").alias("brand_a"))
-    b = baskets.select("okey", F.col("brand").alias("brand_b"))
-    return (
-        a.join(b, "okey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count("*").alias("n_orders"))
+    baskets = joined.groupBy("okey").agg(
+        F.sort_array(F.collect_set("brand")).alias("bs")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(bs, (x, i) -> "
+                "transform(slice(bs, i + 2, size(bs)), "
+                "y -> struct(x AS brand_a, y AS brand_b))))"
+            )
+        ).alias("pr")
+    )
+    return pairs.groupBy("pr.brand_a", "pr.brand_b").agg(
+        F.count("*").alias("n_orders")
     )
 
 
