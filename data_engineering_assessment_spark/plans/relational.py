@@ -3761,3 +3761,66 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select("window_start", "event_type", "n")
+
+
+@query(
+    "join_dpp_prune",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT date_trunc('month', l_shipdate) AS m FROM lineitem
+      WHERE date_trunc('month', l_shipdate)
+            BETWEEN DATE '1999-01-01' AND DATE '1999-03-01'
+    )
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS part_month,
+           count(*) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS total_x100
+    FROM orders JOIN dim ON date_trunc('month', o_orderdate) = dim.m
+    GROUP BY part_month
+    """,
+)
+def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning, graded end-to-end: the fact table is
+    month-partitioned on disk and joined to a dimension whose filter
+    (ship months in 1999 Q1) is only known at runtime — Spark
+    broadcasts the dim, derives the surviving partition keys from it,
+    and prunes the fact SCAN to those directories before reading
+    (`dynamicpruningexpression` in the plan, asserted in
+    tests/test_plans.py).  Static pruning ([[scan_partitioned]])
+    needs the literal in the query; DPP gets the same I/O win when
+    the predicate arrives via a join — the dominant pattern in star
+    schemas.
+
+    Scale: at 100 TB the unpruned scan IS the cost; DPP turns an
+    80-month read into a 3-month read with zero query rewrite."""
+    ensure_deterministic_session(spark)
+    from ..sources.layout import write_partitioned
+
+    path = f"/root/repo/.scratch/orders_dpp_{_scratch_tag(sf_dir)}"
+    write_partitioned(
+        load_table(spark, sf_dir, "orders").withColumn(
+            "part_month", F.trunc(F.col("o_orderdate").cast("date"), "month")
+        ),
+        path,
+        partition_by="part_month",
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.trunc(F.col("l_shipdate").cast("date"), "month").alias("part_month"))
+        .filter(
+            F.col("part_month").between(
+                F.lit("1999-01-01").cast("date"), F.lit("1999-03-01").cast("date")
+            )
+        )
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "part_month")
+        .groupBy(F.date_format("part_month", "yyyy-MM-dd").alias("part_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "total_x100"
+            ),
+        )
+    )

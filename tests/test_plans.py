@@ -105,3 +105,11 @@ def test_dim_snapshot_dwell_schema_evolution_invariants(spark):
     for r in dwell:
         assert r.n_followed > 0 and r.total_dwell_s >= 0
         assert r.avg_dwell_s * r.n_followed <= r.total_dwell_s
+
+
+def test_dpp_join_actually_prunes_partitions(spark):
+    """The DPP key's executed plan carries a dynamic pruning filter on
+    the partitioned fact scan — the runtime partition skip the key
+    exists to demonstrate."""
+    plan = _plan(spark, "join_dpp_prune").lower()
+    assert "dynamicpruning" in plan
