@@ -3824,3 +3824,27 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("seq_lis_per_user")  # order-dependent DP — genuinely non-SQL; rows-only
+def seq_lis_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user longest strictly-increasing subsequence of event
+    values in time order — an order-dependent dynamic program (LIS
+    state depends on the whole prefix in value order) that no
+    composition of SQL windows/joins/higher-order functions
+    expresses, and therefore the one sanctioned batch
+    ``applyInPandas`` hop in the relational surface
+    (operators/sequential.py; Arrow-batched, one group = one Python
+    call).  No DuckDB oracle for the same reason — correctness is
+    asserted against a brute-force O(n²) DP in
+    tests/test_pipeline.py.
+
+    Scale: one shuffle on user_id; per-group cost O(n log n)
+    patience sorting; state never leaves the worker."""
+    ensure_deterministic_session(spark)
+    from ..operators.sequential import lis_per_user
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", _epoch_s("ts").alias("ts_s"), "event_id", "value"
+    )
+    return lis_per_user(e)

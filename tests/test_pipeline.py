@@ -617,3 +617,31 @@ def test_composite_pareto_hotspot_invariants(spark):
     assert all(0 <= h.error_rate_x10000 <= 10000 for h in hot)
     assert all(h.n_errors <= h.n_events for h in hot)
     assert any(not h.is_hotspot for h in hot)
+
+
+def test_lis_matches_bruteforce(spark):
+    """applyInPandas LIS == the O(n²) reference DP on every user."""
+    from data_engineering_assessment_spark.plans import queries
+    from data_engineering_assessment_spark.sources.tables import load_table
+
+    got = {r.user_id: r for r in queries()["seq_lis_per_user"](spark, SF_DIR).collect()}
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+                "event_id", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(got)
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r.ts_s, r.event_id))
+        vals = [r.value for r in evs]
+        best = [1] * len(vals)
+        for i in range(len(vals)):
+            for j in range(i):
+                if vals[j] < vals[i]:
+                    best[i] = max(best[i], best[j] + 1)
+        assert got[uid].lis_len == (max(best) if best else 0), uid
+        assert got[uid].n_events == len(vals)
