@@ -3848,3 +3848,182 @@ def seq_lis_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", _epoch_s("ts").alias("ts_s"), "event_id", "value"
     )
     return lis_per_user(e)
+
+
+@query(
+    "join_argmin_supplier",
+    oracle="""
+    WITH px AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS best_x100
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), m AS (
+      SELECT l_partkey, l_suppkey, best_x100,
+             MIN(best_x100) OVER (PARTITION BY l_partkey) AS part_min
+      FROM px
+    )
+    SELECT l_partkey, l_suppkey, best_x100
+    FROM m WHERE best_x100 = part_min AND l_partkey < 2000
+    """,
+)
+def join_argmin_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-min shape on our schema: for each part,
+    the supplier(s) quoting the lowest observed price.  The textbook
+    formulation is a correlated scalar subquery per part; the engine
+    decorrelates it to a per-(part, supplier) pre-agg plus ONE
+    window-min over the part partitioning, keeping ties (all
+    suppliers at the minimum) exactly like the reference query.
+
+    Scale: the pre-agg shrinks lineitem to |part×supplier| before
+    the window; both steps share the partkey shuffle.  The part
+    filter bounds the graded output, applied post-window so the
+    min is computed over full history (predicate choice is
+    semantic here, not an optimization)."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    px = li.groupBy("l_partkey", "l_suppkey").agg(F.min(cents).alias("best_x100"))
+    m = px.withColumn(
+        "part_min", F.min("best_x100").over(Window.partitionBy("l_partkey"))
+    )
+    return (
+        m.filter((F.col("best_x100") == F.col("part_min")) & (F.col("l_partkey") < 2000))
+        .select("l_partkey", "l_suppkey", "best_x100")
+    )
+
+
+@query(
+    "agg_share_having",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS value_x100
+      FROM lineitem GROUP BY l_partkey
+    ), t AS (
+      SELECT SUM(value_x100) AS total_x100 FROM v
+    )
+    SELECT l_partkey, value_x100
+    FROM v, t
+    WHERE value_x100 * 10000 > total_x100 * 2
+    """,
+)
+def agg_share_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's share-of-total HAVING shape: parts whose summed
+    line value exceeds 0.02% of the corpus total.  The threshold is
+    a scalar subquery in the reference formulation; the engine joins
+    the single-row total back broadcast-style and keeps the
+    comparison in cross-multiplied integers (value*10000 >
+    total*2 ⇔ value/total > 0.0002) so no ratio floats.
+
+    Scale: one shuffle for the per-part agg; the total is a
+    single-row re-agg of the already-aggregated values (not a second
+    corpus scan)."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    v = li.groupBy("l_partkey").agg(F.sum(cents).alias("value_x100"))
+    t = v.agg(F.sum("value_x100").alias("total_x100"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("value_x100") * 10000 > F.col("total_x100") * 2)
+        .select("l_partkey", "value_x100")
+    )
+
+
+@query(
+    "agg_argmax_revenue",
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+               AS revenue_x10000
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        AND l_shipdate < TIMESTAMP '1999-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, revenue_x10000
+    FROM r WHERE revenue_x10000 = (SELECT MAX(revenue_x10000) FROM r)
+    """,
+)
+def agg_argmax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15's top-supplier shape: the supplier(s) with maximum
+    Q1-1999 discounted revenue — the argmax-with-ties pattern (the
+    reference expresses it as a view + scalar-max subquery; ties all
+    survive, so the result is deterministic without a tiebreak).
+    Revenue quantizes at x10000 because price×(1−discount) carries
+    four decimal digits.
+
+    Scale: date-bounded scan (pushdown) → one supplier agg → the
+    max is a single-row re-agg joined back broadcast-style; no
+    window over raw lineitem."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-04-01").cast("timestamp"))
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast(
+        "long"
+    )
+    r = li.groupBy("l_suppkey").agg(F.sum(rev).alias("revenue_x10000"))
+    m = r.agg(F.max("revenue_x10000").alias("mx"))
+    return (
+        r.crossJoin(F.broadcast(m))
+        .filter(F.col("revenue_x10000") == F.col("mx"))
+        .select("l_suppkey", "revenue_x10000")
+    )
+
+
+@query(
+    "codec_roundtrip",
+    oracle="""
+    WITH d AS (
+      SELECT count(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             count(DISTINCT md5(text)) AS n_distinct_md5,
+             MIN(md5(text)) AS min_md5,
+             MAX(md5(text)) AS max_md5
+      FROM documents
+    )
+    SELECT 'snappy' AS codec, n_docs, total_chars, n_distinct_md5, min_md5, max_md5 FROM d
+    UNION ALL
+    SELECT 'zstd', n_docs, total_chars, n_distinct_md5, min_md5, max_md5 FROM d
+    """,
+)
+def codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec round-trip: the corpus written with snappy
+    AND zstd, re-read, and reduced to an order-insensitive content
+    digest per codec — identical rows prove codec choice never
+    touches data, so it can be tuned purely on storage/CPU trade-off
+    (zstd ~30-50% smaller, snappy faster — at 100 TB that's tens of
+    TB of storage against scan CPU).
+
+    The digest columns (count, distinct-content count, min/max
+    content md5) are all commutative reductions, so engine or
+    partition read order cannot matter.  Scale: two scan-speed
+    writes + two scan-speed reduced reads."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    base = f"/root/repo/.scratch/codec_{_scratch_tag(sf_dir)}"
+    out = []
+    for codec in ("snappy", "zstd"):
+        path = f"{base}/{codec}"
+        d.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        out.append(
+            back.agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+                F.count_distinct(F.md5("text")).alias("n_distinct_md5"),
+                F.min(F.md5("text")).alias("min_md5"),
+                F.max(F.md5("text")).alias("max_md5"),
+            ).select(
+                F.lit(codec).alias("codec"),
+                "n_docs",
+                "total_chars",
+                "n_distinct_md5",
+                "min_md5",
+                "max_md5",
+            )
+        )
+    return out[0].unionAll(out[1])
