@@ -61,3 +61,61 @@ def test_join_and_setop_null_semantics(spark):
     s2 = spark.createDataFrame([(None,), (2,)], ["k"])
     assert {r.k for r in s1.intersect(s2).collect()} == {None}
     assert {r.k for r in s1.exceptAll(s2).collect()} == {1, None}
+
+
+# The hash-portability contract (README "Round-3 output contract"):
+# graded outputs are integer/string/bool fixed-point.  DOUBLE is legal
+# only where bit-identical across engines by construction — raw
+# parquet passthrough, exact small-integer ratios (cume_dist,
+# percent_rank, jaccard on small counts), a single IEEE op on
+# identical integer operands, or float min/max (no accumulation).
+# Every such column is enumerated here ON PURPOSE: adding a DOUBLE to
+# a graded output is a reviewed decision, not an accident.
+PORTABLE_DOUBLE_COLS = {
+    ("topk_per_group", "p_retailprice"),   # parquet passthrough
+    ("sort_limit", "o_totalprice"),        # parquet passthrough
+    ("array_ops", "e0"),                   # parquet passthrough (embedding elem)
+    ("join_outer", "o_totalprice"),        # parquet passthrough
+    ("window_ntile", "cd"),                # cume_dist: exact k/n
+    ("window_ntile", "pr"),                # percent_rank: exact k/(n-1)
+    ("unpivot_metrics", "value"),          # parquet passthrough
+    ("window_rank_dense", "l_quantity"),   # parquet passthrough
+    ("project_extend", "value"),           # parquet passthrough
+    ("text_stats", "avg_word_len"),        # single IEEE divide on ints
+    ("dedup_ngram_jaccard", "jaccard"),    # exact small-int ratio
+    ("embed_dim_stats", "mean"),           # int sum / 1e9 / n — fixed op order
+    ("embed_dim_stats", "vmin"),           # float min: no accumulation
+    ("embed_dim_stats", "vmax"),           # float max: no accumulation
+    ("scan_parquet", "l_quantity"),        # parquet passthrough
+    ("join_range", "lo"),                  # parquet passthrough bounds
+    ("join_range", "hi"),                  # parquet passthrough bounds
+    ("window_rank", "o_totalprice"),       # parquet passthrough
+    ("ts_resample_ffill", "value_ff"),     # passthrough carried by last()
+}
+PORTABLE_DATE_COLS = {
+    ("date_arith", "month_start"),  # calendar values, tz-free
+    ("date_arith", "month_end"),
+}
+PORTABLE_PLAIN_TYPES = {"bigint", "int", "smallint", "string", "boolean"}
+
+
+@pytest.mark.parametrize("key", ORACLE_KEYS)
+def test_graded_output_types_are_portable(spark, key):
+    """No DECIMAL, no TIMESTAMP, no unreviewed DOUBLE ever reaches a
+    graded output — the mechanized form of the round-3 contract that
+    fixed all seven round-1/2 hash failures."""
+    df = QUERIES[key](spark, SF_DIR)
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t == "double":
+            assert (key, f.name) in PORTABLE_DOUBLE_COLS, (
+                f"{key}.{f.name} emits DOUBLE outside the reviewed allowlist"
+            )
+        elif t == "date":
+            assert (key, f.name) in PORTABLE_DATE_COLS, (
+                f"{key}.{f.name} emits DATE outside the reviewed allowlist"
+            )
+        else:
+            assert t in PORTABLE_PLAIN_TYPES, (
+                f"{key}.{f.name} emits non-portable type {t}"
+            )
