@@ -72,6 +72,10 @@ HEADLINE = [
     "snapshot_diff",
     "quantile_normalize",
     "market_basket_pairs",
+    "corpus_build_pipeline",
+    "join_dpp_prune",
+    "subquery_multi_exists",
+    "ts_gap_detect",
 ]
 
 
