@@ -1045,3 +1045,81 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+@query(
+    "dup_text_fraction",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE len(string_split(text, ' ')) >= 16
+    ), c AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, s + 1, s + 16), ' ')) AS ch
+      FROM (
+        SELECT doc_id, toks, n, unnest(generate_series(0, n - 16, 16)) AS s
+        FROM t
+      )
+    ), d AS (
+      SELECT ch FROM c GROUP BY ch HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT c.doc_id, count(*) AS n_chunks, count(d.ch) AS n_dup_chunks,
+           CAST(count(d.ch) * 10000 // count(*) AS BIGINT) AS dup_frac_x10000
+    FROM c LEFT JOIN d ON c.ch = d.ch
+    GROUP BY c.doc_id
+    """,
+)
+def dup_text_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-text fraction per document: the share of a doc's
+    16-word chunks that also appear in at least one OTHER document —
+    the corpus-level duplication metric (RefinedWeb/FineWeb-style)
+    used to quantify how much a dedup pass actually removed and to
+    rank documents for removal priority.  Chunk membership is an md5
+    of the exact window, so the measure is engine-portable.
+
+    Scale: chunking is a generator (16x fewer rows than tokens, no
+    shuffle); cross-doc frequency is one shuffle on the chunk hash;
+    the membership join is EQUI on the same hash (AQE reuses the
+    partitioning) and the per-doc re-agg shuffles on doc_id.  No
+    pairwise comparison anywhere — the chunk-hash groupBy carries
+    all the cross-document information."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n")).filter(
+        F.col("n") >= 16
+    )
+    starts = F.sequence(F.lit(0), F.col("n") - 16, F.lit(16))
+    c = t.select(
+        "doc_id",
+        F.explode(starts).alias("s"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("s") + 1, F.lit(16))).cast("binary")
+        ).alias("ch"),
+    )
+    dup = (
+        c.groupBy("ch")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("ch", F.lit(1).alias("is_dup"))
+    )
+    return (
+        c.join(dup, "ch", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count("is_dup").alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.expr("CAST(n_dup_chunks * 10000 div n_chunks AS BIGINT)").alias(
+                "dup_frac_x10000"
+            ),
+        )
+    )
