@@ -119,3 +119,40 @@ def test_graded_output_types_are_portable(spark, key):
             assert t in PORTABLE_PLAIN_TYPES, (
                 f"{key}.{f.name} emits non-portable type {t}"
             )
+
+
+def test_cents_quantization_cross_engine(spark):
+    """The money contract's foundation: for any 2-decimal value v
+    stored as DOUBLE, ROUND(v*100, 0) yields the exact integer cents
+    in BOTH engines — float representation error never crosses a
+    rounding boundary, because v*100 is the same IEEE double on both
+    sides and its distance from the true integer is far below 0.5.
+    Exercises negatives, zero, and large magnitudes."""
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260813)
+    cents = [0, 1, -1, 99, -99, 2**40, -(2**40)] + [
+        rng.randint(-10**12, 10**12) for _ in range(500)
+    ]
+    vals = [c / 100.0 for c in cents]
+
+    sdf = spark.createDataFrame([(c, v) for c, v in zip(cents, vals)], ["c", "v"])
+    bad = sdf.filter(
+        F.round(F.col("v") * 100, 0).cast("long") != F.col("c")
+    ).count()
+    assert bad == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({c}, {v!r})" for c, v in zip(cents, vals))
+        + ") AS t(c, v)"
+    )
+    assert con.execute(
+        "SELECT count(*) FROM t WHERE CAST(ROUND(v * 100, 0) AS BIGINT) <> c"
+    ).fetchone()[0] == 0
+    con.close()
