@@ -4027,3 +4027,58 @@ def codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionAll(out[1])
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+             SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS wt
+      FROM lineitem GROUP BY l_returnflag, q
+    ), r AS (
+      SELECT l_returnflag, q, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY q
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS total
+      FROM w
+    )
+    SELECT l_returnflag, MIN(q) AS weighted_median_qty,
+           CAST(MAX(total) AS BIGINT) AS total_weight_x100
+    FROM r WHERE 2 * cum >= total
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (quantity weighted by revenue cents) per
+    return flag: the first quantity whose running weight crosses half
+    the total.  No percentile approximation and no float ratio — the
+    frontier predicate is 2*cum >= total in integers, and grouping by
+    distinct quantity BEFORE the running sum makes the cumulative
+    value independent of row order within ties, so any engine and
+    any partitioning agree.
+
+    Scale: the corpus reduces to |flag × distinct-quantity| rows in
+    one shuffle; the running-sum window and frontier pick operate on
+    that tiny grid."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    w = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    ).agg(F.sum(cents).alias("wt"))
+    pw = Window.partitionBy("l_returnflag")
+    r = w.select(
+        "l_returnflag",
+        "q",
+        F.sum("wt").over(pw.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("wt").over(pw).alias("total"),
+    )
+    return (
+        r.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("q").alias("weighted_median_qty"),
+            F.max("total").cast("long").alias("total_weight_x100"),
+        )
+    )
