@@ -4082,3 +4082,50 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total").cast("long").alias("total_weight_x100"),
         )
     )
+
+
+@query(
+    "set_ops_all",
+    oracle="""
+    SELECT 'intersect_all' AS op, nationkey, count(*) AS n
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier
+    ) GROUP BY op, nationkey
+    UNION ALL
+    SELECT 'except_all', nationkey, count(*)
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier
+    ) GROUP BY 2, 1
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicity-preserving set operations (INTERSECT ALL /
+    EXCEPT ALL): bag semantics — a key occurring 5x in customers and
+    3x in suppliers intersects 3x and survives subtraction 2x —
+    which the DISTINCT variants ([[set_intersect]], [[set_except]])
+    deliberately erase.  Both engines implement the SQL-standard
+    min/difference-of-counts semantics; the per-key result counts
+    pin that agreement.
+
+    Scale: Spark plans both as count-aggregate + generate (no
+    pairwise matching), shuffling once on the value."""
+    ensure_deterministic_session(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+
+    def counted(op: str, df: DataFrame) -> DataFrame:
+        return df.groupBy("nationkey").agg(F.count("*").alias("n")).select(
+            F.lit(op).alias("op"), "nationkey", "n"
+        )
+
+    return counted("intersect_all", c.intersectAll(s)).unionAll(
+        counted("except_all", c.exceptAll(s))
+    )
