@@ -1123,3 +1123,70 @@ def dup_text_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "multimodal_quality_join",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq,
+               len(list_filter(string_split(text, ' '),
+                   w -> list_contains(['the','a','of','and','to','in'], w))) AS n_stop
+        FROM documents
+      )
+      WHERE n_words >= 10
+        AND CAST(n_uniq AS DOUBLE) / n_words >= 0.3
+        AND CAST(n_stop AS DOUBLE) / n_words BETWEEN 0.01 AND 0.6
+    ), e AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(embedding,
+                    v -> CAST(FLOOR(CAST(v AS DOUBLE) * 10000) AS BIGINT)
+                         * CAST(FLOOR(CAST(v AS DOUBLE) * 10000) AS BIGINT)))
+                  AS BIGINT) AS norm_q8
+      FROM embeddings
+    )
+    SELECT q.doc_id, q.lang, q.n_chars, e.norm_q8
+    FROM q JOIN e ON q.doc_id = e.vec_id
+    WHERE e.norm_q8 BETWEEN 100000000 AND 3200000000
+    """,
+)
+def multimodal_quality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal corpus filter: documents that pass the C4-style
+    text-quality heuristics AND whose paired embedding has a sane
+    squared norm (catching zero/degenerate and exploded vectors) —
+    the join a retrieval-index build runs before indexing anything.
+    The norm is an exact integer: each element quantized to 1e-4 and
+    squared, summed as 64-bit ints (order-independent by
+    construction, no float accumulation to disagree on).
+
+    Scale: both sides prune/filter at scan speed; the join is EQUI
+    on the shared id, co-partitioned in one shuffle; the norm fold is
+    a per-row higher-order function, never exploded."""
+    ensure_deterministic_session(spark)
+    from ..functions.text import stopword_count
+
+    d = load_table(spark, sf_dir, "documents")
+    nw = word_count("text").cast("double")
+    q = d.filter(
+        (word_count("text") >= 10)
+        & ((uniq_word_count("text").cast("double") / nw) >= 0.3)
+        & (stopword_count("text").cast("double") / nw).between(0.01, 0.6)
+    ).select("doc_id", "lang", "n_chars")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.aggregate(
+            "embedding",
+            F.lit(0).cast("long"),
+            lambda acc, v: acc
+            + F.floor(v.cast("double") * 10000).cast("long")
+            * F.floor(v.cast("double") * 10000).cast("long"),
+        ).alias("norm_q8"),
+    )
+    return (
+        q.join(e, q.doc_id == e.vec_id)
+        .filter(F.col("norm_q8").between(100000000, 3200000000))
+        .select("doc_id", "lang", "n_chars", "norm_q8")
+    )
