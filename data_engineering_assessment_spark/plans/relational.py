@@ -4129,3 +4129,42 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted("intersect_all", c.intersectAll(s)).unionAll(
         counted("except_all", c.exceptAll(s))
     )
+
+
+@query(
+    "array_explode_outer",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN []
+                  ELSE string_split(text, ' ')[:3] END AS toks
+      FROM documents
+    ), x AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS token
+      FROM t
+    )
+    SELECT doc_id, token, count(*) OVER () AS total_rows
+    FROM x
+    """,
+)
+def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER generate semantics: exploding an array column while
+    PRESERVING rows whose array is empty (they surface once with a
+    NULL element) — plain explode silently drops them, the classic
+    silent-data-loss bug when a pipeline fans out optional
+    attachments/tags and loses every row that has none.  Every
+    seventh doc's token array is emptied to force the corner case;
+    the window count pins total row conservation.
+
+    Scale: explode_outer is the same generator as explode (no extra
+    shuffle); the conservation count is over the generated frame."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.when(F.col("doc_id") % 7 == 0, F.array().cast("array<string>")).otherwise(
+        F.slice(F.split("text", " "), 1, 3)
+    )
+    x = d.select("doc_id", F.explode_outer(toks).alias("token"))
+    return x.select(
+        "doc_id", "token", F.count("*").over(Window.partitionBy()).alias("total_rows")
+    )
