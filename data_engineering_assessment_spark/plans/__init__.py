@@ -3,77 +3,80 @@
 from . import parity, pipeline, relational, training  # noqa: F401
 from .registry import oracles, queries, set_priority  # noqa: F401
 
-# Grading-window rotation (round 3).  The external grader issues
+# Grading-window rotation (round 4).  The external grader issues
 # correctness verdicts for a ~50-key prefix of this registry per
-# round; verdicts persist across rounds, so the prefix should hold
-# exactly the keys that still need one:
-#   1. the 42 keys never graded in rounds 1-2 (registered last then);
-#   2. the 7 keys whose round-1/2 DECIMAL/DOUBLE outputs hash-failed,
-#      re-emitted this round as fixed-point BIGINT;
-#   3. multimodal_decode, upgraded this round from rows-only to a
-#      digest oracle.
-# Everything else is already driver-green (CORRECTNESS_r01/r02) with
-# unchanged output contracts; the ~53 keys ADDED in round 3 (training
-# shaping, graded streaming, SCD2/CDC, incremental maintenance,
-# corpus analytics — full list in README.md "Correctness ledger")
-# register in the tail so they never evict a key still awaiting its
-# first verdict, and rotate forward in round 4 via the prefix
-# tools/rotation.py prints (failing verdicts first, then
-# never-graded).
+# round; verdicts persist across rounds, so the prefix holds exactly
+# the keys that still need one.  Rounds 1-3 left every graded key
+# green (CORRECTNESS_r03: 49 hash-pass + 1 no-oracle-by-design), so
+# this round's prefix is purely the 64 keys added in round 3 that
+# have never received a driver verdict (ordered by tools/rotation.py:
+# oracle-checked first, rows-only-by-design last).  ~50 fit the
+# window this round; the overflow tail rotates forward in round 5.
 set_priority(
     [
-        # -- never graded (r1-r2 registration tail) --
-        "window_running_sum",
-        "topk_per_group",
-        "sort_limit",
-        "set_union",
-        "set_intersect",
-        "set_except",
-        "json_extract",
-        "array_ops",
-        "event_tumbling_window",
-        "event_session_window",
-        "window_lag",
-        "agg_percentile",
-        "join_outer",
-        "agg_grouping_sets",
-        "pivot_counts",
-        "subquery_exists",
-        "join_salted",
-        "agg_approx_percentile",
-        "multi_join_pricing",
-        "multi_join_region",
-        "event_rollup_hierarchy",
-        "join_asof_tolerance",
-        "sql_entrypoint",
-        "subquery_scalar",
-        "subquery_in_having",
-        "window_ntile",
-        "window_range_frame",
-        "date_arith",
-        "string_funcs",
-        "agg_conditional",
-        "agg_collect_sorted",
-        "multi_join_topn",
-        "agg_mode",
-        "unpivot_metrics",
-        "agg_histogram",
-        "join_null_safe",
-        "sessionize_lag",
-        "agg_corr",
-        "map_ops",
-        "window_rank_dense",
-        "join_bucketed",
-        "scan_partitioned",
-        # -- graded red in r1/r2; output re-emitted as BIGINT --
-        "agg_group",
-        "agg_rollup",
-        "agg_cube",
-        "join_inner",
-        "join_broadcast",
-        "dedup_embed_cosine",
-        "embed_cosine_topk",
-        # -- rows-only in r1/r2; gains a digest oracle this round --
-        "multimodal_decode",
+        "doc_length_quartiles",
+        "quantile_normalize",
+        "dedup_incremental",
+        "source_overlap_matrix",
+        "corpus_build_pipeline",
+        "dup_text_fraction",
+        "multimodal_quality_join",
+        "scan_csv_roundtrip",
+        "event_sliding_window",
+        "event_funnel",
+        "event_retention",
+        "event_paths_topk",
+        "scd_type2",
+        "agg_bitwise",
+        "sink_parquet_single",
+        "scan_url_source",
+        "merge_upsert",
+        "ts_resample_ffill",
+        "layout_zorder",
+        "profile_table",
+        "agg_boolean",
+        "join_interval_overlap",
+        "stream_tumbling_counts",
+        "stream_join_attribution",
+        "stream_stateful_totals",
+        "stream_dedup_ids",
+        "stream_sessionize",
+        "key_skew_profile",
+        "snapshot_diff",
+        "market_basket_pairs",
+        "ts_gap_detect",
+        "stream_upsert_sink",
+        "constraint_check",
+        "incremental_agg_merge",
+        "subquery_multi_exists",
+        "join_dim_snapshot",
+        "event_dwell_time",
+        "layout_compact",
+        "schema_evolution_scan",
+        "pareto_revenue_share",
+        "event_error_hotspots",
+        "multi_format_union",
+        "agg_mom_change",
+        "agg_histogram_log2",
+        "stream_sliding_counts",
+        "join_dpp_prune",
+        "seq_lis_per_user",
+        "join_argmin_supplier",
+        "agg_share_having",
+        "agg_argmax_revenue",
+        "codec_roundtrip",
+        "agg_weighted_median",
+        "set_ops_all",
+        "array_explode_outer",
+        "shard_assign",
+        "quality_bins",
+        "corpus_mix",
+        "split_train_eval",
+        "chunk_overlap",
+        "repetition_stats",
+        "global_shuffle",
+        "vocab_coverage",
+        "seq_pack_chunks",
+        "bpe_pair_counts",
     ]
 )
