@@ -76,6 +76,18 @@ HEADLINE = [
     "join_dpp_prune",
     "subquery_multi_exists",
     "ts_gap_detect",
+    "join_exists_late",
+    "multi_join_nation_flow",
+    "agg_market_share",
+    "join_priority_class",
+    "agg_custdist",
+    "agg_promo_share",
+    "agg_supplier_distinct",
+    "join_disjunctive",
+    "subquery_semi_agg",
+    "agg_antijoin_avg",
+    "tokenizer_fertility",
+    "ts_rolling_anomaly",
 ]
 
 

@@ -1,0 +1,698 @@
+"""Classic warehouse query shapes — the TPC-H patterns not yet
+represented in the registry (Q4, Q7, Q8, Q12, Q13, Q14, Q16, Q19,
+Q20, Q22 analogues on the corpus schema) plus time-series anomaly
+flagging and tokenizer-fertility profiling.
+
+Like the reference's ``build_query`` (``/root/reference/02.py:17-103``)
+these are declarative plans handed wholesale to Catalyst; every graded
+output follows the round-3 contract (BIGINT/INT/STRING/BOOL only,
+money and rates in fixed-point integer units) so the DuckDB oracle
+hash-compares exactly on any grading host.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import ensure_deterministic_session
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _epoch_s(c: str | Column) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("timestamp").cast("long")
+
+
+def _rev_x10000(price: str = "l_extendedprice", disc: str = "l_discount") -> Column:
+    """Discounted line revenue quantized to 1e-4 units — exact for
+    2-decimal price × 2-decimal discount, identical in both engines."""
+    return F.round(F.col(price) * (1 - F.col(disc)) * 10000, 0).cast("long")
+
+
+_REV_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)"
+
+
+@query(
+    "join_exists_late",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1999-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(FLOOR(epoch(l.l_shipdate)) AS BIGINT)
+              > CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) + 60 * 86400
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_exists_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking shape (TPC-H Q4): count orders in a
+    half-year window having at least one lineitem shipped more than
+    60 days after the order date — EXISTS expressed as a left-semi
+    join with a non-equi residual on the epoch columns.
+
+    Scale: the date filter reaches the orders scan; the semi join
+    shuffles both sides on orderkey once and short-circuits per key
+    (no fan-out, no distinct needed); the priority agg re-uses tiny
+    post-semi rows."""
+    ensure_deterministic_session(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-07-01").cast("timestamp"))
+        )
+        .withColumn("o_date_s", _epoch_s("o_orderdate"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _epoch_s("l_shipdate").alias("l_ship_s")
+    )
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_ship_s > F.col("o_date_s") + 60 * 86400),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "multi_join_nation_flow",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_x10000
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+)
+def multi_join_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-shipping shape (TPC-H Q7): bilateral trade between two
+    nations by ship year over a 6-table join.
+
+    Scale: nation filters push through the supplier/customer
+    broadcasts so lineitem and orders are pre-filtered before their
+    one big orderkey shuffle; the year agg is a rollup of the
+    already-joined rows (no second pass)."""
+    ensure_deterministic_session(spark)
+    pair = ("NATION_1", "NATION_2")
+    sn = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    cn = sn.alias("cn")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(sn), F.col("s_nationkey") == sn.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .select("c_custkey", F.col("cn.n_name").alias("cust_nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+        )
+        .agg(F.sum(_rev_x10000()).alias("revenue_x10000"))
+    )
+
+
+@query(
+    "agg_market_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+             {_REV_SQL} AS r_x10000,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT order_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN r_x10000 ELSE 0 END) AS BIGINT)
+             AS nation_rev_x10000,
+           CAST(SUM(r_x10000) AS BIGINT) AS total_rev_x10000,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN r_x10000 ELSE 0 END) * 10000
+                  // SUM(r_x10000) AS BIGINT) AS share_bp
+    FROM rev GROUP BY order_year
+    """,
+)
+def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share shape (TPC-H Q8): NATION_2 suppliers' share of
+    revenue delivered to ASIA customers, by order year, as integer
+    basis points (cross-multiplied — no float ratio ever exists).
+
+    Scale: region→nation→customer collapses to one broadcast-able
+    dim; supplier→nation likewise; lineitem⋈orders is the only big
+    shuffle and the conditional sums ride the same agg."""
+    ensure_deterministic_session(spark)
+    n = load_table(spark, sf_dir, "nation")
+    asia = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+              F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation_rev = F.when(F.col("supp_nation") == "NATION_2", F.col("r_x10000")).otherwise(F.lit(0).cast("long"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(asia), o.o_custkey == asia.c_custkey, "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            _rev_x10000().alias("r_x10000"),
+            "supp_nation",
+        )
+        .groupBy("order_year")
+        .agg(
+            F.sum(nation_rev).alias("nation_rev_x10000"),
+            F.sum("r_x10000").alias("total_rev_x10000"),
+        )
+        .select(
+            "order_year",
+            "nation_rev_x10000",
+            "total_rev_x10000",
+            F.expr("nation_rev_x10000 * 10000 div total_rev_x10000").alias("share_bp"),
+        )
+    )
+
+
+@query(
+    "join_priority_class",
+    oracle="""
+    SELECT CASE WHEN l.l_quantity >= 25 THEN 'BULK' ELSE 'SMALL' END AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l.l_shipdate < TIMESTAMP '2000-01-01'
+    GROUP BY CASE WHEN l.l_quantity >= 25 THEN 'BULK' ELSE 'SMALL' END
+    """,
+)
+def join_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority split (TPC-H Q12 shape, quantity tier standing
+    in for shipmode): per ship class, how many lines belong to
+    urgent/high orders vs everything else — join + conditional agg.
+
+    Scale: the year filter hits the lineitem scan; one orderkey
+    shuffle; both conditional sums are map-side partials of the same
+    group-by."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.when(F.col("l_quantity") >= 25, "BULK").otherwise("SMALL").alias("ship_class"),
+            F.when(is_high, 1).otherwise(0).alias("hi"),
+            F.when(is_high, 0).otherwise(1).alias("lo"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum("hi").alias("high_line_count"),
+            F.sum("lo").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "agg_custdist",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def agg_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-order-count distribution (TPC-H Q13): LEFT OUTER join
+    keeps zero-order customers, then a second aggregation histograms
+    the per-customer counts.
+
+    Scale: one custkey shuffle for the outer join + count; the
+    histogram groups ~|distinct counts| rows — negligible.  COUNT of
+    a column (not *) skips the NULLs the outer join introduces, in
+    both engines."""
+    ensure_deterministic_session(spark)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "agg_promo_share",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END) AS BIGINT)
+             AS promo_rev_x10000,
+           CAST(SUM({_REV_SQL}) AS BIGINT) AS total_rev_x10000,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END) * 10000
+                  // SUM({_REV_SQL}) AS BIGINT) AS promo_bp
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1999-09-01'
+      AND l.l_shipdate < TIMESTAMP '1999-10-01'
+    """,
+)
+def agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effect shape (TPC-H Q14): share of one month's revenue
+    coming from PROMO parts, in integer basis points.
+
+    Scale: month filter prunes the lineitem scan, part is broadcast,
+    and the whole result is a single-row global agg — partials merge
+    map-side, no data-proportional shuffle."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _rev_x10000()).otherwise(F.lit(0).cast("long"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).alias("promo_rev_x10000"),
+            F.sum(_rev_x10000()).alias("total_rev_x10000"),
+        )
+        .select(
+            "promo_rev_x10000",
+            "total_rev_x10000",
+            F.expr("promo_rev_x10000 * 10000 div total_rev_x10000").alias("promo_bp"),
+        )
+    )
+
+
+@query(
+    "agg_supplier_distinct",
+    oracle="""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def agg_supplier_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship shape (TPC-H Q16): distinct supplier
+    count per (brand, type, size) bucket, excluding a supplier
+    blocklist (NOT IN → broadcast anti-join; s_suppkey is never null
+    so the two are equivalent).
+
+    Scale: part filters ride the broadcast; the blocklist is tiny;
+    the only shuffle is the distinct-agg on the group keys."""
+    ensure_deterministic_session(spark)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "join_disjunctive",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_x10000,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+    """,
+)
+def join_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted-revenue shape (TPC-H Q19): an equi-join whose residual
+    is a 3-arm disjunction mixing columns from both sides — the
+    classic test that an engine keeps the equi-key join (not a
+    nested-loop) and evaluates the OR as a post-join filter.
+
+    Scale: Catalyst extracts the common l_quantity/p_size bounds it
+    can, broadcasts part, and the disjunction never forces a
+    CartesianProduct (asserted in tests/test_plans.py for the
+    join-family keys)."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    arm = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(arm)
+        .agg(
+            F.sum(_rev_x10000()).alias("revenue_x10000"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "subquery_semi_agg",
+    oracle="""
+    WITH sq AS (
+      SELECT l.l_suppkey, CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS shipped_qty
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l.l_suppkey
+      HAVING SUM(CAST(l.l_quantity AS BIGINT)) > 400
+    )
+    SELECT s.s_suppkey, s.s_name, sq.shipped_qty
+    FROM supplier s JOIN sq ON s.s_suppkey = sq.l_suppkey
+    """,
+)
+def subquery_semi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-volume supplier shape (TPC-H Q20): suppliers that shipped
+    more than a threshold quantity of 'small…' parts — a nested
+    IN-subquery chain decorrelated to semi-join → agg → HAVING →
+    join back to the supplier dim.
+
+    Scale: the part-name filter makes the IN list broadcast-able;
+    lineitem is semi-joined before aggregating (never widened); the
+    final supplier join is a broadcast of the surviving handful."""
+    ensure_deterministic_session(spark)
+    small = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sq = (
+        li.join(F.broadcast(small), li.l_partkey == small.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("shipped_qty"))
+        .filter(F.col("shipped_qty") > 400)
+    )
+    return s.join(sq, s.s_suppkey == sq.l_suppkey).select("s_suppkey", "s_name", "shipped_qty")
+
+
+@query(
+    "agg_antijoin_avg",
+    oracle="""
+    WITH bal AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS tot_x100,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c.c_nationkey AS INT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS totacctbal_x100
+    FROM customer c, bal
+    WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) * bal.cnt > bal.tot_x100
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def agg_antijoin_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity shape (TPC-H Q22): customers with no
+    orders whose balance beats the positive-balance average, counted
+    per nation.  The average threshold stays exact: balance·count >
+    total is the cross-multiplied integer form of balance > avg.
+
+    Scale: the single-row (sum, count) aggregate broadcasts; NOT
+    EXISTS is one anti-join shuffle on custkey; the nation rollup is
+    then trivial."""
+    ensure_deterministic_session(spark)
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(cents).alias("tot_x100"), F.count(F.lit(1)).alias("cnt"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.withColumn("bal_x100", cents)
+        .crossJoin(F.broadcast(bal))
+        .filter(F.col("bal_x100") * F.col("cnt") > F.col("tot_x100"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_x100").alias("totacctbal_x100"),
+        )
+    )
+
+
+@query(
+    "tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(n_chars AS BIGINT)) * 1000
+                  // SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+             AS chars_per_token_milli
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility profile: characters per whitespace token by
+    language — the standard pre-training diagnostic for how expensive
+    each language is to tokenize (fixed-point milli-units; token
+    definition shared with the ``token_count`` key).
+
+    Scale: pure native expressions, one shuffle on lang (25 groups),
+    map-side partial sums do all the work."""
+    ensure_deterministic_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+            F.sum(n_tok).alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "total_chars",
+            "total_tokens",
+            F.expr("total_chars * 1000 div total_tokens").alias("chars_per_token_milli"),
+        )
+    )
+
+
+@query(
+    "ts_ohlc_downsample",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS bucket_h,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             event_id,
+             CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v_micro
+      FROM events
+    ), r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bucket_h
+                                ORDER BY ts_s ASC, event_id ASC) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bucket_h
+                                ORDER BY ts_s DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT user_id, bucket_h,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN v_micro END) AS BIGINT) AS open_micro,
+           CAST(MAX(v_micro) AS BIGINT) AS high_micro,
+           CAST(MIN(v_micro) AS BIGINT) AS low_micro,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN v_micro END) AS BIGINT) AS close_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id, bucket_h
+    """,
+)
+def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per user and hour bucket, the opening /
+    high / low / closing value — the canonical time-series
+    resampling aggregate.  Open/close are argmin/argmax over event
+    time, made deterministic under timestamp ties by the event_id
+    tiebreak and expressed as rank-1 picks so both engines agree
+    exactly.
+
+    Scale: both row_number specs share the (user, bucket) hash
+    partitioning → ONE exchange, two in-partition sorts; the final
+    agg rides the same shuffle.  No self-join, no per-bucket
+    collect."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("cast(cast(ts as timestamp) as long) div 3600").alias("bucket_h"),
+        _epoch_s("ts").alias("ts_s"),
+        "event_id",
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("v_micro"),
+    )
+    grp = ("user_id", "bucket_h")
+    w_a = Window.partitionBy(*grp).orderBy(F.asc("ts_s"), F.asc("event_id"))
+    w_d = Window.partitionBy(*grp).orderBy(F.desc("ts_s"), F.desc("event_id"))
+    r = e.select(
+        "*",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return r.groupBy(*grp).agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("v_micro"))).alias("open_micro"),
+        F.max("v_micro").alias("high_micro"),
+        F.min("v_micro").alias("low_micro"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("v_micro"))).alias("close_micro"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "text_rarity_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), vc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(vc.c) AS BIGINT) AS freq_sum,
+           CAST(SUM(vc.c) * 1000 // COUNT(*) AS BIGINT) AS mean_tok_freq_milli
+    FROM tok t JOIN vc ON t.tok = vc.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity quality signal: each document's mean corpus
+    frequency of its tokens (fixed-point milli-units) — rare-token-
+    heavy docs score low, boilerplate scores high.  The log-free twin
+    of a unigram-LM perplexity score: monotone in the same ordering
+    but exact integers, so it survives any engine/summation order
+    (ln() is not bit-portable across libms).
+
+    Scale: explode → one token shuffle for the vocab count → one
+    equi-join back on token (frequency skew on stopwords is AQE
+    skew-split territory) → per-doc re-agg.  No broadcast of the
+    full vocab, no driver state."""
+    ensure_deterministic_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    vc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tok.join(vc, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("freq_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "freq_sum",
+            F.expr("freq_sum * 1000 div n_tokens").alias("mean_tok_freq_milli"),
+        )
+    )
+
+
+@query(
+    "ts_rolling_anomaly",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v_micro
+      FROM events
+    )
+    SELECT user_id, event_id, ts_s, v_micro,
+           CAST(SUM(v_micro) OVER w AS BIGINT) AS win_sum_micro,
+           CAST(COUNT(*) OVER w AS BIGINT) AS win_cnt,
+           (v_micro * (COUNT(*) OVER w) > 3 * (SUM(v_micro) OVER w)) AS is_spike
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly flag: each event against its user's trailing
+    one-hour mean — value > 3× mean cross-multiplies to
+    v·count > 3·sum, so the flag is computed entirely in integers
+    (the float-free twin of a rolling z-score; event-time RANGE
+    frame over epoch seconds).
+
+    Scale: one shuffle on user_id; the RANGE frame is a sliding
+    two-pointer over each user's sorted slice — no self-join, no
+    per-row rescan."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        _epoch_s("ts").alias("ts_s"),
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("v_micro"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        "v_micro",
+        F.sum("v_micro").over(w).alias("win_sum_micro"),
+        F.count(F.lit(1)).over(w).alias("win_cnt"),
+        (F.col("v_micro") * F.count(F.lit(1)).over(w) > 3 * F.sum("v_micro").over(w)).alias(
+            "is_spike"
+        ),
+    )
