@@ -1190,3 +1190,28 @@ def multimodal_quality_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("norm_q8").between(100000000, 3200000000))
         .select("doc_id", "lang", "n_chars", "norm_q8")
     )
+
+
+@query("embed_pca_project")  # eigvecs depend on float summation order — rows-only
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-8 principal
+    components (operators/pca.py): per-partition Gram partials via one
+    Arrow mapInPandas pass, a d×d driver-side eigendecomposition
+    (d=64 — bounded, not data-proportional), then a broadcast matmul
+    projection.  Eigenvectors are only defined up to float summation
+    order across partitions, so the key is rows-only; orthonormality,
+    variance ordering, and reconstruction-error monotonicity are
+    asserted in tests/test_pipeline.py.
+
+    Scale: driver traffic is O(partitions · d²) regardless of row
+    count; projection is one vectorized pandas batch per Arrow chunk.
+    The reference has no ML surface (SURVEY.md §2.4) — this is part
+    of the training-data extension tier."""
+    ensure_deterministic_session(spark)
+    from ..operators.pca import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(emb, "embedding", k=8)
+    return pca_project(emb, mean, comps, "embedding", "pca").select(
+        "vec_id", "label", "pca"
+    )

@@ -645,3 +645,41 @@ def test_lis_matches_bruteforce(spark):
                     best[i] = max(best[i], best[j] + 1)
         assert got[uid].lis_len == (max(best) if best else 0), uid
         assert got[uid].n_events == len(vals)
+
+
+def test_pca_fit_project_invariants(spark):
+    """Components are orthonormal, eigenvalues sort descending, the
+    projected variance matches the eigenvalues, and reconstruction
+    error shrinks as k grows."""
+    import numpy as np
+
+    from data_engineering_assessment_spark.operators.pca import pca_fit, pca_project
+    from data_engineering_assessment_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    mean, comps, vals = pca_fit(emb, "embedding", k=8)
+    d = mean.shape[0]
+    assert comps.shape == (d, 8) and vals.shape == (8,)
+    # orthonormal columns
+    assert np.allclose(comps.T @ comps, np.eye(8), atol=1e-8)
+    # descending explained variance, all non-negative
+    assert all(vals[i] >= vals[i + 1] >= -1e-12 for i in range(7))
+
+    rows = pca_project(emb, mean, comps, "embedding", "pca").select("pca").collect()
+    p = np.array([r["pca"] for r in rows])
+    # per-component variance of the projection == eigenvalue
+    assert np.allclose(p.var(axis=0), vals, rtol=1e-6, atol=1e-9)
+
+    # reconstruction error is monotone non-increasing in k
+    x = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()], dtype=np.float64
+    ) - mean
+    errs = []
+    for k in (2, 4, 8):
+        w = comps[:, :k]
+        errs.append(float(((x - (x @ w) @ w.T) ** 2).sum()))
+    assert errs[0] >= errs[1] >= errs[2]
+
+    # deterministic across refits on the same data
+    mean2, comps2, vals2 = pca_fit(emb, "embedding", k=8)
+    assert np.allclose(comps, comps2, atol=1e-9)

@@ -25,6 +25,7 @@ PY_ALLOWED = {k for k in QUERIES if k.startswith("multimodal_")} | {
     "embed_ann_lsh",
     "embed_ann_ivf",
     "embed_cosine_topk",  # Arrow einsum scoring; oracle-verified post-rounding
+    "embed_pca_project",  # Gram partials + broadcast matmul — sanctioned Arrow hop
     "seq_lis_per_user",  # order-dependent DP — the sanctioned applyInPandas hop
 }
 
