@@ -683,3 +683,23 @@ def test_pca_fit_project_invariants(spark):
     # deterministic across refits on the same data
     mean2, comps2, vals2 = pca_fit(emb, "embedding", k=8)
     assert np.allclose(comps, comps2, atol=1e-9)
+
+
+def test_hll_partitioned_estimates_within_tolerance(spark):
+    """Sketch estimates track exact distincts within HLL's expected
+    error at lgK=12 (~1.6% rse; assert 5% for slack), and the final
+    cumulative estimate tracks the all-time exact distinct."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources.tables import load_table
+
+    rows = E.queries()["agg_hll_partitioned"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.est_month - r.exact_month) <= max(2, 0.05 * r.exact_month)
+    exact_total = (
+        load_table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    final_cum = max(rows, key=lambda r: r.month_s).est_cum
+    assert abs(final_cum - exact_total) <= max(2, 0.05 * exact_total)
