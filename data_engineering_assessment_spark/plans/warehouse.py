@@ -772,3 +772,68 @@ def agg_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_month",
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est_cum"),
     )
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS custkey, c_custkey AS anc, 0 AS depth FROM customer
+  UNION ALL
+  SELECT custkey, anc {div} 10, depth + 1 FROM anc WHERE anc > 0
+)
+SELECT custkey,
+       CAST(MAX(depth) AS INT) AS chain_len,
+       CAST(SUM(anc) AS BIGINT) AS anc_key_sum
+FROM anc GROUP BY custkey
+"""
+
+
+@query("recursive_cte_chain", oracle=_RECURSIVE_SQL.format(div="//"))
+def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (hierarchy walk): each customer's ancestor chain
+    under the synthetic parent function ``parent(k) = k div 10`` —
+    the org-chart / BOM-traversal shape, expressed with Spark 4's
+    ``WITH RECURSIVE`` (iterative union fixpoint inside Catalyst; the
+    same loop [[dedup_clusters]] hand-rolls for connected
+    components).  The only engine-syntax delta vs the oracle is
+    integer division (``div`` / ``//``).
+
+    Scale: recursion depth is the key's digit count (≤7 at any SF) —
+    each iteration is one narrow projection+filter pass; state never
+    exceeds |customers| × depth rows."""
+    ensure_deterministic_session(spark)
+    from ..sources.tables import register_corpus
+
+    register_corpus(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL.format(div="div"))
+
+
+_LATERAL_SQL = """
+SELECT CAST(n.n_nationkey AS INT) AS nationkey, l.c_custkey, l.bal_x100
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_x100
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY bal_x100 DESC, c_custkey
+  LIMIT 2
+) l
+"""
+
+
+@query("join_lateral_topn", oracle=_LATERAL_SQL)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: per nation, its two highest-balance
+    customers via an ORDER BY … LIMIT subquery correlated on the
+    outer row — the SQL-standard per-group top-N that
+    [[topk_per_group]] expresses with a window; here the planner
+    decorrelates the lateral itself (identical SQL runs in DuckDB).
+    Deterministic under balance ties via the custkey tiebreak.
+
+    Scale: Catalyst rewrites the correlated limit into a
+    partitioned rank over ONE customer shuffle — no per-nation
+    re-scan, no nested loop over the big side."""
+    ensure_deterministic_session(spark)
+    from ..sources.tables import register_corpus
+
+    register_corpus(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
