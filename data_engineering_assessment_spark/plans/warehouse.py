@@ -837,3 +837,90 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_corpus(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "source_drift_ks",
+    oracle="""
+    WITH pv AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ), vals AS (
+      SELECT DISTINCT v FROM pv
+    ), srcs AS (
+      SELECT source, SUM(c) AS n_s FROM pv GROUP BY source
+    ), tot AS (
+      SELECT SUM(c) AS n FROM pv
+    ), grid AS (
+      SELECT s.source, s.n_s, vv.v FROM srcs s CROSS JOIN vals vv
+    ), g AS (
+      SELECT grid.source, grid.n_s, grid.v, COALESCE(pv.c, 0) AS c
+      FROM grid LEFT JOIN pv ON pv.source = grid.source AND pv.v = grid.v
+    ), cum AS (
+      SELECT source, n_s, v,
+             SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum_s
+      FROM g
+    ), tv AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cum_all
+      FROM (SELECT v, SUM(c) AS c FROM pv GROUP BY v) q
+    )
+    SELECT cum.source,
+           CAST(cum.n_s AS BIGINT) AS n_source,
+           CAST(MAX(ABS(cum.cum_s * (tot.n - cum.n_s)
+                        - (tv.cum_all - cum.cum_s) * cum.n_s)) AS BIGINT) AS ks_num,
+           CAST(MAX(ABS(cum.cum_s * (tot.n - cum.n_s)
+                        - (tv.cum_all - cum.cum_s) * cum.n_s)) * 10000
+                  // (cum.n_s * (tot.n - cum.n_s)) AS BIGINT) AS ks_x10000
+    FROM cum JOIN tv ON cum.v = tv.v CROSS JOIN tot
+    GROUP BY cum.source, cum.n_s, tot.n
+    """,
+)
+def source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: the two-sample Kolmogorov–Smirnov
+    statistic of each source's doc-length distribution against the
+    rest of the corpus, in exact cross-multiplied integers
+    (sup |ECDF_s − ECDF_rest| ⇔ max |cum_s·n_rest − cum_rest·n_s|,
+    emitted in fixed-point x10000) — the pre-training check that a
+    new crawl / source hasn't shifted shape before it's mixed in.
+
+    Scale: everything runs on the (source × distinct-length)
+    grid — bounded by cardinalities, not rows.  The only
+    data-proportional pass is the first per-(source, length) count;
+    the deliberate CROSS JOIN is dims-only (|sources| × |lengths|)
+    with the value list broadcast."""
+    ensure_deterministic_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pv = (
+        docs.groupBy("source", F.col("n_chars").cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vals = pv.select("v").distinct()
+    srcs = pv.groupBy("source").agg(F.sum("c").alias("n_s"))
+    tot = pv.agg(F.sum("c").alias("n"))
+    grid = srcs.crossJoin(F.broadcast(vals))
+    g = grid.join(pv, ["source", "v"], "left").select(
+        "source", "n_s", "v", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w_s = Window.partitionBy("source").orderBy("v")
+    cum = g.select("source", "n_s", "v", F.sum("c").over(w_s).alias("cum_s"))
+    tv = (
+        pv.groupBy("v")
+        .agg(F.sum("c").alias("c"))
+        .select("v", F.sum("c").over(Window.orderBy("v")).alias("cum_all"))
+    )
+    num = F.abs(
+        F.col("cum_s") * (F.col("n") - F.col("n_s"))
+        - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+    )
+    return (
+        cum.join(F.broadcast(tv), "v")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_s", "n")
+        .agg(F.max(num).alias("ks_num"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_source"),
+            "ks_num",
+            F.expr("ks_num * 10000 div (n_s * (n - n_s))").alias("ks_x10000"),
+        )
+    )
