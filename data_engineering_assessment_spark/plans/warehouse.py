@@ -924,3 +924,69 @@ def source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("ks_num * 10000 div (n_s * (n - n_s))").alias("ks_x10000"),
         )
     )
+
+
+@query(
+    "event_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS value_x100
+      FROM events
+    ), w AS (
+      SELECT *,
+             MAX(CASE WHEN event_type = 'view' THEN ts_s END)
+               OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_s
+      FROM e
+    )
+    SELECT user_id, event_id, ts_s, value_x100, last_view_s,
+           (last_view_s IS NOT NULL AND ts_s - last_view_s <= 86400) AS attributed
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase linked to the user's most
+    recent STRICTLY-earlier view (conversion window 24 h) — the
+    marketing-analytics join expressed as one running conditional MAX
+    over the user's timeline instead of an event×event self-join.
+    Ordering ties break on event_id, so the strictly-preceding frame
+    is deterministic in both engines.
+
+    Scale: one user_id shuffle, one ordered pass; the self-join
+    formulation this replaces fans out |views|×|purchases| per user.
+    The as-of-join twin ([[join_asof_tolerance]]) covers the generic
+    two-table case; this key is the single-stream windowed form."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        _epoch_s("ts").alias("ts_s"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_x100"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts_s"))
+    ).over(w)
+    return (
+        e.withColumn("last_view_s", last_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "ts_s",
+            "value_x100",
+            "last_view_s",
+            (
+                F.col("last_view_s").isNotNull()
+                & ((F.col("ts_s") - F.col("last_view_s")) <= 86400)
+            ).alias("attributed"),
+        )
+    )
