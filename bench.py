@@ -88,6 +88,15 @@ HEADLINE = [
     "agg_antijoin_avg",
     "tokenizer_fertility",
     "ts_rolling_anomaly",
+    "ts_ohlc_downsample",
+    "text_rarity_score",
+    "embed_pca_project",
+    "scan_json_variant",
+    "agg_hll_partitioned",
+    "recursive_cte_chain",
+    "join_lateral_topn",
+    "source_drift_ks",
+    "event_attribution",
 ]
 
 
