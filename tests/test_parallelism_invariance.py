@@ -1,0 +1,53 @@
+"""Results must not depend on shuffle parallelism.
+
+At 100 TB, AQE re-plans partition counts at runtime and executors
+differ run-to-run — any operator whose output changes with
+``spark.sql.shuffle.partitions`` would be silently nondeterministic
+at scale.  The registry's output contract (fixed-point integers,
+exact decimal sums, explicit tiebreaks) is supposed to make every
+graded result partition-count-independent; this suite proves it
+mechanically on a cross-section of shuffle-heavy keys by executing
+each at 3 and then 37 shuffle partitions and comparing canonical
+rowsets.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+from tests.oracle_utils import _rowset
+
+QUERIES = entry_mod.queries()
+
+# one representative per shuffle-shape family: hash agg, window,
+# distinct-agg, big join, set-op, dedup fingerprint, deterministic
+# shuffle order, inverted-index join, KS grid, iterative fixpoint
+KEYS = [
+    "agg_group",
+    "window_running_sum",
+    "agg_distinct",
+    "join_inner",
+    "set_ops_all",
+    "dedup_exact",
+    "global_shuffle",
+    "text_rarity_score",
+    "source_drift_ks",
+    "recursive_cte_chain",
+]
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_result_invariant_to_shuffle_partitions(spark, key):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        df_a = QUERIES[key](spark, SF_DIR)
+        rows_a = _rowset(df_a.collect(), df_a.columns)
+        spark.conf.set("spark.sql.shuffle.partitions", "37")
+        df_b = QUERIES[key](spark, SF_DIR)
+        rows_b = _rowset(df_b.collect(), df_b.columns)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert rows_a == rows_b, f"{key}: result depends on shuffle partition count"
