@@ -19,3 +19,23 @@ Design principles (SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+
+def sql(spark, sf_dir: str, query_text: str):
+    """The reference's user surface in one call: register the corpus
+    tables as temp views (``02.py:126-127`` pattern) and run SQL text.
+
+    >>> engine.sql(spark, "/data/sf1", "SELECT count(*) FROM lineitem")
+    """
+    from .sources.tables import register_corpus
+
+    register_corpus(spark, sf_dir)
+    return spark.sql(query_text)
+
+
+def run_query(key: str, spark, sf_dir: str):
+    """Run a registered query key by name (see ``plans.queries()`` /
+    SURVEY.md §8 for the full inventory)."""
+    from . import plans
+
+    return plans.queries()[key](spark, sf_dir)

@@ -738,13 +738,13 @@ def scan_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("agg_hll_partitioned")  # sketch bytes are engine-specific — rows-only
 def agg_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch rollup: a per-month Datasketches HLL sketch of
-    distinct customers, unioned into a running all-time estimate per
-    month — the incremental-maintenance pattern where each new
-    partition's sketch MERGES with history in O(sketch) instead of
-    recounting raw data (the sketch-store twin of
+    """Mergeable-sketch rollup: a Datasketches HLL sketch of distinct
+    customers per 30-day bucket, unioned into a running all-time
+    estimate per bucket — the incremental-maintenance pattern where
+    each new partition's sketch MERGES with history in O(sketch)
+    instead of recounting raw data (the sketch-store twin of
     [[incremental_agg_merge]]).  Estimates are engine-specific →
-    rows-only; ±2% accuracy vs exact distinct is asserted in
+    rows-only; ±5% accuracy vs exact distinct is asserted in
     tests/test_pipeline.py.
 
     Scale: per-month sketches are a map-side-combinable agg (fixed

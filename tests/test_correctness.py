@@ -156,3 +156,16 @@ def test_cents_quantization_cross_engine(spark):
         "SELECT count(*) FROM t WHERE CAST(ROUND(v * 100, 0) AS BIGINT) <> c"
     ).fetchone()[0] == 0
     con.close()
+
+
+def test_package_sql_and_run_query_api(spark):
+    """Top-level convenience API: engine.sql() registers the corpus
+    and runs SQL text; engine.run_query() dispatches a key by name."""
+    import data_engineering_assessment_spark as engine
+
+    n = engine.sql(spark, SF_DIR, "SELECT count(*) AS n FROM lineitem").collect()[0].n
+    assert n == QUERIES["scan_parquet"](spark, SF_DIR).sparkSession.read.parquet(
+        f"{SF_DIR}/lineitem.parquet"
+    ).count()
+    df = engine.run_query("agg_group", spark, SF_DIR)
+    assert df.count() > 0
