@@ -97,6 +97,8 @@ HEADLINE = [
     "join_lateral_topn",
     "source_drift_ks",
     "event_attribution",
+    "agg_filtered_revenue",
+    "multi_join_profit",
 ]
 
 

@@ -990,3 +990,94 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("attributed"),
         )
     )
+
+
+@query(
+    "agg_filtered_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000, 0) AS BIGINT))
+                AS BIGINT) AS revenue_x10000,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l_shipdate < TIMESTAMP '2000-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def agg_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue-change shape (TPC-H Q6): a pure
+    filter-and-sum — no join, no group-by — the canonical test that
+    ALL predicates push to the scan and the aggregation is one
+    map-side-combined pass.
+
+    Scale: the year bound prunes row groups via footer stats; the
+    single-row result means shuffle traffic is one partial per task."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.02, 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000, 0).cast("long")
+    return li.agg(
+        F.sum(rev).alias("revenue_x10000"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "multi_join_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
+                                - p.p_retailprice * l.l_quantity) * 10000, 0) AS BIGINT))
+                AS BIGINT) AS profit_x10000
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def multi_join_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type-profit shape (TPC-H Q9): profit (discounted revenue
+    minus supply cost, here part retail price × quantity standing in
+    for ps_supplycost) by supplier nation and order year, restricted
+    to a part-name pattern.
+
+    Scale: the part-name filter rides the broadcast of part (shrinking
+    lineitem early), supplier→nation is a second broadcast chain, and
+    lineitem⋈orders is the one big orderkey shuffle; the group-by is
+    25 nations × ~7 years."""
+    ensure_deterministic_session(spark)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    profit = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000,
+        0,
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.sum(profit).alias("profit_x10000"))
+    )
