@@ -99,6 +99,8 @@ HEADLINE = [
     "event_attribution",
     "agg_filtered_revenue",
     "multi_join_profit",
+    "embed_quantize_int8",
+    "customer_rfm_segments",
 ]
 
 

@@ -1081,3 +1081,115 @@ def multi_join_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(profit).alias("profit_x10000"))
     )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(FLOOR(CAST(v AS DOUBLE) * 10000) AS BIGINT)) AS ev
+      FROM embeddings
+    ), a AS (
+      SELECT vec_id, ev,
+             list_max(list_transform(ev, x -> ABS(x))) AS amax,
+             len(ev) AS n_dims
+      FROM e
+    )
+    SELECT vec_id,
+           CAST(amax AS BIGINT) AS amax_q4,
+           CAST(n_dims AS INT) AS n_dims,
+           CAST(list_sum(list_transform(ev,
+                  x -> (ABS(x) * 127 + amax // 2) // amax)) AS BIGINT) AS sum_q,
+           CAST(list_sum(list_transform(ev,
+                  x -> ABS(ABS(x) * 127
+                           - ((ABS(x) * 127 + amax // 2) // amax) * amax)))
+                AS BIGINT) AS err_num_sum
+    FROM a WHERE amax > 0
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit over the embedding corpus —
+    the compression step a vector store applies before indexing.  Per
+    vector: the 1e-4-quantized max magnitude (the scale), the summed
+    int8 magnitudes, and the EXACT total rounding error in integer
+    numerator units (|a·127 − q·amax| per element, so error/127/amax
+    is the relative error — no float ever crosses the engine
+    boundary; magnitudes are non-negative so Spark's truncating `div`
+    and DuckDB's flooring `//` agree).
+
+    Scale: per-row higher-order transforms/aggregate — shuffle-free,
+    scan-speed, no explode fan-out."""
+    ensure_deterministic_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn(
+            "ev",
+            F.expr("transform(embedding, v -> cast(floor(cast(v as double) * 10000) as bigint))"),
+        )
+        .withColumn("amax_q4", F.expr("array_max(transform(ev, x -> abs(x)))"))
+        .filter(F.col("amax_q4") > 0)
+        .select(
+            "vec_id",
+            "amax_q4",
+            F.size("ev").cast("int").alias("n_dims"),
+            F.expr(
+                "aggregate(ev, 0L, (acc, x) ->"
+                " acc + (abs(x) * 127 + amax_q4 div 2) div amax_q4)"
+            ).alias("sum_q"),
+            F.expr(
+                "aggregate(ev, 0L, (acc, x) ->"
+                " acc + abs(abs(x) * 127"
+                " - ((abs(x) * 127 + amax_q4 div 2) div amax_q4) * amax_q4))"
+            ).alias("err_num_sum"),
+        )
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)) AS last_order_s,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS spend_x100
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, last_order_s, n_orders, spend_x100,
+           CAST(NTILE(4) OVER (ORDER BY last_order_s DESC, custkey) AS INT) AS r_score,
+           CAST(NTILE(4) OVER (ORDER BY n_orders DESC, custkey) AS INT) AS f_score,
+           CAST(NTILE(4) OVER (ORDER BY spend_x100 DESC, custkey) AS INT) AS m_score
+    FROM base
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer recency (last order), frequency
+    (order count) and monetary (lifetime cents), each quartile-scored
+    1–4 — the standard CRM / cohort-targeting rollup.  NTILE orderings
+    carry the custkey tiebreak, so scores are deterministic in both
+    engines.
+
+    Scale: one shuffle for the per-customer agg.  The three NTILEs
+    are global-order windows over the CUSTOMER DIM (rows ≪ facts);
+    for a billion-customer dim swap in the [[doc_length_quartiles]]
+    threshold-join or [[global_shuffle]] bucketed-rank pattern —
+    facts are never globally sorted."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(_epoch_s("o_orderdate")).alias("last_order_s"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("spend_x100"),
+    )
+    return base.select(
+        "custkey",
+        "last_order_s",
+        "n_orders",
+        "spend_x100",
+        F.ntile(4).over(Window.orderBy(F.desc("last_order_s"), F.asc("custkey"))).cast("int").alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("n_orders"), F.asc("custkey"))).cast("int").alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.desc("spend_x100"), F.asc("custkey"))).cast("int").alias("m_score"),
+    )
