@@ -101,6 +101,7 @@ HEADLINE = [
     "multi_join_profit",
     "embed_quantize_int8",
     "customer_rfm_segments",
+    "scan_binary_files",
 ]
 
 

@@ -1193,3 +1193,50 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(Window.orderBy(F.desc("n_orders"), F.asc("custkey"))).cast("int").alias("f_score"),
         F.ntile(4).over(Window.orderBy(F.desc("spend_x100"), F.asc("custkey"))).cast("int").alias("m_score"),
     )
+
+
+@query(
+    "scan_binary_files",
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes, md5(text) AS content_md5
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary intake: Spark's ``binaryFile`` source — the
+    real ingestion path for image/audio assets (one row per file:
+    path, length, content bytes) feeding the multimodal pipeline
+    ([[multimodal_decode]] etc.).  A bounded fixture set (100 docs'
+    UTF-8 bytes as .bin files, materialized once per corpus digest)
+    is read back and digest-checked against the original parquet via the
+    oracle, proving byte-exact intake.
+
+    Scale: binaryFile scans parallelize per file and push no row
+    filters — partition by directory layout instead; content bytes
+    stay columnar Arrow until the consuming UDF.  Corpus text is
+    ASCII-safe here so byte length equals n_chars."""
+    ensure_deterministic_session(spark)
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/root/repo/.scratch/binfiles_{tag}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 100)
+            .select("doc_id", "text")
+            .collect()  # bounded: 100 fixture files
+        )
+        for r in rows:
+            with open(os.path.join(path, f"{r.doc_id:06d}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        open(marker, "w").close()
+    files = spark.read.format("binaryFile").load(f"{path}/*.bin")
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
