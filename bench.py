@@ -102,6 +102,7 @@ HEADLINE = [
     "embed_quantize_int8",
     "customer_rfm_segments",
     "scan_binary_files",
+    "stream_file_intake",
 ]
 
 

@@ -1240,3 +1240,58 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@query(
+    "stream_file_intake",
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes, md5(text) AS content_md5
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def stream_file_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multimodal intake, graded end-to-end: the binary
+    fixture files from [[scan_binary_files]] are consumed as a
+    ``binaryFile`` FILE-SOURCE STREAM (the production pattern for
+    tailing a landing bucket of media assets), drained with
+    Trigger.AvailableNow into a memory sink, and digest-compared
+    against the same batch oracle — streaming ingestion is byte-exact
+    with batch.
+
+    Scale: file-source streams checkpoint the processed-file log, so
+    an unbounded landing directory is ingested incrementally with
+    exactly-once file accounting; maxFilesPerTrigger bounds each
+    micro-batch."""
+    ensure_deterministic_session(spark)
+    import hashlib
+
+    # reuse (or create) the bounded fixture set
+    scan_binary_files(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/root/repo/.scratch/binfiles_{tag}"
+    # file-source streams need the schema declared up front (no
+    # inference on unbounded input); binaryFile's schema is fixed
+    bin_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+    )
+    name = f"stream_files_{tag}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
