@@ -103,6 +103,7 @@ HEADLINE = [
     "customer_rfm_segments",
     "scan_binary_files",
     "stream_file_intake",
+    "text_tfidf_topk",
 ]
 
 

@@ -1295,3 +1295,65 @@ def stream_file_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             CAST(tf.tf * n.n_docs * 1000 // df.df AS BIGINT) AS score_milli
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_milli DESC, tok ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, tok, tf, df, score_milli
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-3 terms by TF-IDF with
+    a linear inverse-document-frequency (score = tf · N/df in exact
+    fixed-point milli-units) — the log-free variant that preserves the
+    classic ranking's shape while staying engine-exact (ln() is not
+    bit-portable; the integer score is, and the term tiebreak makes
+    the top-3 deterministic).
+
+    Scale: one token shuffle for TF, a re-agg of TF for DF (never a
+    second corpus scan), an equi-join back on token, and a per-doc
+    window — the same shape TF-IDF takes in any distributed engine.
+    The single-row N broadcasts."""
+    ensure_deterministic_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.expr("tf * n_docs * 1000 div df").alias("score_milli"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_milli"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "df", "score_milli")
+    )
