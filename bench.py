@@ -104,6 +104,8 @@ HEADLINE = [
     "scan_binary_files",
     "stream_file_intake",
     "text_tfidf_topk",
+    "event_markov_transitions",
+    "lang_id_confusion",
 ]
 
 

@@ -1357,3 +1357,98 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "tok", "tf", "df", "score_milli")
     )
+
+
+@query(
+    "event_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT),
+                                             event_id) AS next_type
+      FROM events
+    ), t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+             AS prob_bp
+    FROM t
+    """,
+)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: counts and integer-basis-point probabilities of
+    event-type A → B steps — the user-journey model behind
+    next-action prediction and funnel design ([[event_paths_topk]]
+    mines full 3-step sequences; this is the normalized one-step
+    matrix).  The (ts, event_id) ordering tiebreak makes LEAD
+    deterministic; row probabilities are cross-multiplied integers.
+
+    Scale: one user_id shuffle for the LEAD pass; the matrix agg and
+    its row-normalizing window both run on ≤|types|² rows."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch_s("ts").alias("ts_s"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    s = e.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    t = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 10000 div sum(n) over (partition by from_type)").alias("prob_bp"),
+    )
+
+
+@query(
+    "lang_id_confusion",
+    oracle="""
+    WITH g AS (
+      SELECT lang,
+             CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                  WHEN len(list_filter(string_split(text, ' '),
+                       w -> list_contains(['the','a','of','and','to','in'], w))) >= 1 THEN 'en'
+                  ELSE 'und' END AS lang_guess
+      FROM documents
+    )
+    SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * 10000 // SUM(COUNT(*)) OVER (PARTITION BY lang) AS BIGINT)
+             AS share_bp
+    FROM g GROUP BY lang, lang_guess
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier QA: the confusion matrix between each document's
+    declared language and the [[text_lang_id]] heuristic's guess,
+    with per-declared-language shares in integer basis points — the
+    evaluation every model-derived label column needs before it
+    gates a corpus at scale.
+
+    Scale: one (lang, guess) agg — ≤|langs|² rows — plus a window on
+    that tiny matrix; the heuristic itself is expression-only at
+    scan speed."""
+    ensure_deterministic_session(spark)
+    from ..functions.text import lang_guess
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select("lang", lang_guess("text").alias("lang_guess"))
+    return (
+        g.groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "lang",
+            "lang_guess",
+            "n",
+            F.expr("n * 10000 div sum(n) over (partition by lang)").alias("share_bp"),
+        )
+    )
