@@ -279,6 +279,214 @@ def text_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iters: int) -> str:
+    """Mechanically unroll ``iters`` PageRank rounds as chained CTEs —
+    the oracle is generated by the same loop the Spark builder runs,
+    so both engines execute the identical exact-integer recurrence."""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""r{i} AS (
+      SELECT e.v AS node,
+             CAST(MIN(t.tp) + (85 * SUM(p.r // d.c)) // 100 AS BIGINT) AS r
+      FROM e JOIN r{i - 1} p ON p.node = e.u
+             JOIN deg d ON d.u = e.u
+             CROSS JOIN tele t
+      GROUP BY e.v
+    )"""
+        )
+    return f"""
+    WITH base AS (
+      SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS (
+      SELECT u, v FROM base UNION SELECT v AS u, u AS v FROM base
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY u
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM deg
+    ), tele AS (
+      SELECT CAST(15 * 1000000000000 // (100 * nn) AS BIGINT) AS tp FROM n
+    ), r0 AS (
+      SELECT d.u AS node,
+             CAST(1000000000000 // (SELECT nn FROM n) AS BIGINT) AS r
+      FROM deg d
+    ), {', '.join(rounds)}
+    SELECT node, node % 2 = 0 AS is_customer, r AS rank_e12 FROM r{iters}
+    """
+
+
+_PAGERANK_ITERS = 6
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(_PAGERANK_ITERS))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer↔supplier trade graph
+    (distinct (custkey, suppkey) pairs from orders ⋈ lineitem,
+    symmetrized; customers get even node ids, suppliers odd).
+
+    Exact integer fixed point: ranks live in 1e-12 mass units, each
+    round is ``tp + ⌊85·Σ⌊r(u)/deg(u)⌋ / 100⌋`` — floor divisions and
+    BIGINT sums are order-independent, so the result is bit-identical
+    under any partitioning and in the (mechanically unrolled) DuckDB
+    oracle, something float PageRank cannot promise.
+
+    Scale: the per-round state is one (node, rank) table hash-
+    partitioned on node; each round costs join(edges)+groupBy — the
+    standard |E|-proportional plan — with localCheckpoint truncating
+    lineage so round k never re-plans rounds 1..k-1.  The only driver
+    scalars are the node count (one bounded action) fed into the two
+    teleport constants."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    e = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    e = e.localCheckpoint(eager=True)
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
+    n_nodes = deg.count()  # bounded scalar action: one BIGINT to the driver
+    tp = 15 * 10**12 // (100 * n_nodes)
+    r = deg.select(F.col("u").alias("node"), F.lit(10**12 // n_nodes).alias("r"))
+    for _ in range(_PAGERANK_ITERS):
+        r = (
+            e.join(r, e.u == r.node)
+            .join(deg, "u")
+            .select(F.col("v"), F.expr("r div c").alias("contrib"))
+            .groupBy("v")
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                F.col("v").alias("node"),
+                (F.lit(tp) + F.expr("(85 * s) div 100")).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select(
+        "node", (F.col("node") % 2 == 0).alias("is_customer"), F.col("r").alias("rank_e12")
+    )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s, event_id,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE user_id < 20
+    ), b AS (
+      SELECT user_id, ts_s // 3600 AS bucket,
+             ts_s * 100000 + event_id AS k, cents
+      FROM e
+    ), obs AS (
+      SELECT user_id, bucket, arg_max(cents, k) AS v_obs FROM b GROUP BY user_id, bucket
+    ), bounds AS (
+      SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM bounds
+    ), j AS (
+      SELECT g.user_id, g.bucket, o.v_obs
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket
+    ), f AS (
+      SELECT user_id, bucket, v_obs,
+             last_value(v_obs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+             last_value(CASE WHEN v_obs IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_prev,
+             first_value(v_obs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+             first_value(CASE WHEN v_obs IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS b_next
+      FROM j
+    )
+    SELECT user_id, bucket * 3600 AS bucket_s,
+           v_obs IS NOT NULL AS is_observed,
+           CAST(CASE WHEN v_obs IS NOT NULL THEN v_obs * 1000
+                ELSE (v_prev * (b_next - bucket) + v_next * (bucket - b_prev)) * 1000
+                     // (b_next - b_prev)
+           END AS BIGINT) AS value_mc
+    FROM f
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resampling with LINEAR interpolation: unobserved grid
+    hours get the time-weighted blend of the neighboring observations,
+    ``(v₀·(t₁−t) + v₁·(t−t₀)) / (t₁−t₀)`` — computed entirely in
+    integer milli-cents via cross multiplication and floor division
+    (values are non-negative, so Spark ``div`` ≡ DuckDB ``//``).
+    Bounded to user_id < 20 like the ffill twin, so the graded grid
+    stays ~20 × 720 rows at any scale factor.
+
+    Scale: the grid is a generator (explode of ``sequence``), the
+    prev/next lookups are four IGNORE-NULLS window passes sharing one
+    (user) shuffle + sort — no self-join against the observation set,
+    no per-gap subquery.  Interior gaps always have both neighbors by
+    construction (grid spans min..max observed buckets)."""
+    ensure_deterministic_session(spark)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG)").alias("ts_s"),
+            "event_id",
+            (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+        )
+    )
+    b = e.select(
+        "user_id",
+        F.expr("ts_s div 3600").alias("bucket"),
+        (F.col("ts_s") * 100000 + F.col("event_id")).alias("k"),
+        "cents",
+    )
+    obs = b.groupBy("user_id", "bucket").agg(F.max_by("cents", "k").alias("v_obs"))
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select("user_id", F.explode(F.sequence("b0", "b1")).alias("bucket"))
+    )
+    j = grid.join(obs, ["user_id", "bucket"], "left")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("v_obs").isNotNull(), F.col("bucket"))
+    f = j.select(
+        "user_id",
+        "bucket",
+        "v_obs",
+        F.last("v_obs", ignorenulls=True).over(w_back).alias("v_prev"),
+        F.last(obs_bucket, ignorenulls=True).over(w_back).alias("b_prev"),
+        F.first("v_obs", ignorenulls=True).over(w_fwd).alias("v_next"),
+        F.first(obs_bucket, ignorenulls=True).over(w_fwd).alias("b_next"),
+    )
+    return f.select(
+        "user_id",
+        (F.col("bucket") * 3600).alias("bucket_s"),
+        F.col("v_obs").isNotNull().alias("is_observed"),
+        F.expr(
+            "CAST(CASE WHEN v_obs IS NOT NULL THEN v_obs * 1000"
+            " ELSE (v_prev * (b_next - bucket) + v_next * (bucket - b_prev)) * 1000"
+            " div (b_next - b_prev) END AS BIGINT)"
+        ).alias("value_mc"),
+    )
+
+
 @query(
     "event_cooccurrence",
     oracle="""
