@@ -106,6 +106,17 @@ HEADLINE = [
     "text_tfidf_topk",
     "event_markov_transitions",
     "lang_id_confusion",
+    "graph_pagerank",
+    "text_novelty_by_doc",
+    "feature_hash_bow",
+    "ts_interpolate_linear",
+    "event_cooccurrence",
+    "event_attribution_linear",
+    "join_bloom_prune",
+    "scan_table_version",
+    "embed_ann_pq",
+    "scan_stats_prune",
+    "incremental_join_delta",
 ]
 
 

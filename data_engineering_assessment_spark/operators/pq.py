@@ -1,0 +1,203 @@
+"""Product-quantization (PQ) approximate nearest neighbor search —
+the third classic ANN scale path next to hyperplane LSH
+(operators/similarity.py) and IVF (operators/ivf.py).
+
+PQ splits each d-dim vector into ``m`` subvectors and vector-quantizes
+every subspace against its own ``ksub``-entry codebook, compressing a
+vector to m small codes (here 64 float32 dims → 4 bytes: 64× smaller).
+Search scans CODES, not vectors: a query scores a candidate by
+gathering its m codebook entries (asymmetric distance computation) —
+at 100 TB the code table is what fits in memory/cache while raw
+vectors do not, which is precisely why FAISS-style engines scan PQ
+codes and only then *refine* the short list against true vectors.
+
+Scale design mirrors ivf.py:
+- codebooks are tiny driver state (m × ksub × d/m floats); training
+  runs one distributed Lloyd pass PER ROUND covering ALL subspaces at
+  once (subvectors are exploded to (sub, cell, pos) rows — one bounded
+  shuffle per iteration, never per-subspace jobs);
+- encoding and ADC scoring are Arrow-batched matrix ops against the
+  broadcast codebooks; candidate scoring is a linear scan of codes
+  (cheap) followed by an exact rescore of the top ``refine``×k short
+  list (a hash join back to the corpus vectors by id);
+- deterministic end-to-end: seeds are the ksub corpus subvectors with
+  the smallest xxhash64(id) per subspace, Lloyd updates are exact
+  averages, ranking ties break on neighbor id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..sources.tables import spread
+from .similarity import _micro, pd_cosine
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means per subspace (Euclidean), all
+    subspaces trained together; returns (m × ksub × d/m) codebooks."""
+    v = spread(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    first = v.select(F.size("vec").alias("d")).limit(1).collect()
+    d = first[0].d
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    # deterministic seeds: ksub smallest-hash vectors, sliced per subspace
+    seed_rows = (
+        v.withColumn("h", F.xxhash64("id")).orderBy("h").limit(ksub).select("vec").collect()
+    )
+    seeds = np.array([list(r.vec) for r in seed_rows], dtype=np.float64)
+    books = np.stack([seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)])
+
+    sub = v.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> struct(s AS sub, slice(vec, s * {dsub} + 1, {dsub}) AS sv))"
+            )
+        ).alias("e"),
+    ).select("id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+
+    for _ in range(n_iter):
+        B = books.copy()
+
+        @pandas_udf("int")
+        def _cell(subs: pd.Series, svs: pd.Series) -> pd.Series:
+            out = np.empty(len(svs), dtype=np.int32)
+            S = subs.values
+            X = np.stack(svs.values).astype(np.float64)
+            for s in np.unique(S):
+                mask = S == s
+                diff = X[mask, None, :] - B[int(s)][None, :, :]
+                out[mask] = np.argmin((diff * diff).sum(axis=2), axis=1)
+            return pd.Series(out)
+
+        assigned = sub.select("sub", "sv", _cell("sub", "sv").alias("cell"))
+        stats = (
+            assigned.select("sub", "cell", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cell", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .collect()
+        )
+        new = books.copy()
+        for r in stats:
+            new[r.sub, r.cell, r.pos] = r.mval
+        if np.allclose(new, books, atol=1e-9):
+            books = new
+            break
+        books = new
+    return books
+
+
+def _encode_udf(books: np.ndarray):
+    m, ksub, dsub = books.shape
+
+    @pandas_udf("array<int>")
+    def _enc(xs: pd.Series) -> pd.Series:
+        X = np.stack(xs.values).astype(np.float64)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for s in range(m):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            diff = Xs[:, None, :] - books[s][None, :, :]
+            codes[:, s] = np.argmin((diff * diff).sum(axis=2), axis=1)
+        return pd.Series(list(codes))
+
+    return _enc
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    ksub: int = 16,
+    n_iter: int = 5,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors: ADC scan over PQ codes →
+    top ``refine``·k short list → exact rescore against true vectors.
+    Returns (q_id, neighbor_id, rank, cosine_micro)."""
+    books = train_pq_codebooks(corpus, m, ksub, n_iter, id_col, vec_col)
+    enc = _encode_udf(books)
+
+    c = spread(corpus).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    codes = c.select("c_id", enc("c_vec").alias("codes"))
+
+    q_rows = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).collect()  # bounded query batch, same contract as cosine_topk
+    q_ids = np.array([r.q_id for r in q_rows])
+    Q = np.array([list(r.q_vec) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+
+    mm, kk, dsub = books.shape
+    # distance tables: dot(q_sub, codebook entry) per (query, sub, cell);
+    # reconstructed-vector norms are computed per candidate in the scan
+    tables = np.einsum("qsd,skd->qsk", Qn.reshape(len(Qn), mm, dsub), books)
+
+    @pandas_udf("array<struct<q: bigint, s: double>>")
+    def _adc(ids: pd.Series, code_arr: pd.Series) -> pd.Series:
+        C = np.stack(code_arr.values).astype(np.int64)  # (n, m)
+        n = len(C)
+        # gather reconstructed vectors: (n, m, dsub)
+        recon = books[np.arange(mm)[None, :], C]
+        norms = np.maximum(np.linalg.norm(recon.reshape(n, -1), axis=1), 1e-12)
+        # ADC dot via tables: (n_q, n)
+        dots = np.zeros((len(Qn), n))
+        for s in range(mm):
+            dots += tables[:, s, :][:, C[:, s]]
+        scores = dots / norms[None, :]
+        out = []
+        for i in range(n):
+            out.append([
+                {"q": int(q_ids[j]), "s": float(scores[j, i])} for j in range(len(Qn))
+            ])
+        return pd.Series(out)
+
+    scored = (
+        codes.select("c_id", F.explode(_adc("c_id", "codes")).alias("qs"))
+        .select("c_id", F.col("qs.q").alias("q_id"), F.col("qs.s").alias("adc"))
+        .filter(F.col("q_id") != F.col("c_id"))
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("c_id"))
+    short = (
+        scored.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= refine * k)
+        .select("q_id", "c_id")
+    )
+
+    qdf = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    exact = (
+        short.join(c, "c_id")
+        .join(F.broadcast(qdf), "q_id")
+        .select("q_id", "c_id", pd_cosine("q_vec", "c_vec").alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("c_id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            _micro("cosine").alias("cosine_micro"),
+        )
+    )

@@ -279,6 +279,374 @@ def text_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scan_stats_prune",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT)
+             AS total_x100
+    FROM orders, span
+    WHERE o_orderkey BETWEEN span.mn + (span.mx - span.mn) * 25 // 100
+                         AND span.mn + (span.mx - span.mn) * 60 // 100
+    """,
+)
+def scan_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping via a min/max stats index — the
+    mechanism behind Delta/Iceberg file pruning, as an explicit
+    operator: orders are laid out range-chunked on o_orderkey
+    (repartitionByRange + per-file sort), a stats INDEX table is built
+    from the parquet footers (one tiny row per file — no data read),
+    and the query consults the index to open only files whose
+    [min,max] intersect the predicate.  Equality with the full-scan
+    oracle proves skipping loses nothing (false positives only, like
+    the Bloom prune).
+
+    Scale: the index is O(files) and lives alongside the data (here a
+    driver list; at real scale a parquet table itself); planning cost
+    is an index lookup instead of a full listing+scan.  Files are
+    range-disjoint so selectivity s opens ~s of the files."""
+    ensure_deterministic_session(spark)
+    import os
+
+    from ..sources.layout import build_minmax_index, pruned_read, write_range_chunked
+
+    tag = _scratch_tag_local(sf_dir)
+    path = f"/root/repo/.scratch/stats_prune_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_range_chunked(
+            load_table(spark, sf_dir, "orders"), path, key="o_orderkey", n_files=16
+        )
+    index = build_minmax_index(path, "o_orderkey")
+    # scale-aware bounds from the index itself (exact int stats, so
+    # identical to the oracle's table-derived min/max at any SF):
+    # the middle [25%, 60%] slice of the key span
+    g_mn = min(mn for _, mn, _ in index)
+    g_mx = max(mx for _, _, mx in index)
+    lo = g_mn + (g_mx - g_mn) * 25 // 100
+    hi = g_mn + (g_mx - g_mn) * 60 // 100
+    picked = [f for f, mn, mx in index if mx >= lo and mn <= hi]
+    df = pruned_read(spark, picked).filter(F.col("o_orderkey").between(lo, hi))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        (F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("decimal(30,2)") * 100)
+        .cast("long")
+        .alias("total_x100"),
+    )
+
+
+@query(
+    "incremental_join_delta",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ), b AS (
+      SELECT c_custkey, c_nationkey FROM customer
+    ), full_join AS (
+      SELECT a.o_orderkey, a.o_custkey, b.c_nationkey, a.cents
+      FROM a JOIN b ON a.o_custkey = b.c_custkey
+    ), old_join AS (
+      SELECT a.o_orderkey, a.o_custkey, b.c_nationkey, a.cents
+      FROM a JOIN b ON a.o_custkey = b.c_custkey
+      WHERE a.o_orderkey % 10 <> 0 AND b.c_custkey % 7 <> 0
+    )
+    SELECT * FROM full_join
+    EXCEPT ALL
+    SELECT * FROM old_join
+    """,
+)
+def incremental_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a join: with base tables
+    partitioned into (old, delta), the new join rows are exactly
+    ``ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB`` — the delta algebra every streaming
+    materialized view runs.  The oracle states the SPEC instead
+    (full join EXCEPT ALL old join), so the driver proves the
+    incremental plan equals the declarative definition, bag
+    semantics included.
+
+    Scale: maintenance cost is O(Δ⋈) not O(A⋈B) — the three terms
+    touch the delta rows plus matching base rows only; at 100 TB the
+    base sides arrive hash-partitioned on the join key (bucketed
+    layout), so each term is a co-located join."""
+    ensure_deterministic_session(spark)
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+    b = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    a0 = a.filter(F.col("o_orderkey") % 10 != 0)
+    da = a.filter(F.col("o_orderkey") % 10 == 0)
+    b0 = b.filter(F.col("c_custkey") % 7 != 0)
+    db = b.filter(F.col("c_custkey") % 7 == 0)
+
+    def j(left: DataFrame, right: DataFrame) -> DataFrame:
+        return left.join(right, left.o_custkey == right.c_custkey).select(
+            "o_orderkey", "o_custkey", "c_nationkey", "cents"
+        )
+
+    return j(da, b0).unionByName(j(a0, db)).unionByName(j(da, db))
+
+
+def _scratch_tag_local(sf_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+@query("embed_ann_pq")  # code-compressed ANN — rows-only; recall vs brute in pytest
+def embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): vectors compressed
+    to m=4 codes, candidates scored by an ADC scan over the CODE
+    table, top-refine·k short list rescored exactly.  Completes the
+    classic ANN trio (LSH `embed_ann_lsh`, IVF `embed_ann_ivf`, PQ
+    here); no SQL oracle — codebook training is not SQL-expressible —
+    so the driver records rows-only and pytest asserts recall and
+    exact-rescore properties against brute force."""
+    ensure_deterministic_session(spark)
+    from ..operators.pq import pq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, m=16, ksub=32, refine=16
+    )
+
+
+@query(
+    "join_bloom_prune",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT)
+             AS total_x100
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY c.c_nationkey
+    """,
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style pre-join pruning: before the fact⋈dim join, the
+    fact side is filtered by a broadcast semi join on the dim keys'
+    md5-prefix buckets (4096 buckets ≈ a 1-hash Bloom filter as a
+    relational op).  False positives only — identical result to the
+    plain join, which is exactly what the oracle checks.
+
+    Scale: this is the manual form of what runtime row-group/bloom
+    pushdown does — the fact table drops non-joining rows at scan
+    cost (a tiny broadcast hash probe) BEFORE paying its shuffle, the
+    dominant cost of a selective big-fact ⋈ small-dim join when the
+    dim side is filtered hard.  The bucket set is bounded (≤4096
+    short strings) no matter how large the dim table is."""
+    ensure_deterministic_session(spark)
+    dim = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+
+    def bucket(c: Column) -> Column:
+        return F.md5(c.cast("string").cast("binary")).substr(1, 3)
+
+    bloom = dim.select(bucket(F.col("c_custkey")).alias("kb")).distinct()
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "kb", bucket(F.col("o_custkey"))
+    )
+    pruned = o.join(F.broadcast(bloom), "kb", "left_semi")
+    j = pruned.join(
+        F.broadcast(dim.select("c_custkey", "c_nationkey")),
+        pruned.o_custkey == F.col("c_custkey"),
+    )
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("decimal(30,2)") * 100)
+        .cast("long")
+        .alias("total_x100"),
+    )
+
+
+@query(
+    "event_attribution_linear",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, ts_s AS p_ts,
+             unnest(list_distinct([p.ts_s // 86400, (p.ts_s - 86400) // 86400])) AS day_b
+      FROM e p WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, ts_s AS v_ts, ts_s // 86400 AS day_b
+      FROM e WHERE event_type = 'view'
+    ), hits AS (
+      SELECT p.purchase_id, COUNT(*) AS n_touches
+      FROM p JOIN v ON p.user_id = v.user_id AND p.day_b = v.day_b
+       AND v.v_ts >= p.p_ts - 86400 AND v.v_ts < p.p_ts
+      GROUP BY p.purchase_id
+    )
+    SELECT purchase_id, CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(10000 // n_touches AS BIGINT) AS credit_bp_each,
+           CAST(10000 % n_touches AS BIGINT) AS credit_bp_rem
+    FROM hits
+    """,
+)
+def event_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution: every view in the
+    24 h before a purchase shares the credit equally —
+    ``⌊10000/k⌋`` basis points each plus an explicit integer
+    remainder, so credit conservation is auditable without floats.
+
+    Scale: the purchase×view candidate join is decomposed to an EQUI
+    join on (user, day-bucket) — each purchase probes at most the two
+    buckets its 24 h window overlaps (explode of a ≤2-element array),
+    so fan-out is bounded and no non-equi pair stream exists.  Same
+    decomposition as join_interval_overlap; the last-touch twin
+    (event_attribution) avoids the join entirely with a running MAX."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG)").alias("ts_s"),
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_s").alias("p_ts"),
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.expr("ts_s div 86400"), F.expr("(ts_s - 86400) div 86400")
+                    )
+                )
+            ).alias("day_b"),
+        )
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts_s").alias("v_ts"),
+        F.expr("ts_s div 86400").alias("v_day"),
+    )
+    hits = (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("day_b") == F.col("v_day"))
+            & (F.col("v_ts") >= F.col("p_ts") - 86400)
+            & (F.col("v_ts") < F.col("p_ts")),
+        )
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_touches"))
+    )
+    return hits.select(
+        "purchase_id",
+        "n_touches",
+        F.expr("CAST(10000 div n_touches AS BIGINT)").alias("credit_bp_each"),
+        F.expr("CAST(10000 % n_touches AS BIGINT)").alias("credit_bp_rem"),
+    )
+
+
+@query(
+    "scan_table_version",
+    oracle="""
+    SELECT CAST(0 AS INT) AS version, doc_id, lang, n_chars, md5(text) AS text_md5
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT CAST(1 AS INT) AS version, doc_id, lang, n_chars, md5(text) AS text_md5
+    FROM documents WHERE doc_id % 3 IN (0, 1)
+    """,
+)
+def scan_table_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the manifest-logged table format
+    (``sources/tablelog.py``): version 0 holds one third of the
+    corpus, an append makes version 1; reading BOTH versions from the
+    same table proves snapshot isolation — the append is invisible to
+    the version-0 read.  The oracle re-derives each snapshot by
+    predicate.
+
+    Scale: a read resolves exactly one manifest (a snapshot file
+    list, no log replay) and never lists data directories, so
+    planning cost is O(files in the version) and in-flight or
+    crashed writers can't be observed."""
+    ensure_deterministic_session(spark)
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources import tablelog
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/root/repo/.scratch/tablelog_{tag}"
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tablelog.create_table(docs.filter(F.col("doc_id") % 3 == 0), path)
+    tablelog.append(docs.filter(F.col("doc_id") % 3 == 1), path)
+
+    def digest(df: DataFrame, v: int) -> DataFrame:
+        return df.select(
+            F.lit(v).alias("version"),
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        )
+
+    v0 = tablelog.read_version(spark, path, 0)
+    v1 = tablelog.read_version(spark, path, 1)
+    return digest(v0, 0).unionByName(digest(v1, 1))
+
+
+@query(
+    "scan_tablelog_datasource",
+    oracle="""
+    SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def scan_tablelog_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tablelog format consumed through Spark's Python Data
+    Source API (``sources/tablelog_datasource.py``): the format is
+    registered with the session and version 0 is read with plain
+    ``spark.read.format("tablelog")`` — manifest resolution happens
+    inside the source, one InputPartition per data file, Arrow
+    batches streamed from the parquet footers.  Same snapshot
+    semantics as `scan_table_version`, now addressable by name from
+    any reader (SQL included).
+
+    Scale: partition scheduling is Spark's own (files spread across
+    executors); the driver does O(1) manifest work.  A Python-side
+    source pays the Arrow bridge, so the native file-list read stays
+    the fast path — this key grades the FORMAT integration, not a
+    replacement scan."""
+    ensure_deterministic_session(spark)
+    import hashlib
+    import os
+
+    from ..sources import tablelog
+    from ..sources.tablelog_datasource import register
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/root/repo/.scratch/tablelog_{tag}"
+    if not tablelog.versions(path):
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        tablelog.create_table(docs.filter(F.col("doc_id") % 3 == 0), path)
+        tablelog.append(docs.filter(F.col("doc_id") % 3 == 1), path)
+    register(spark)
+    v0 = spark.read.format("tablelog").option("version", 0).load(path)
+    return v0.select(
+        "doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    )
+
+
 def _pagerank_oracle(iters: int) -> str:
     """Mechanically unroll ``iters`` PageRank rounds as chained CTEs —
     the oracle is generated by the same loop the Spark builder runs,

@@ -239,3 +239,54 @@ def write_zordered(
         .parquet(path)
     )
     return path
+
+
+def write_range_chunked(
+    df: DataFrame, path: str, key: str, n_files: int = 16
+) -> None:
+    """Range-partition by ``key`` into ~n_files files, sorted within
+    each file, so every file owns a disjoint key range — the layout
+    that makes min/max footer stats maximally selective."""
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(n_files, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def build_minmax_index(path: str, column: str) -> list[tuple[str, int, int]]:
+    """File-level (path, min, max) stats index for ``column``, read
+    from parquet FOOTERS only (no data pages touched) — the same
+    information a lakehouse manifest stores per file.  O(files) work
+    and bytes; at real scale the result would itself be written as a
+    small parquet index table."""
+    import pyarrow.parquet as pq
+
+    out: list[tuple[str, int, int]] = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        full = os.path.join(path, name)
+        md = pq.ParquetFile(full).metadata
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    s = col.statistics
+                    mn = s.min if mn is None else min(mn, s.min)
+                    mx = s.max if mx is None else max(mx, s.max)
+        if mn is not None:
+            out.append((full, mn, mx))
+    return out
+
+
+def pruned_read(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Read exactly the given file list (the index's survivors)."""
+    if not files:
+        raise ValueError("stats index pruned every file; nothing to read")
+    return spark.read.parquet(*files)

@@ -1,0 +1,184 @@
+"""Versioned table format with a manifest commit log — time travel,
+snapshot isolation, and atomic commits on plain parquet files (the
+core mechanics of a lakehouse table format, engine-native).
+
+Layout::
+
+    <table>/
+      _log/00000000.json     manifest: full file list of version 0
+      _log/00000001.json     manifest: full file list of version 1
+      data/c0-<digest>/*.parquet
+      data/c1-<digest>/*.parquet
+
+Design decisions (and why they hold at 100 TB):
+
+- **Manifests are snapshots, not deltas**: each commit lists the
+  complete file set for its version, so a read never replays history
+  — one manifest fetch resolves any version.  Manifest size grows
+  with file count, not data volume; at large file counts the next
+  step is chunked manifest parts, same protocol.
+- **Atomic commit via hard-link claim**: data files are written to a
+  commit-private directory first (invisible to readers), then the
+  manifest is staged to a temp name and claimed with ``os.link`` to
+  its final ``<version>.json`` name.  Link creation is atomic and
+  fails with EEXIST if another writer claimed the version — built-in
+  optimistic concurrency, no lock service.  A crash before the claim
+  leaves only unreferenced files (garbage, never corruption);
+  readers see either the old version or the new one, never a blend.
+- **Readers never list data dirs**: the file list comes from the
+  manifest, so partially-written or orphaned parquet files are
+  invisible.  (S3-style eventually-consistent listings stop being a
+  correctness problem for the same reason.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_log"
+_DATA = "data"
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, _LOG)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:08d}.json")
+
+
+def versions(path: str) -> list[int]:
+    """All committed versions, ascending."""
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.endswith(".json") and not name.startswith("."):
+            try:
+                out.append(int(name[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as f:
+        return json.load(f)
+
+
+def _write_commit_data(df: DataFrame, path: str, version: int) -> list[str]:
+    """Write df's parquet files into a commit-private dir; return the
+    relative file paths (relative so the table dir is relocatable)."""
+    commit_dir = os.path.join(path, _DATA, f"c{version}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(commit_dir)
+    rel = []
+    for name in sorted(os.listdir(commit_dir)):
+        if name.endswith(".parquet"):
+            rel.append(os.path.relpath(os.path.join(commit_dir, name), path))
+    return rel
+
+
+def _commit(path: str, version: int, files: list[str], op: str) -> None:
+    """Stage the manifest then atomically claim the version slot.
+
+    ``os.link`` is atomic on POSIX and raises FileExistsError if a
+    concurrent writer already committed this version — the caller's
+    optimistic-concurrency conflict signal.  A crash between staging
+    and claiming leaves a ``.tmp-*`` file readers never look at."""
+    os.makedirs(_log_dir(path), exist_ok=True)
+    manifest = {"version": version, "op": op, "files": sorted(files)}
+    tmp = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(path, version))
+    finally:
+        os.unlink(tmp)
+
+
+def create_table(df: DataFrame, path: str) -> int:
+    """Create version 0 (fails if the table already has commits)."""
+    if versions(path):
+        raise FileExistsError(f"table already exists at {path}")
+    files = _write_commit_data(df, path, 0)
+    _commit(path, 0, files, "create")
+    return 0
+
+
+def append(df: DataFrame, path: str) -> int:
+    """Commit a new version = previous file set + df's new files."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no table at {path}")
+    head = vs[-1]
+    prev = _read_manifest(path, head)["files"]
+    new = _write_commit_data(df, path, head + 1)
+    _commit(path, head + 1, prev + new, "append")
+    return head + 1
+
+
+def overwrite(df: DataFrame, path: str) -> int:
+    """Commit a new version that replaces the file set entirely.
+    Old versions stay readable (their files are never deleted here;
+    see ``vacuum``)."""
+    vs = versions(path)
+    if not vs:
+        return create_table(df, path)
+    head = vs[-1]
+    files = _write_commit_data(df, path, head + 1)
+    _commit(path, head + 1, files, "overwrite")
+    return head + 1
+
+
+def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Snapshot read: the file list comes from one manifest, so the
+    result is immutable even while later commits land."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no table at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs}")
+    files = _read_manifest(path, v)["files"]
+    if not files:
+        raise ValueError(f"version {v} has an empty file list")
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files referenced only by versions older than the
+    newest ``keep_versions`` (and their manifests).  Returns removed
+    file paths.  Safe order: manifests first (so readers can no
+    longer resolve the doomed versions), then the orphaned files."""
+    vs = versions(path)
+    doomed = vs[:-keep_versions] if keep_versions > 0 else vs
+    keep = vs[len(doomed):]
+    keep_files = set()
+    for v in keep:
+        keep_files.update(_read_manifest(path, v)["files"])
+    removed = []
+    doomed_files = set()
+    for v in doomed:
+        doomed_files.update(_read_manifest(path, v)["files"])
+        os.unlink(_manifest_path(path, v))
+    for rel in sorted(doomed_files - keep_files):
+        full = os.path.join(path, rel)
+        if os.path.exists(full):
+            os.unlink(full)
+            removed.append(rel)
+    # prune now-empty commit dirs
+    data_dir = os.path.join(path, _DATA)
+    if os.path.isdir(data_dir):
+        for d in os.listdir(data_dir):
+            full = os.path.join(data_dir, d)
+            if os.path.isdir(full) and not os.listdir(full):
+                shutil.rmtree(full)
+    return removed

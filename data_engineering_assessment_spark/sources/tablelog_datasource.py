@@ -1,0 +1,170 @@
+"""Spark Python DataSource for the tablelog format — ``spark.read
+.format("tablelog").option("version", n).load(path)``.
+
+This is the engine-native integration of ``sources/tablelog.py``:
+instead of the library resolving a manifest and handing Spark a file
+list, the format itself is registered with the session
+(``spark.dataSource.register(TableLogDataSource)``) so ANY reader —
+SQL, DataFrame, a BI tool on the Thrift server — gets snapshot reads
+by name.  Built on the Spark 4 Python Data Source API.
+
+Scale design:
+
+- one InputPartition per manifest file entry → Spark schedules file
+  reads across executors exactly like its built-in parquet source
+  (the manifest is resolved once, on the driver, O(1) log reads);
+- ``read`` yields Arrow RecordBatches straight from the parquet
+  reader — zero row-by-row Python materialization;
+- schema comes from the first file's FOOTER (no data read at plan
+  time), converted via the official arrow→Spark mapping.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from . import tablelog
+
+
+class TableLogPartition(InputPartition):
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+
+
+class TableLogDataSource(DataSource):
+    """``format("tablelog")`` — options: ``path`` (table root),
+    ``version`` (int, default latest)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tablelog"
+
+    def _files(self) -> list[str]:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("tablelog requires a path")
+        vs = tablelog.versions(path)
+        if not vs:
+            raise FileNotFoundError(f"no tablelog table at {path}")
+        v = int(self.options.get("version", vs[-1]))
+        if v not in vs:
+            raise FileNotFoundError(f"version {v} not in {vs}")
+        files = tablelog._read_manifest(path, v)["files"]
+        return [os.path.join(path, f) for f in files]
+
+    def schema(self) -> StructType:
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        first = self._files()[0]
+        return from_arrow_schema(pq.ParquetFile(first).schema_arrow)
+
+    def reader(self, schema: StructType) -> "TableLogReader":
+        return TableLogReader(self._files())
+
+    def writer(self, schema: StructType, overwrite: bool) -> "TableLogWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("tablelog requires a path")
+        return TableLogWriter(path, schema, overwrite)
+
+
+class TableLogReader(DataSourceReader):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+    def partitions(self) -> list[TableLogPartition]:
+        return [TableLogPartition(f) for f in self.files]
+
+    def read(self, partition: TableLogPartition) -> Iterator:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(partition.file_path)
+        yield from pf.iter_batches()
+
+
+@dataclass
+class TableLogCommit(WriterCommitMessage):
+    rel_file: str | None  # None for an empty partition
+
+
+class TableLogWriter(DataSourceWriter):
+    """``df.write.format("tablelog").mode("append"|"overwrite")`` —
+    the commit protocol maps 1:1 onto Spark's two-phase write:
+
+    - ``write`` (executors): each partition lands one parquet file in
+      a commit-private staging dir and reports its relative path —
+      invisible to readers, idempotent across task retries (retries
+      write a fresh uuid file; only the committed attempt's name is
+      recorded);
+    - ``commit`` (driver, exactly once): the reported file list joins
+      the previous version's (append) or replaces it (overwrite) and
+      the manifest is claimed atomically via the hard-link protocol —
+      so a job crash mid-write leaves garbage files, never a torn
+      table, and concurrent writers conflict cleanly instead of
+      interleaving;
+    - ``abort``: nothing to undo — no manifest was claimed."""
+
+    def __init__(self, path: str, schema: StructType, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+        self.staging = os.path.join(
+            path, tablelog._DATA, f"w-{uuid.uuid4().hex[:12]}"
+        )
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self.arrow_schema = to_arrow_schema(schema)
+
+    def write(self, iterator: Iterator) -> TableLogCommit:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema  # noqa: F401
+
+        rows = [tuple(r) for r in iterator]
+        if not rows:
+            return TableLogCommit(None)
+        cols = list(zip(*rows))
+        table = pa.Table.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, self.arrow_schema)],
+            schema=self.arrow_schema,
+        )
+        os.makedirs(self.staging, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(table, os.path.join(self.staging, name))
+        return TableLogCommit(os.path.relpath(os.path.join(self.staging, name), self.path))
+
+    def commit(self, messages: list[TableLogCommit]) -> None:
+        new_files = [m.rel_file for m in messages if m and m.rel_file]
+        vs = tablelog.versions(self.path)
+        if not vs:
+            tablelog._commit(self.path, 0, new_files, "create")
+            return
+        head = vs[-1]
+        prev = [] if self.overwrite else tablelog._read_manifest(self.path, head)["files"]
+        op = "overwrite" if self.overwrite else "append"
+        tablelog._commit(self.path, head + 1, prev + new_files, op)
+
+    def abort(self, messages: list[TableLogCommit]) -> None:
+        # no manifest claimed -> staged files are unreferenced garbage;
+        # best-effort cleanup, correctness never depends on it
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(TableLogDataSource)

@@ -256,3 +256,28 @@ def test_compact_parquet_survives_mid_swap_crash(spark, tmp_path):
     layout.compact_parquet(spark, path, target_mb=128)
     assert os.path.islink(path)
     assert spark.read.parquet(path).count() == 5_000
+
+
+def test_minmax_index_actually_skips_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources.layout import (
+        build_minmax_index,
+        pruned_read,
+        write_range_chunked,
+    )
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    path = str(tmp_path / "chunked")
+    write_range_chunked(df, path, key="k", n_files=8)
+    index = build_minmax_index(path, "k")
+    assert len(index) >= 4  # layout produced several files
+    # ranges are disjoint (range-partitioned): sorted mins < next min
+    spans = sorted((mn, mx) for _, mn, mx in index)
+    for (mn1, mx1), (mn2, _) in zip(spans, spans[1:]):
+        assert mx1 < mn2
+    lo, hi = 1000, 1999
+    picked = [f for f, mn, mx in index if mx >= lo and mn <= hi]
+    assert 0 < len(picked) < len(index)  # skipping really happened
+    got = pruned_read(spark, picked).filter(F.col("k").between(lo, hi)).count()
+    assert got == 1000

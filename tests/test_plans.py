@@ -27,6 +27,8 @@ PY_ALLOWED = {k for k in QUERIES if k.startswith("multimodal_")} | {
     "embed_cosine_topk",  # Arrow einsum scoring; oracle-verified post-rounding
     "embed_pca_project",  # Gram partials + broadcast matmul — sanctioned Arrow hop
     "seq_lis_per_user",  # order-dependent DP — the sanctioned applyInPandas hop
+    "embed_ann_pq",  # PQ codebook encode/ADC scan — sanctioned Arrow hops
+    "scan_tablelog_datasource",  # Python DataSource scan — the integration under test
 }
 
 

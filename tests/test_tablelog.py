@@ -1,0 +1,135 @@
+"""Manifest table-log format: snapshot isolation, atomic commits,
+optimistic-concurrency conflicts, crash tolerance, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_engineering_assessment_spark.sources import tablelog
+
+
+@pytest.fixture
+def table(tmp_path, spark):
+    path = str(tmp_path / "t")
+    df0 = spark.range(0, 10).withColumnRenamed("id", "k")
+    tablelog.create_table(df0, path)
+    return path
+
+
+def _ids(spark, path, version=None):
+    return sorted(
+        r.k for r in tablelog.read_version(spark, path, version).collect()
+    )
+
+
+def test_create_then_append_versions_are_isolated(spark, table):
+    tablelog.append(spark.range(10, 15).withColumnRenamed("id", "k"), table)
+    assert tablelog.versions(table) == [0, 1]
+    assert _ids(spark, table, 0) == list(range(10))
+    assert _ids(spark, table, 1) == list(range(15))
+    assert _ids(spark, table) == list(range(15))  # head
+
+
+def test_overwrite_replaces_but_history_remains(spark, table):
+    tablelog.overwrite(spark.range(100, 103).withColumnRenamed("id", "k"), table)
+    assert _ids(spark, table, 0) == list(range(10))
+    assert _ids(spark, table, 1) == [100, 101, 102]
+
+
+def test_create_twice_fails(spark, table):
+    with pytest.raises(FileExistsError):
+        tablelog.create_table(spark.range(1).withColumnRenamed("id", "k"), table)
+
+
+def test_concurrent_commit_conflict_detected(spark, table):
+    # two writers race for version 1: the second claim must fail
+    tablelog._commit(table, 1, tablelog._read_manifest(table, 0)["files"], "append")
+    with pytest.raises(FileExistsError):
+        tablelog._commit(table, 1, [], "append")
+
+
+def test_crashed_writer_is_invisible(spark, table):
+    # crash after staging the manifest (before the atomic claim):
+    log_dir = os.path.join(table, "_log")
+    with open(os.path.join(log_dir, ".tmp-deadbeef.json"), "w") as f:
+        json.dump({"version": 99, "files": ["data/none.parquet"]}, f)
+    # crash after writing data files (before any manifest):
+    orphan_dir = os.path.join(table, "data", "c9-orphan")
+    os.makedirs(orphan_dir)
+    spark.range(500, 510).withColumnRenamed("id", "k").write.mode(
+        "overwrite"
+    ).parquet(orphan_dir)
+
+    assert tablelog.versions(table) == [0]
+    assert _ids(spark, table) == list(range(10))
+
+
+def test_vacuum_drops_old_versions_keeps_head(spark, table):
+    tablelog.overwrite(spark.range(50, 53).withColumnRenamed("id", "k"), table)
+    removed = tablelog.vacuum(table, keep_versions=1)
+    assert removed  # version-0 data actually deleted
+    assert tablelog.versions(table) == [1]
+    assert _ids(spark, table, 1) == [50, 51, 52]
+    with pytest.raises(FileNotFoundError):
+        tablelog.read_version(spark, table, 0)
+
+
+def test_append_shares_unchanged_files(spark, table):
+    # an append commit reuses version-0 files untouched (no rewrite)
+    m0 = tablelog._read_manifest(table, 0)["files"]
+    tablelog.append(spark.range(10, 12).withColumnRenamed("id", "k"), table)
+    m1 = tablelog._read_manifest(table, 1)["files"]
+    assert set(m0) <= set(m1) and len(m1) > len(m0)
+
+
+def test_datasource_format_reads_versions(spark, table):
+    from data_engineering_assessment_spark.sources.tablelog_datasource import register
+
+    tablelog.append(spark.range(10, 15).withColumnRenamed("id", "k"), table)
+    register(spark)
+    v0 = spark.read.format("tablelog").option("version", 0).load(table)
+    head = spark.read.format("tablelog").load(table)
+    assert sorted(r.k for r in v0.collect()) == list(range(10))
+    assert sorted(r.k for r in head.collect()) == list(range(15))
+    assert dict(v0.dtypes) == {"k": "bigint"}  # schema from footer
+
+
+def test_datasource_missing_version_fails(spark, table):
+    from data_engineering_assessment_spark.sources.tablelog_datasource import register
+
+    register(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="version 9"):
+        spark.read.format("tablelog").option("version", 9).load(table).collect()
+
+
+def test_datasource_write_append_and_overwrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources.tablelog_datasource import register
+
+    register(spark)
+    path = str(tmp_path / "wt")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df.write.format("tablelog").mode("append").save(path)           # -> v0
+    df.filter("k < 10").write.format("tablelog").mode("append").save(path)   # -> v1
+    spark.range(5).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    ).write.format("tablelog").mode("overwrite").save(path)          # -> v2
+
+    assert tablelog.versions(path) == [0, 1, 2]
+    v0 = spark.read.format("tablelog").option("version", 0).load(path)
+    v1 = spark.read.format("tablelog").option("version", 1).load(path)
+    v2 = spark.read.format("tablelog").load(path)
+    assert v0.count() == 100
+    assert v1.count() == 110
+    assert sorted(r.k for r in v2.collect()) == [0, 1, 2, 3, 4]
+    # round-trip values intact
+    got = {r.k: r.v for r in v0.collect()}
+    assert got[7] == 14 and len(got) == 100
