@@ -45,10 +45,23 @@ def train_pq_codebooks(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int = 2048,
 ) -> np.ndarray:
     """Deterministic Lloyd's k-means per subspace (Euclidean), all
-    subspaces trained together; returns (m × ksub × d/m) codebooks."""
+    subspaces trained together; returns (m × ksub × d/m) codebooks.
+
+    Training runs on a deterministic hash-sample of ≤ ``train_cap``
+    vectors (standard PQ practice — codebooks need a representative
+    sample, not the corpus; FAISS trains on ~256·ksub points).  The
+    sampled, exploded subvector table is checkpointed once so each
+    Lloyd round rescans materialized rows instead of replaying the
+    scan+explode lineage."""
     v = spread(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    n_total = v.count()
+    if n_total > train_cap:
+        # keep ~train_cap rows via a deterministic xxhash64 threshold
+        frac_bits = max(1, (n_total + train_cap - 1) // train_cap)
+        v = v.filter(F.pmod(F.xxhash64("id"), F.lit(frac_bits)) == 0)
     first = v.select(F.size("vec").alias("d")).limit(1).collect()
     d = first[0].d
     if d % m != 0:
@@ -62,15 +75,19 @@ def train_pq_codebooks(
     seeds = np.array([list(r.vec) for r in seed_rows], dtype=np.float64)
     books = np.stack([seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)])
 
-    sub = v.select(
-        "id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {m - 1}),"
-                f" s -> struct(s AS sub, slice(vec, s * {dsub} + 1, {dsub}) AS sv))"
-            )
-        ).alias("e"),
-    ).select("id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+    sub = (
+        v.select(
+            "id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}),"
+                    f" s -> struct(s AS sub, slice(vec, s * {dsub} + 1, {dsub}) AS sv))"
+                )
+            ).alias("e"),
+        )
+        .select("id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(n_iter):
         B = books.copy()

@@ -414,7 +414,7 @@ def embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=3, m=16, ksub=32, refine=16
+        emb, emb.filter(F.col("vec_id") < 10), k=3, m=16, ksub=32, n_iter=3, refine=16
     )
 
 
@@ -722,7 +722,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = deg.count()  # bounded scalar action: one BIGINT to the driver
     tp = 15 * 10**12 // (100 * n_nodes)
     r = deg.select(F.col("u").alias("node"), F.lit(10**12 // n_nodes).alias("r"))
-    for _ in range(_PAGERANK_ITERS):
+    for i in range(_PAGERANK_ITERS):
         r = (
             e.join(r, e.u == r.node)
             .join(deg, "u")
@@ -733,8 +733,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("v").alias("node"),
                 (F.lit(tp) + F.expr("(85 * s) div 100")).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+        # no per-round action exists (unlike connected components'
+        # convergence count), so lineage-only chaining is free; one
+        # mid-loop checkpoint bounds plan depth for long runs
+        if i == _PAGERANK_ITERS // 2:
+            r = r.localCheckpoint(eager=False)
     return r.select(
         "node", (F.col("node") % 2 == 0).alias("is_customer"), F.col("r").alias("rank_e12")
     )
