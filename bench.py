@@ -117,6 +117,9 @@ HEADLINE = [
     "embed_ann_pq",
     "scan_stats_prune",
     "incremental_join_delta",
+    "agg_moments_skew",
+    "event_distinct_sliding",
+    "agg_gini_impurity",
 ]
 
 

@@ -647,6 +647,288 @@ def scan_tablelog_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_gini_impurity",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY source, lang
+    ), s AS (
+      SELECT source,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM c GROUP BY source
+    )
+    SELECT source, n, n_langs,
+           CAST((n * n - sum_sq) * 10000 // (n * n) AS BIGINT) AS gini_bp
+    FROM s
+    """,
+)
+def agg_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-diversity Gini impurity per source —
+    ``1 − Σ(cᵢ/n)² = (n² − Σcᵢ²)/n²`` in exact basis points via cross
+    multiplication (the log-free diversity metric; entropy needs
+    transcendental floats, Gini does not).  0 bp = monolingual source,
+    →10000 bp = uniform mix; the signal corpus-mixing weights key off.
+
+    Scale: two cascading map-side-combined aggregations ((source,
+    lang) then source) — counts and squares merge by addition, so the
+    metric maintains incrementally like every other moment key."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    s = c.groupBy("source").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.expr("cnt * cnt")).alias("sum_sq"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return s.select(
+        "source",
+        "n",
+        "n_langs",
+        F.expr("CAST((n * n - sum_sq) * 10000 div (n * n) AS BIGINT)").alias("gini_bp"),
+    )
+
+
+@query(
+    "scan_jsonl_quarantine",
+    oracle="""
+    SELECT doc_id, lang, md5(text) AS text_md5 FROM documents
+    """,
+)
+def scan_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant JSONL intake: the corpus is written as JSONL
+    with deterministic garbage lines injected between records, then
+    read in PERMISSIVE mode with a ``_corrupt_record`` routing column
+    — good rows parse to the declared schema, bad lines land in the
+    quarantine column instead of failing the job (the distributed
+    generalization of the reference's fail-fast/quarantine policy,
+    ``01.py:200-205``).  The graded output is the good rows, which
+    must hash-match the clean corpus; quarantine counts are asserted
+    in pytest.
+
+    Scale: quarantining is a projection-time branch — no second scan,
+    no driver round-trip; the bad-row stream is a filter on the same
+    pass and can sink to its own table for replay."""
+    ensure_deterministic_session(spark)
+    import hashlib
+    import os
+
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/root/repo/.scratch/jsonl_quarantine_{tag}"
+    if not os.path.exists(os.path.join(path, "_corrupted_marker")):
+        docs.select("doc_id", "lang", "text").write.mode("overwrite").json(path)
+        # inject garbage lines: clearly-broken JSON every ~40 records
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".json"):
+                full = os.path.join(path, name)
+                with open(full) as f:
+                    lines = f.readlines()
+                out = []
+                for i, ln in enumerate(lines):
+                    out.append(ln)
+                    if i % 40 == 7:
+                        out.append('{"doc_id": broken, unparseable!!\n')
+                with open(full, "w") as f:
+                    f.writelines(out)
+                # the local FS wrote a .crc sidecar at write time; the
+                # in-place edit invalidates it — drop it or the read
+                # fails on ChecksumException before parsing
+                crc = os.path.join(path, f".{name}.crc")
+                if os.path.exists(crc):
+                    os.unlink(crc)
+        open(os.path.join(path, "_corrupted_marker"), "w").close()
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull())
+    return good.select(
+        "doc_id", "lang", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    )
+
+
+_SKEW_EXPR = (
+    "CAST(ROUND((s3 / nd - 3 * (s1 / nd) * (s2 / nd)"
+    " + 2 * (s1 / nd) * (s1 / nd) * (s1 / nd))"
+    " / (sd * sd * sd) * 1000000) AS BIGINT)"
+)
+_KURT_EXPR = (
+    "CAST(ROUND(((s4 / nd - 4 * (s1 / nd) * (s3 / nd)"
+    " + 6 * (s1 / nd) * (s1 / nd) * (s2 / nd)"
+    " - 3 * (s1 / nd) * (s1 / nd) * (s1 / nd) * (s1 / nd))"
+    " / ((sd * sd) * (sd * sd)) - 3) * 1000000) AS BIGINT)"
+)
+
+
+@query(
+    "agg_moments_skew",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ), d AS (
+      SELECT *, CAST(n AS DOUBLE) AS nd,
+             sqrt(s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) AS sd
+      FROM s
+    )
+    SELECT l_returnflag, n, s1, s2, s3, s4,
+           {_SKEW_EXPR} AS skew_micro,
+           {_KURT_EXPR} AS kurtosis_micro
+    FROM d
+    """,
+)
+def agg_moments_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profiling: exact integer power sums
+    Σq..Σq⁴ per group (the mergeable sufficient statistics a
+    distributed engine ships between stages) plus skewness and excess
+    kurtosis derived from them.  The float step uses only
+    +,-,×,÷,sqrt — all IEEE correctly-rounded, and the expression
+    TEXT is shared between the Spark plan and the oracle, so the
+    trees (and every intermediate bit) are identical in both engines;
+    `pow` is deliberately avoided (libm implementations differ in the
+    last ulp).
+
+    Scale: one map-side-combined shuffle; the moments merge by
+    addition, so the same statistics drive incremental maintenance
+    (⊕ delta) and sliding re-aggregation unchanged."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.expr("q * q")).alias("s2"),
+        F.sum(F.expr("q * q * q")).alias("s3"),
+        F.sum(F.expr("q * q * q * q")).alias("s4"),
+    )
+    d = s.withColumns(
+        {
+            "nd": F.col("n").cast("double"),
+            "sd": F.expr(
+                "sqrt(s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))"
+            ),
+        }
+    )
+    return d.select(
+        "l_returnflag",
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+        F.expr(_SKEW_EXPR).alias("skew_micro"),
+        F.expr(_KURT_EXPR).alias("kurtosis_micro"),
+    )
+
+
+@query(
+    "event_distinct_sliding",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, user_id FROM events
+    ), panes AS (
+      SELECT t - t % 1800 - s * 1800 AS ws, user_id
+      FROM e CROSS JOIN (VALUES (0), (1)) AS o(s)
+      WHERE t - t % 1800 - s * 1800 >= 0
+    )
+    SELECT ws AS window_start, ws + 3600 AS window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM panes GROUP BY ws
+    """,
+)
+def event_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per 1 h window sliding every 30 min — the
+    overlap-aware uniqueness metric (active users, abuse detection)
+    where naive tumbling double-counts.  Expressed with F.window's
+    hopping mode; the oracle generates the two panes arithmetically.
+
+    Scale: exact distinct inside overlapping windows is the expensive
+    honest tier (shuffle on (window, user)); the mergeable-sketch tier
+    for dashboards is `agg_hll_partitioned`'s HLL union over panes."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count_distinct("user_id").alias("distinct_users"))
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
+            F.col("w.end").cast("timestamp").cast("long").alias("window_end"),
+            "distinct_users",
+        )
+    )
+
+
+@query(
+    "stream_tablelog_sink",
+    oracle="""
+    SELECT doc_id, lang, n_chars, md5(text) AS text_md5 FROM documents
+    """,
+)
+def stream_tablelog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming into the tablelog format, graded
+    end-to-end: the documents corpus (split into 8 files, streamed 2
+    files per micro-batch) lands through
+    ``streaming/sinks.py:start_tablelog_sink`` — each micro-batch is
+    one atomic table version whose manifest records the batch id, so
+    checkpoint replay skips already-landed batches instead of
+    double-appending.  The head version must hash-match the batch
+    corpus.  Replay/crash semantics are pytest-verified in
+    test_tablelog.py.
+
+    Scale: a landing stream becomes an append-only versioned table
+    with O(batch) commit cost — blind appends with no key column, yet
+    exactly-once to storage; downstream readers get snapshot
+    isolation for free."""
+    ensure_deterministic_session(spark)
+    import hashlib
+    import shutil
+
+    from ..sources import tablelog
+    from ..streaming.sinks import start_tablelog_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = f"/root/repo/.scratch/tlsink_src_{tag}"
+    table = f"/root/repo/.scratch/tlsink_tbl_{tag}"
+    ckpt = f"/root/repo/.scratch/tlsink_ckpt_{tag}"
+    for p in (table, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    start_tablelog_sink(stream, table, ckpt).awaitTermination()
+    head = tablelog.read_version(spark, table)
+    return head.select(
+        "doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    )
+
+
 def _pagerank_oracle(iters: int) -> str:
     """Mechanically unroll ``iters`` PageRank rounds as chained CTEs —
     the oracle is generated by the same loop the Spark builder runs,

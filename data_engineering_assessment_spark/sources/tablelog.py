@@ -84,15 +84,23 @@ def _write_commit_data(df: DataFrame, path: str, version: int) -> list[str]:
     return rel
 
 
-def _commit(path: str, version: int, files: list[str], op: str) -> None:
+def _commit(
+    path: str, version: int, files: list[str], op: str, meta: dict | None = None
+) -> None:
     """Stage the manifest then atomically claim the version slot.
 
     ``os.link`` is atomic on POSIX and raises FileExistsError if a
     concurrent writer already committed this version — the caller's
     optimistic-concurrency conflict signal.  A crash between staging
-    and claiming leaves a ``.tmp-*`` file readers never look at."""
+    and claiming leaves a ``.tmp-*`` file readers never look at.
+
+    ``meta`` entries (e.g. a streaming batch id) ride in the manifest,
+    making the commit itself the transaction record — the basis for
+    exactly-once streaming sinks."""
     os.makedirs(_log_dir(path), exist_ok=True)
     manifest = {"version": version, "op": op, "files": sorted(files)}
+    if meta:
+        manifest.update(meta)
     tmp = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
@@ -113,7 +121,7 @@ def create_table(df: DataFrame, path: str) -> int:
     return 0
 
 
-def append(df: DataFrame, path: str) -> int:
+def append(df: DataFrame, path: str, meta: dict | None = None) -> int:
     """Commit a new version = previous file set + df's new files."""
     vs = versions(path)
     if not vs:
@@ -121,8 +129,19 @@ def append(df: DataFrame, path: str) -> int:
     head = vs[-1]
     prev = _read_manifest(path, head)["files"]
     new = _write_commit_data(df, path, head + 1)
-    _commit(path, head + 1, prev + new, "append")
+    _commit(path, head + 1, prev + new, "append", meta)
     return head + 1
+
+
+def committed_meta_values(path: str, key: str) -> set:
+    """All values of a manifest meta ``key`` across committed
+    versions — e.g. the set of streaming batch ids already landed
+    (O(versions) manifest reads, no data touched)."""
+    return {
+        m[key]
+        for v in versions(path)
+        if key in (m := _read_manifest(path, v))
+    }
 
 
 def overwrite(df: DataFrame, path: str) -> int:

@@ -46,3 +46,44 @@ def start_upsert_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_tablelog_sink(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream into a tablelog table with EXACTLY-ONCE commits.
+
+    Each micro-batch appends one table version whose manifest records
+    the batch id — the manifest commit IS the transaction log.  On
+    checkpoint replay (crash between sink commit and checkpoint
+    write) the batch id is already present, so the batch is skipped;
+    a crash BEFORE the manifest claim leaves only unreferenced
+    staging files, which readers never see.  That is stronger than
+    the idempotent-MERGE recipe: no key column is needed, blind
+    appends are safe.
+
+    Scale: commit cost is O(batch files) + one manifest write; the
+    already-landed check is O(versions) manifest reads (a head-side
+    cache or meta index removes even that at very long histories)."""
+    from ..sources import tablelog
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        if not tablelog.versions(table_path):
+            files = tablelog._write_commit_data(batch, table_path, 0)
+            tablelog._commit(table_path, 0, files, "create", {"batch_id": batch_id})
+            return
+        if batch_id in tablelog.committed_meta_values(table_path, "batch_id"):
+            return  # replayed batch — already durably committed
+        tablelog.append(batch, table_path, meta={"batch_id": batch_id})
+
+    writer = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

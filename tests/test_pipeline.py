@@ -746,3 +746,40 @@ def test_pq_codebooks_shape_and_determinism(spark):
     import numpy as np
 
     assert np.array_equal(b1, b2)  # same seeds, exact averages
+
+
+def test_jsonl_quarantine_routes_bad_lines(spark, tmp_path):
+    """PERMISSIVE + _corrupt_record: good rows parse, bad lines are
+    captured verbatim in the quarantine column, nothing is dropped."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "q.json"
+    p.write_text(
+        '{"doc_id": 1, "lang": "en", "text": "alpha"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "lang": "fr", "text": "beta"}\n'
+        '{"doc_id": broken!!\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()  # SPARK-21610: can't filter solely on the corrupt column of a raw scan
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull())
+    bad = raw.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2]
+    assert bad.count() == 2
+    assert {r._corrupt_record for r in bad.collect()} == {
+        "THIS IS NOT JSON",
+        '{"doc_id": broken!!',
+    }

@@ -133,3 +133,34 @@ def test_datasource_write_append_and_overwrite(spark, tmp_path):
     # round-trip values intact
     got = {r.k: r.v for r in v0.collect()}
     assert got[7] == 14 and len(got) == 100
+
+
+def test_streaming_sink_exactly_once_across_replay(spark, tmp_path):
+    """Checkpoint loss forces every micro-batch to replay; recorded
+    batch ids in the manifests dedupe them — the table is unchanged
+    (exactly-once to storage without any key column)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.streaming.sinks import start_tablelog_sink
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(4).write.parquet(src)
+    schema = "k bigint, v bigint"
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        start_tablelog_sink(stream, table, ckpt).awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+    n1 = tablelog.read_version(spark, table).count()
+    v1 = len(tablelog.versions(table))
+    assert n1 == 400
+    # fresh checkpoint -> same source replays from scratch (same batch ids)
+    run(str(tmp_path / "ckpt2"))
+    assert tablelog.read_version(spark, table).count() == 400
+    assert len(tablelog.versions(table)) == v1  # no new commits at all
