@@ -1,9 +1,11 @@
-"""Statistical / feature-engineering analytics plans (round 4).
+"""Statistical / feature-engineering analytics plans.
 
-Five additional first-class operators a training-data platform runs
-constantly: trend regression over event streams, robust (winsorized)
-means, hashing-trick bag-of-words features, content-novelty scoring,
-and behavioral co-occurrence lift.  Like the reference's generated-SQL
+First-class operators a training-data platform runs constantly:
+trend regression over event streams, robust statistics (winsorized
+means, median/MAD outlier fences), exact binary-kernel EWMA
+smoothing, hashing-trick bag-of-words features, content-novelty
+scoring, behavioral co-occurrence lift, funnel step latencies, and
+gaps-and-islands activity streaks.  Like the reference's generated-SQL
 philosophy (``/root/reference/02.py:17-103``) each plan is declared
 with native expressions and handed wholesale to Catalyst; every graded
 output obeys the round-3 portability contract — BIGINT/INT/STRING/BOOL
@@ -1225,4 +1227,467 @@ def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lift_bp"
             ),
         )
+    )
+
+
+@query(
+    "agg_mad_outliers",
+    oracle="""
+    WITH c0 AS (
+      SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), r AS (
+      SELECT event_type, event_id, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c0
+    ), med AS (
+      SELECT event_type, MAX(n) AS n,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+               + MAX(CASE WHEN rn = (n + 2) // 2 THEN cents END) AS med2
+      FROM r GROUP BY event_type
+    ), dev AS (
+      SELECT c0.event_type, c0.event_id, med.n, med.med2,
+             ABS(2 * c0.cents - med.med2) AS dev2
+      FROM c0 JOIN med USING (event_type)
+    ), rd AS (
+      SELECT event_type, n, med2, dev2,
+             row_number() OVER (PARTITION BY event_type ORDER BY dev2, event_id) AS rn
+      FROM dev
+    ), mad AS (
+      SELECT event_type, MAX(n) AS n, MAX(med2) AS med2,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN dev2 END)
+               + MAX(CASE WHEN rn = (n + 2) // 2 THEN dev2 END) AS mad4
+      FROM rd GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(mad.n AS BIGINT) AS n,
+           mad.med2 AS med2_cents, mad.mad4 AS mad4_cents,
+           CAST(SUM(CASE WHEN 20000 * d.dev2 > 44478 * mad.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad ON d.event_type = mad.event_type
+    GROUP BY d.event_type, mad.n, mad.med2, mad.mad4
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per event type: exact median + median
+    absolute deviation, and the count of values beyond the standard
+    3·1.4826·MAD robust z fence.  Unlike stddev fences
+    ([[ts_rolling_anomaly]] uses a mean multiple), the MAD fence is
+    itself outlier-proof — the canonical screen before admitting a
+    metric into training features.
+
+    Exactness: medians are kept integral by 2x scaling (med2 = lower
+    + upper middle of cents; dev2 = |2x − med2|; mad4 = the same
+    trick over dev2, so mad4 = 4·MAD), and the 1.4826 consistency
+    constant enters as the integer cross-multiplication
+    20000·dev2 > 44478·mad4  ⇔  |x−med| > 3·1.4826·MAD.  No float
+    touches any emitted or compared value.
+
+    Scale: both rank passes window on event_type with the same
+    partitioning (one exchange, reused), and the per-type median
+    table (≤|types| rows) broadcasts back onto the value stream —
+    the raw table is never self-joined."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (_dec("value") * 100).cast("long").alias("cents"),
+    )
+    wt = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.row_number().over(wt.orderBy("cents", "event_id")).alias("rn"),
+        F.count("*").over(wt).alias("n"),
+    )
+    pick = lambda v, idx: F.max(F.when(F.col("rn") == idx, F.col(v)))  # noqa: E731
+    med = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (pick("cents", F.expr("(n + 1) div 2")) + pick("cents", F.expr("(n + 2) div 2"))).alias(
+            "med2"
+        ),
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "n",
+        "med2",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2"),
+    )
+    rd = dev.select(
+        "event_type",
+        "n",
+        "med2",
+        "dev2",
+        F.row_number().over(wt.orderBy("dev2", "event_id")).alias("rn"),
+    )
+    mad = rd.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("med2").alias("med2"),
+        (pick("dev2", F.expr("(n + 1) div 2")) + pick("dev2", F.expr("(n + 2) div 2"))).alias(
+            "mad4"
+        ),
+    )
+    return (
+        dev.select("event_type", "dev2")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med2", "mad4")
+        .agg(
+            F.sum(
+                F.when(20000 * F.col("dev2") > 44478 * F.col("mad4"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("med2").alias("med2_cents"),
+            F.col("mad4").alias("mad4_cents"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "ts_ewma_binary",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400 AS day_s,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100 AS BIGINT)
+               AS y_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d1.event_type, d1.day_s, d1.y_cents,
+           CAST(SUM(d0.y_cents * (CAST(1 AS BIGINT) << CAST(15 - (d1.day_s - d0.day_s) // 86400 AS INT)))
+                AS BIGINT) AS ewma_num,
+           CAST(SUM(CAST(1 AS BIGINT) << CAST(15 - (d1.day_s - d0.day_s) // 86400 AS INT))
+                AS BIGINT) AS ewma_den,
+           CAST(ROUND(CAST(SUM(d0.y_cents * (CAST(1 AS BIGINT) << CAST(15 - (d1.day_s - d0.day_s) // 86400 AS INT))) AS DOUBLE)
+                      / CAST(SUM(CAST(1 AS BIGINT) << CAST(15 - (d1.day_s - d0.day_s) // 86400 AS INT)) AS DOUBLE)
+                      * 1000000) AS BIGINT) AS ewma_micro_cents
+    FROM daily d1 JOIN daily d0
+      ON d1.event_type = d0.event_type
+     AND d0.day_s BETWEEN d1.day_s - 15 * 86400 AND d1.day_s
+    GROUP BY d1.event_type, d1.day_s, d1.y_cents
+    """,
+)
+def ts_ewma_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed daily revenue smoothing with an EXACT
+    integer kernel: weights are powers of two (half-life one day,
+    truncated at 16 days), so the weighted sum is a BIGINT shift-add
+    — `Σ y·2^(15−k) / Σ 2^(15−k)` — and the only float op is the
+    final single division.  The usual `pow(alpha, k)` EWMA drifts
+    across engines; a binary kernel cannot.
+
+    Missing days simply contribute no term (gap-aware decay), unlike
+    a ROWS window which would mis-weight across gaps.
+
+    Scale: decay runs on the DAILY matrix (|types|·|days| rows after
+    one map-side-combined shuffle of the raw stream), and the
+    16-day band self-join is bounded fan-out ≤16 on an equi type key
+    — at 100 TB the raw volume only ever crosses the wire once."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events")
+    day_s = F.expr(
+        "CAST(CAST(ts AS TIMESTAMP) AS LONG) - CAST(CAST(ts AS TIMESTAMP) AS LONG) % 86400"
+    )
+    daily = (
+        e.groupBy(F.col("event_type"), day_s.alias("day_s"))
+        .agg((F.sum(_dec("value")).cast("decimal(30,2)") * 100).cast("long").alias("y_cents"))
+    )
+    d1 = daily.alias("d1")
+    d0 = daily.alias("d0")
+    w = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(15 - (d1.day_s - d0.day_s) div 86400 AS INT))")
+    joined = d1.join(
+        d0,
+        (F.col("d1.event_type") == F.col("d0.event_type"))
+        & (F.col("d0.day_s") >= F.col("d1.day_s") - 15 * 86400)
+        & (F.col("d0.day_s") <= F.col("d1.day_s")),
+    )
+    agg = joined.groupBy(
+        F.col("d1.event_type").alias("event_type"),
+        F.col("d1.day_s").alias("day_s"),
+        F.col("d1.y_cents").alias("y_cents"),
+    ).agg(
+        F.sum(F.col("d0.y_cents") * w).cast("long").alias("ewma_num"),
+        F.sum(w).cast("long").alias("ewma_den"),
+    )
+    return agg.select(
+        "event_type",
+        "day_s",
+        "y_cents",
+        "ewma_num",
+        "ewma_den",
+        F.round(
+            F.col("ewma_num").cast("double") / F.col("ewma_den").cast("double") * 1000000
+        )
+        .cast("long")
+        .alias("ewma_micro_cents"),
+    )
+
+
+@query(
+    "funnel_step_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+    ), lat AS (
+      SELECT 'view_to_click' AS step, c.user_id,
+             CAST(FLOOR(epoch(c.t2)) AS BIGINT) - CAST(FLOOR(epoch(v.t1)) AS BIGINT) AS s
+      FROM c JOIN v USING (user_id)
+      UNION ALL
+      SELECT 'click_to_purchase', p.user_id,
+             CAST(FLOOR(epoch(p.t3)) AS BIGINT) - CAST(FLOOR(epoch(c.t2)) AS BIGINT)
+      FROM p JOIN c USING (user_id)
+    ), r AS (
+      SELECT step, s,
+             row_number() OVER (PARTITION BY step ORDER BY s, user_id) AS rn,
+             count(*) OVER (PARTITION BY step) AS n
+      FROM lat
+    )
+    SELECT step, CAST(MAX(n) AS BIGINT) AS n_users,
+           MIN(s) AS min_s, MAX(s) AS max_s,
+           CAST(SUM(s) AS BIGINT) AS sum_s,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN s END)
+             + MAX(CASE WHEN rn = (n + 2) // 2 THEN s END) AS med2_s
+    FROM r GROUP BY step
+    """,
+)
+def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long each funnel transition takes: seconds from first view
+    to the first strictly-later click, and from that click to the
+    first strictly-later purchase, summarized per step as exact
+    integer min / max / sum and a 2x-scaled exact median (med2 =
+    lower + upper middle).  Complements [[event_funnel]] (how many
+    convert) with how fast — the metric that sizes attribution
+    windows and session timeouts.
+
+    Scale: the chained strictly-later first-touch times come from
+    the same three stacked window-min expressions over ONE user_id
+    shuffle as `event_funnel` (no join per stage); the latency set
+    collapses to ≤|users| rows before the per-step rank pass, so the
+    median never sorts raw traffic."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    ann = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    ann = ann.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts")
+            )
+        ).over(w),
+    )
+    ann = ann.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = ann.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    ep = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    lat = per_user.select(
+        "user_id",
+        F.expr(
+            "stack(2, 'view_to_click', CAST(CAST(t2 AS TIMESTAMP) AS LONG) - CAST(CAST(t1 AS TIMESTAMP) AS LONG),"
+            "         'click_to_purchase', CAST(CAST(t3 AS TIMESTAMP) AS LONG) - CAST(CAST(t2 AS TIMESTAMP) AS LONG))"
+            " AS (step, s)"
+        ),
+    ).filter(F.col("s").isNotNull())
+    ws = Window.partitionBy("step")
+    r = lat.select(
+        "step",
+        "s",
+        F.row_number().over(ws.orderBy("s", "user_id")).alias("rn"),
+        F.count("*").over(ws).alias("n"),
+    )
+    pick = lambda idx: F.max(F.when(F.col("rn") == idx, F.col("s")))  # noqa: E731
+    return r.groupBy("step").agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.min("s").alias("min_s"),
+        F.max("s").alias("max_s"),
+        F.sum("s").cast("long").alias("sum_s"),
+        (pick(F.expr("(n + 1) div 2")) + pick(F.expr("(n + 2) div 2"))).alias("med2_s"),
+    )
+
+
+@query(
+    "event_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             (CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400) // 86400 AS day_i
+      FROM events
+    ), isl AS (
+      SELECT user_id, day_i,
+             day_i - row_number() OVER (PARTITION BY user_id ORDER BY day_i) AS island
+      FROM d
+    ), runs AS (
+      SELECT user_id, island,
+             CAST(count(*) AS BIGINT) AS len,
+             MIN(day_i) AS start_day
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           MAX(len) AS longest_streak,
+           MIN(CASE WHEN len = ml THEN start_day END) * 86400 AS longest_start_s
+    FROM (SELECT *, MAX(len) OVER (PARTITION BY user_id) AS ml FROM runs)
+    GROUP BY user_id
+    """,
+)
+def event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity streaks — the gaps-and-islands pattern on
+    the activity calendar: longest run of CONSECUTIVE active days,
+    number of distinct streaks, total active days, and the start of
+    the (earliest) longest streak.  The engagement metric behind
+    retention dashboards, computed without generating a calendar.
+
+    The island key is the classic `day_index − row_number()`
+    constant-per-run subtraction; all arithmetic is integer epoch
+    days.
+
+    Scale: one distinct shuffle on (user, day) — the activity grid,
+    ≤ users × span-days rows regardless of raw volume — then a
+    window + two re-aggs that all reuse the user_id partitioning;
+    no self-join, no calendar explode."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events")
+    day_i = F.expr(
+        "(CAST(CAST(ts AS TIMESTAMP) AS LONG) - CAST(CAST(ts AS TIMESTAMP) AS LONG) % 86400) div 86400"
+    )
+    d = e.select("user_id", day_i.alias("day_i")).distinct()
+    isl = d.select(
+        "user_id",
+        "day_i",
+        (
+            F.col("day_i")
+            - F.row_number().over(Window.partitionBy("user_id").orderBy("day_i"))
+        ).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("len"), F.min("day_i").alias("start_day")
+    )
+    ml = runs.withColumn("ml", F.max("len").over(Window.partitionBy("user_id")))
+    return ml.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        (F.min(F.when(F.col("len") == F.col("ml"), F.col("start_day"))) * 86400).alias(
+            "longest_start_s"
+        ),
+    )
+
+
+@query(
+    "tablelog_change_feed",
+    oracle="""
+    WITH v0 AS (
+      SELECT doc_id, n_chars, md5(text) AS text_md5 FROM documents
+      WHERE doc_id % 3 = 0
+    ), v1 AS (
+      SELECT doc_id,
+             n_chars + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS n_chars,
+             md5(text) AS text_md5
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 != 0
+      UNION ALL
+      SELECT doc_id, n_chars, md5(text) FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT COALESCE(v0.doc_id, v1.doc_id) AS doc_id,
+           CASE WHEN v0.doc_id IS NULL THEN 'added'
+                WHEN v1.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           v0.n_chars AS old_n_chars, v1.n_chars AS new_n_chars
+    FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id
+    WHERE v0.doc_id IS NULL OR v1.doc_id IS NULL
+       OR v0.n_chars != v1.n_chars OR v0.text_md5 != v1.text_md5
+    """,
+)
+def tablelog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed between two committed versions of a
+    manifest-logged table (``sources/tablelog.py``): version 0 holds a
+    third of the corpus; an OVERWRITE commit drops every 7th doc,
+    bumps n_chars on every 5th, and lands a new slice — the feed
+    reports exactly the added / removed / changed keys with old and
+    new values.  This is CDC derived FROM time travel ([[
+    scan_table_version]] proves the snapshots; this key proves you
+    can diff them), the mechanism behind incremental downstream
+    refresh when the table has no streaming source attached.
+
+    Scale: one keyed FULL OUTER join between the two snapshot reads
+    (each a manifest-resolved file list, no log replay); unchanged
+    rows are filtered by column-digest comparison before anything is
+    emitted, so the feed is O(churn) not O(table).  Same reconcile
+    shape as [[snapshot_diff]], upgraded from counts to the row-level
+    feed and fed by the table format itself."""
+    ensure_deterministic_session(spark)
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources import tablelog
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/root/repo/.scratch/tablelog_cf_{tag}"
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    v0_df = docs.filter(F.col("doc_id") % 3 == 0)
+    v1_df = (
+        docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 7 != 0))
+        .withColumn(
+            "n_chars",
+            F.col("n_chars") + F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0),
+        )
+        .unionByName(docs.filter(F.col("doc_id") % 3 == 1))
+    )
+    tablelog.create_table(v0_df, path)
+    tablelog.overwrite(v1_df, path)
+
+    def snap(v: int) -> DataFrame:
+        return tablelog.read_version(spark, path, v).select(
+            "doc_id",
+            "n_chars",
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        )
+
+    v0 = snap(0).alias("v0")
+    v1 = snap(1).alias("v1")
+    j = v0.join(v1, F.col("v0.doc_id") == F.col("v1.doc_id"), "full_outer")
+    changed = (
+        F.col("v0.doc_id").isNull()
+        | F.col("v1.doc_id").isNull()
+        | (F.col("v0.n_chars") != F.col("v1.n_chars"))
+        | (F.col("v0.text_md5") != F.col("v1.text_md5"))
+    )
+    return j.filter(changed).select(
+        F.coalesce(F.col("v0.doc_id"), F.col("v1.doc_id")).alias("doc_id"),
+        F.when(F.col("v0.doc_id").isNull(), "added")
+        .when(F.col("v1.doc_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.col("v0.n_chars").alias("old_n_chars"),
+        F.col("v1.n_chars").alias("new_n_chars"),
     )

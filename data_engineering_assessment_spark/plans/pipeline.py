@@ -1215,3 +1215,140 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(emb, mean, comps, "embedding", "pca").select(
         "vec_id", "label", "pca"
     )
+
+
+@query(
+    "embed_centroid_label",
+    oracle="""
+    WITH u AS (
+      SELECT label, unnest(list_transform(range(1, 1 + len(embedding)),
+                    i -> {d: i, v: embedding[i]})) AS s
+      FROM embeddings
+    ), q AS (
+      SELECT label, CAST(s.d AS INT) AS dim,
+             CAST(FLOOR(CAST(s.v AS DOUBLE) * 1e9) AS BIGINT) AS q9,
+             CAST(FLOOR(CAST(s.v AS DOUBLE) * 1e6) AS BIGINT) AS q6
+      FROM u
+    )
+    SELECT label, dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(q9) AS BIGINT) AS sum_q9,
+           CAST(ROUND(SUM(q9) / (count(*) * 1000.0)) AS BIGINT) AS mean_micro,
+           CAST(SUM(q6 * q6) AS BIGINT) AS ssq_q6
+    FROM q GROUP BY label, dim
+    """,
+)
+def embed_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid and second moment of the embedding corpus:
+    for every (label, dimension), the exact integer-quantized sum
+    (floor(v·1e9), the [[embed_dim_stats]] convention), a micro-unit
+    mean, and the exact sum of squares at 1e6 quantization — enough
+    to derive within-class variance and separation, the health check
+    that catches collapsed or mislabeled embedding classes before
+    they poison retrieval or classifier training.
+
+    Scale: posexplode fans rows × 64 dims, then ONE map-side-combined
+    shuffle on (label, dim) — ≤ |labels|·dims result rows, vectors
+    never leave the JVM, nothing is collected.  The ssq headroom at
+    1e6 quantization is ~9e6 rows per (label, dim) before signed-64
+    overflow; widen to DECIMAL partials past that."""
+    ensure_deterministic_session(spark)
+    from ..sources.tables import spread
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    q9 = F.floor(F.col("v").cast("double") * 1e9)
+    q6 = F.floor(F.col("v").cast("double") * 1e6)
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(q9).cast("long").alias("sum_q9"),
+            F.round(F.sum(q9) / (F.count("*") * F.lit(1000.0)))
+            .cast("long")
+            .alias("mean_micro"),
+            F.sum(q6 * q6).cast("long").alias("ssq_q6"),
+        )
+    )
+
+
+@query(
+    "embed_knn_classify",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding,
+             list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+      FROM embeddings
+    ), p AS (
+      SELECT q.vec_id AS q_id, q.label AS true_label,
+             c.vec_id AS c_id, c.label AS c_label,
+             list_sum(list_transform(range(1, 65),
+                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+               / (sqrt(q.nsq) * sqrt(c.nsq)) AS cos
+      FROM v q JOIN v c ON q.vec_id % 10 = 0 AND c.vec_id != q.vec_id
+    ), r AS (
+      SELECT q_id, true_label, c_label,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+      FROM p
+    ), votes AS (
+      SELECT q_id, true_label, c_label, CAST(count(*) AS BIGINT) AS n_votes
+      FROM r WHERE rank <= 5 GROUP BY q_id, true_label, c_label
+    ), best AS (
+      SELECT q_id, true_label, c_label AS pred_label, n_votes,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY n_votes DESC, c_label) AS vr
+      FROM votes
+    )
+    SELECT q_id, CAST(true_label AS INT) AS true_label,
+           CAST(pred_label AS INT) AS pred_label, n_votes,
+           true_label = pred_label AS correct
+    FROM best WHERE vr = 1
+    """,
+)
+def embed_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote classification over the embedding corpus
+    (query batch = vec_id % 10 — a held-out tenth): exact cosine
+    neighbors via the [[embed_cosine_topk]] scorer, neighbor labels
+    tallied per query, deterministic argmax (most votes, smallest
+    label on ties), scored against the query's true label.  The
+    standard label-quality / embedding-quality audit: a low kNN
+    accuracy on labeled data means the embedding space or the labels
+    are broken — run it before trusting either.
+
+    Scale: the bounded query batch broadcasts; the corpus streams
+    through one Arrow-scored narrow stage (einsum over the batch),
+    then candidates shuffle once on q_id for ranking and voting —
+    identical cost profile to the proven topk key; the vote re-agg
+    rides the same q_id partitioning."""
+    ensure_deterministic_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
+    topk = cosine_topk(emb, emb.filter(F.col("vec_id") % 10 == 0), k=5)
+    votes = (
+        topk.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .groupBy("q_id", "label")
+        .agg(F.count("*").cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+    truth = labels.withColumnRenamed("vec_id", "q_id").withColumnRenamed(
+        "label", "true_label"
+    )
+    return (
+        pred.join(F.broadcast(truth), "q_id")
+        .select(
+            "q_id",
+            "true_label",
+            "pred_label",
+            "n_votes",
+            (F.col("true_label") == F.col("pred_label")).alias("correct"),
+        )
+    )

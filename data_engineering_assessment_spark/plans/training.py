@@ -483,3 +483,124 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = pairs.groupBy("pair").agg(F.count("*").alias("n"))
     rn = F.row_number().over(Window.orderBy(F.col("n").desc(), "pair"))
     return c.withColumn("rn", rn).filter(F.col("rn") <= 20).select("pair", "n")
+
+
+@query(
+    "corpus_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), c AS (
+      SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_total,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN cum_tok <= 10000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_kept,
+           CAST(SUM(CASE WHEN cum_tok <= 10000 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           CAST(bit_xor(CASE WHEN cum_tok <= 10000 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_xor
+    FROM c GROUP BY source
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection: each source contributes documents in
+    deterministic md5 order until a fixed token budget (10k whitespace
+    tokens here) is filled; the audit row per source reports how much
+    of the source survived and an order-insensitive XOR fingerprint of
+    the kept doc ids (so two runs — or two engines — provably kept the
+    SAME documents, not just the same count).  This is how a
+    heterogeneous crawl is flattened into a fixed token diet per
+    domain before mixing ([[corpus_mix]] handles relative weights;
+    this handles absolute caps).
+
+    Hash ordering makes the selection a pure function of doc_id:
+    appends only ever fill remaining budget, never displace an
+    already-kept doc... unless they hash earlier — which is exactly
+    the reproducible-reservoir semantics wanted for refresh runs.
+
+    Scale: one shuffle on source for the running-sum window; token
+    counts ride along from the scan (no explode — `size(split())` is
+    per-row).  The cumulative sort is per-source over doc COUNTS, not
+    content."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_tok", F.sum("n_tok").over(w))
+    kept = F.col("cum_tok") <= 10000
+    return c.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs_total"),
+        F.sum("n_tok").cast("long").alias("tokens_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_docs_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).cast("long").alias("tokens_kept"),
+        F.bit_xor(F.when(kept, F.col("doc_id")).otherwise(0)).cast("long").alias("kept_xor"),
+    )
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ), f AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS freq
+      FROM w WHERE word <> '' GROUP BY source, word
+    )
+    SELECT source,
+           CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+             AS hapax_ppm_of_vocab,
+           CAST(count(*) * 1000000 // SUM(freq) AS BIGINT) AS ttr_ppm
+    FROM f GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity profile: hapax legomena (words
+    seen exactly once in the source) as a share of vocabulary, and
+    type-token ratio, both in exact integer ppm.  Low hapax share on
+    a large source is the classic signature of templated/boilerplate
+    text; a quality gate reads this table before admitting a source
+    to the mix.  Complements [[quality_bins]] (per-document TTR
+    deciles) with the corpus-level view.
+
+    Scale: explode → two-level agg; the (source, word) frequency
+    shuffle partial-aggregates map-side, and the second agg reuses
+    the source partitioning.  Output is |sources| rows; no word list
+    ever reaches the driver."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    f = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    hapax = F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+    return f.groupBy("source").agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+        hapax.cast("long").alias("hapax_count"),
+        F.expr(
+            "CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("hapax_ppm_of_vocab"),
+        F.expr("CAST(COUNT(*) * 1000000 div SUM(freq) AS BIGINT)").alias("ttr_ppm"),
+    )
