@@ -1,0 +1,392 @@
+"""Corpus-curation plans added in round 4.
+
+Operators a training-data team runs between "raw corpus" and
+"training shards": fixed-size uniform document sampling, group-aware
+(leakage-free) train/eval splitting, equi-depth histogram profiling,
+calendar-spine zero-fill for time series, canonical-representative
+selection inside duplicate clusters, and a graded end-to-end proof
+that the streaming watermark drops late data exactly as specified.
+
+Same portability contract as the rest of the registry (see
+``plans/registry.py`` docstring): graded outputs are
+BIGINT/INT/STRING/BOOL only, every computed column is aliased
+identically in the Spark builder and the DuckDB oracle, and every
+order-dependent step carries a unique tie-break key.  Like the
+reference's generated-SQL philosophy (``/root/reference/02.py:17-103``)
+each plan is declared with native expressions and handed wholesale to
+Catalyst.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import ensure_deterministic_session
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _scratch_tag(sf_dir: str) -> str:
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+RESERVOIR_K = 200
+
+
+@query(
+    "sample_reservoir",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+    ORDER BY h, doc_id
+    LIMIT {RESERVOIR_K}
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample: the K smallest md5(doc_id) values.
+
+    This is the deterministic, distributed equivalent of reservoir
+    sampling — every doc gets an i.i.d.-uniform priority (its key
+    hash) and the global K smallest win, so the sample is an exact
+    uniform K-subset regardless of partitioning, partition count, or
+    arrival order (re-running on re-sharded data returns the same
+    docs).  Unlike Bernoulli sampling (``sample_hash``) the output
+    size is exactly K at any corpus scale.
+
+    Scale: Spark executes orderBy().limit(K) as TakeOrderedAndProject
+    — each partition keeps a local top-K heap and the driver merges
+    P·K rows; no global sort, no shuffle of the corpus.  At 100 TB
+    this moves ~P·K tiny rows to the driver, nothing else."""
+    ensure_deterministic_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(RESERVOIR_K)
+    )
+
+
+@query(
+    "split_group_holdout",
+    oracle="""
+    WITH tagged AS (
+      SELECT source, n_chars,
+             CASE WHEN substr(md5(source), 1, 1) IN ('0', '1')
+                  THEN 'eval' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY split
+    """,
+)
+def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/eval split: every document from the same
+    source lands in the same split (hash the GROUP key, not the row
+    key), so near-duplicate documents within one crawl domain can
+    never leak from train into eval.  ~2/16 of md5 first-nibble
+    values → eval ≈ 12.5% of sources.
+
+    Scale: the split tag is a pure projection (no shuffle); the audit
+    aggregation is one hash-shuffle over 2 groups.  The same
+    predicate applied at write time partitions a 100 TB corpus
+    without moving data between splits ever after — stable as the
+    corpus grows because membership depends only on the source name."""
+    ensure_deterministic_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "source",
+        "n_chars",
+        F.when(F.substring(F.md5("source"), 1, 1).isin("0", "1"), "eval")
+        .otherwise("train")
+        .alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH priced AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents
+      FROM orders
+    ), binned AS (
+      SELECT price_cents,
+             NTILE(8) OVER (ORDER BY price_cents, o_orderkey) AS bin
+      FROM priced
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(price_cents) AS lo_cents,
+           MAX(price_cents) AS hi_cents
+    FROM binned GROUP BY bin
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of order totals: NTILE(8)
+    over the exact global order assigns each row to a bin of equal
+    cardinality; per-bin count + [lo, hi] bounds are the quantile
+    boundaries a cost-based optimizer or a data-skew report wants.
+    Complements the fixed-width (``agg_histogram``) and log2
+    (``agg_histogram_log2``) variants.  Ties are broken by orderkey
+    so bin assignment is deterministic in both engines.
+
+    Scale: a global NTILE needs a total order — Spark range-partitions
+    on the sort key (sampled split points), so the sort is parallel;
+    the single-partition window over the sorted runs is the price of
+    exact equi-depth.  At 100 TB use approx_percentile boundaries
+    (``agg_approx_percentile``) instead; this key is the exact
+    reference the sketch is validated against."""
+    ensure_deterministic_session(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    priced = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    binned = priced.select(
+        "price_cents",
+        F.ntile(8)
+        .over(Window.orderBy("price_cents", "o_orderkey"))
+        .cast("int")
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("price_cents").alias("lo_cents"),
+        F.max("price_cents").alias("hi_cents"),
+    )
+
+
+@query(
+    "ts_spine_zero_fill",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events
+    ), bounds AS (
+      SELECT MIN(t) - MIN(t) % 86400 AS lo, MAX(t) - MAX(t) % 86400 AS hi FROM e
+    ), spine AS (
+      SELECT UNNEST(generate_series(lo, hi, 86400)) AS day_s FROM bounds
+    ), daily AS (
+      SELECT t - t % 86400 AS day_s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY 1
+    )
+    SELECT spine.day_s AS day_s, COALESCE(daily.n, 0) AS n_events
+    FROM spine LEFT JOIN daily ON spine.day_s = daily.day_s
+    """,
+)
+def ts_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts over a complete calendar spine — days with
+    zero events appear as explicit 0 rows (a bare GROUP BY silently
+    omits them, which breaks downstream charting/anomaly jobs).  The
+    spine is generated from the data's own [min, max] day range via
+    ``sequence`` + ``explode``; counts left-join onto it.
+
+    Scale: the spine is tiny (1 row per day — a century is ~36.5k
+    rows) so Spark broadcasts it; the daily aggregate is one
+    hash-shuffle over #days groups.  The explode happens on a
+    single-row aggregate, not per event row."""
+    ensure_deterministic_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(F.col("ts").cast("timestamp").cast("long").alias("t"))
+    day = (F.col("t") - F.col("t") % 86400).alias("day_s")
+    daily = e.select(day).groupBy("day_s").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    spine = (
+        e.agg(
+            (F.min("t") - F.min("t") % 86400).alias("lo"),
+            (F.max("t") - F.max("t") % 86400).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi", F.lit(86400))).alias("day_s"))
+    )
+    return spine.join(daily, "day_s", "left").select(
+        "day_s", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+@query(
+    "dedup_cluster_rep",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars, md5(text) AS fingerprint FROM documents
+    ), ranked AS (
+      SELECT fingerprint, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY fingerprint ORDER BY n_chars DESC, doc_id ASC
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS csize
+      FROM fp
+    )
+    SELECT fingerprint,
+           doc_id AS rep_doc_id,
+           CAST(csize AS BIGINT) AS cluster_size,
+           CAST(csize - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1 AND csize >= 2
+    """,
+)
+def dedup_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: inside each exact-duplicate
+    cluster (md5(text) fingerprint) keep the "best" document — longest
+    first, doc_id as the deterministic tie-break — and report how many
+    copies were dropped.  This is the step after duplicate *detection*
+    (``dedup_exact`` and friends find clusters; something must decide
+    which copy survives into the training corpus).
+
+    Scale: one hash-shuffle on the fingerprint; the window runs inside
+    each fingerprint partition (clusters are small — skew would mean a
+    pathological mega-duplicate, which the n_dropped output surfaces).
+    Quality-ranked keep-best generalizes by swapping the ORDER BY for
+    a model score column."""
+    ensure_deterministic_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "n_chars", F.md5(F.col("text").cast("binary")).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint")
+    ranked = fp.select(
+        "fingerprint",
+        "doc_id",
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("csize"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("csize") >= 2))
+        .select(
+            "fingerprint",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("csize").cast("long").alias("cluster_size"),
+            (F.col("csize") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+@query(
+    "stream_late_watermark",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_type FROM events
+    ), b AS (
+      SELECT MIN(t) - MIN(t) % 86400 AS day0, MAX(t) AS mx FROM e
+    )
+    SELECT t - t % 3600 AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e, b
+    WHERE t >= day0 + 4 * 86400
+      AND t - t % 3600 + 3600 <= mx - 1800
+    GROUP BY 1, 2
+    """,
+)
+def stream_late_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded end-to-end proof that the streaming watermark drops late
+    data and that append mode emits exactly the finalized windows —
+    not merely that streaming matches batch on fully-ordered input
+    (``stream_tumbling_counts`` covers that).
+
+    Construction: the events table is replayed out of order as three
+    single-file micro-batches (``maxFilesPerTrigger=1`` under
+    ``Trigger.AvailableNow``, file order forced via mtimes):
+
+      batch 0 — the bulk: day 4 up to the final hour;
+      batch 1 — the final hour (advances the watermark to
+                max event time − 30 min);
+      batch 2 — days 0–3, arriving very "late".
+
+    Spark's late-record filter uses the PREVIOUS batch's watermark
+    (verified empirically on this Spark: batch N's input is filtered
+    by batch N−1's eviction watermark — one batch behind the progress
+    line), so the days-0–3 rows hit a watermark already deep in the
+    final day and every one of them must be dropped; eviction then
+    finalizes and emits all windows closed before max−30 min.  The
+    final answer the oracle states in SQL: hour windows from day 4 on
+    whose end precedes the final watermark.  If late rows leaked in,
+    their long-closed windows would be evicted-and-emitted the same
+    batch and extra early windows would appear in the sink; if the
+    watermark over-dropped, on-time windows would vanish — either way
+    the hash mismatches.
+
+    Fixed 30-min delay; hour-aligned window ends can only collide
+    with the watermark if max(ts) falls exactly on a half-hour
+    boundary (it doesn't, at any shipped SF — asserted in pytest), so
+    the result is insensitive to Spark's boundary convention
+    (`end <= wm` vs `end < wm`).
+
+    Scale: identical topology to production late-data handling —
+    state is bounded by the lateness allowance, eviction is by window
+    end, per-batch work is one hash-shuffle into the state store.
+    The only driver-side data movement is a 2-scalar min/max
+    aggregate used to stage the replay."""
+    ensure_deterministic_session(spark)
+    events = load_table(spark, sf_dir, "events")
+    t = F.col("ts").cast("timestamp").cast("long")
+    row = events.agg(F.min(t).alias("mn"), F.max(t).alias("mx")).collect()[0]
+    day0 = row.mn - row.mn % 86400
+    t_split = day0 + 4 * 86400
+    final_hour = row.mx - row.mx % 3600
+    if not t_split < final_hour:
+        raise ValueError("events span shorter than the replay construction needs")
+
+    base = f"/root/repo/.scratch/stream_late_{_scratch_tag(sf_dir)}"
+    in_dir = f"{base}/in"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(in_dir)
+    batches = (
+        events.filter((t >= t_split) & (t < final_hour)),  # bulk
+        events.filter(t >= final_hour),  # tail: pushes the watermark
+        events.filter(t < t_split),  # late by weeks: must be dropped
+    )
+    for i, part in enumerate(batches):
+        stage = f"{base}/stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{in_dir}/batch{i}.parquet"
+        shutil.move(src, dst)
+        os.utime(dst, (1_000_000_000 + i * 3600, 1_000_000_000 + i * 3600))
+
+    from ..streaming.windows import EVENT_STREAM_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    name = f"stream_late_{_scratch_tag(sf_dir)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("window_start", "event_type", "n")

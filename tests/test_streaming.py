@@ -270,3 +270,44 @@ def test_file_stream_restart_is_exactly_once(spark, tmp_path):
         )
     )
     assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_late_watermark_boundary_never_ambiguous(spark):
+    """stream_late_watermark's oracle assumes the final watermark
+    (max event time - 30 min) never lands exactly on an hour-aligned
+    window end; otherwise Spark's eviction boundary convention would
+    decide one window's fate.  Assert that for every shipped SF."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources.tables import load_table
+
+    for sf_dir in sorted(g.glob("/root/testdata/sf*")):
+        mx = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.max(F.col("ts").cast("timestamp").cast("long")))
+            .collect()[0][0]
+        )
+        assert mx % 3600 not in (0, 1800), f"{sf_dir}: max ts half-hour aligned"
+
+
+def test_late_watermark_drops_observable(spark):
+    """The streaming answer differs from a naive no-watermark batch
+    answer (i.e. the key actually exercises the drop path: days 0-3
+    windows are absent, day-4+ finalized windows are present)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.plans.curation import stream_late_watermark
+    from data_engineering_assessment_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    got = stream_late_watermark(spark, SF_DIR)
+    t = F.col("ts").cast("timestamp").cast("long")
+    events = load_table(spark, SF_DIR, "events").select(t.alias("t"))
+    row = events.agg(F.min("t").alias("mn"), F.max("t").alias("mx")).collect()[0]
+    day0 = row.mn - row.mn % 86400
+    starts = [r.window_start for r in got.select("window_start").distinct().collect()]
+    assert starts, "no finalized windows emitted"
+    assert min(starts) >= day0 + 4 * 86400  # late days 0-3 all dropped
+    assert max(starts) + 3600 <= row.mx - 1800  # open windows not emitted
