@@ -120,6 +120,11 @@ HEADLINE = [
     "agg_moments_skew",
     "event_distinct_sliding",
     "agg_gini_impurity",
+    "sample_reservoir",
+    "split_group_holdout",
+    "agg_histogram_equidepth",
+    "ts_spine_zero_fill",
+    "dedup_cluster_rep",
 ]
 
 

@@ -1691,3 +1691,214 @@ def tablelog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v0.n_chars").alias("old_n_chars"),
         F.col("v1.n_chars").alias("new_n_chars"),
     )
+
+
+@query(
+    "stat_chi2_independence",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM documents GROUP BY lang, source
+    ), t AS (
+      SELECT lang, source, obs,
+             SUM(obs) OVER (PARTITION BY lang) AS r_tot,
+             SUM(obs) OVER (PARTITION BY source) AS c_tot,
+             SUM(obs) OVER () AS n_tot
+      FROM o
+    )
+    SELECT lang, source, obs,
+           CAST(r_tot AS BIGINT) AS r_tot,
+           CAST(c_tot AS BIGINT) AS c_tot,
+           CAST(((obs * n_tot - r_tot * c_tot) * (obs * n_tot - r_tot * c_tot)
+                 // (r_tot * c_tot)) * 10000 // n_tot AS BIGINT) AS contrib_bp
+    FROM t
+    """,
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the (lang x source) contingency
+    table — is language distribution homogeneous across crawl
+    sources?  The classic per-cell statistic (O-E)^2/E is restated in
+    exact integer arithmetic: with E = R*C/N, the contribution equals
+    (O*N - R*C)^2 / (N*R*C), computed as two integer divisions in a
+    documented order (by R*C first, then basis-point scale by N) so
+    both engines floor identically — no floats anywhere.  Complements
+    the KS drift statistic ([[source_drift_ks]]) with a categorical
+    test.
+
+    Scale: one hash-shuffle to count cells, then windows over the
+    tiny cell table (|langs| x |sources|); the quadratic intermediate
+    is bounded by N^2 so BIGINT holds to ~N = 5.5e5 docs per audit
+    scope — beyond that, partition the audit by corpus shard (the
+    statistic is additive over disjoint scopes) or widen to
+    DECIMAL(38,0)."""
+    ensure_deterministic_session(spark)
+    from ..sources.tables import load_table as _lt
+
+    o = (
+        _lt(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    t = o.select(
+        "lang",
+        "source",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("lang")).alias("r_tot"),
+        F.sum("obs").over(Window.partitionBy("source")).alias("c_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("n_tot"),
+    )
+    contrib = F.expr(
+        "((obs * n_tot - r_tot * c_tot) * (obs * n_tot - r_tot * c_tot)"
+        " div (r_tot * c_tot)) * 10000 div n_tot"
+    )
+    return t.select(
+        "lang",
+        "source",
+        "obs",
+        F.col("r_tot").cast("long").alias("r_tot"),
+        F.col("c_tot").cast("long").alias("c_tot"),
+        contrib.cast("long").alias("contrib_bp"),
+    )
+
+
+@query(
+    "agg_benford_digits",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0
+    ), d AS (
+      SELECT substring(CAST(cents AS VARCHAR), 1, 1) AS digit FROM c
+    )
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * 10000 // (SELECT COUNT(*) FROM d) AS BIGINT) AS share_bp
+    FROM d GROUP BY digit
+    """,
+)
+def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the classic
+    fabricated-data / unit-mixing screen: natural multi-scale amounts
+    put ~30.1% of first digits at 1, ~17.6% at 2, ...; a uniform or
+    spiked profile flags synthetic or truncated data.  The first
+    significant digit is taken from the decimal string of the exact
+    cents value — no float log10 anywhere — and shares are integer
+    basis points, so both engines agree bit-for-bit.
+
+    Scale: projection + one hash-shuffle over 9 groups; the share
+    denominator is a broadcast scalar subquery."""
+    ensure_deterministic_session(spark)
+    from ..sources.tables import load_table as _lt
+
+    c = (
+        _lt(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    d = c.select(F.substring(F.col("cents").cast("string"), 1, 1).alias("digit"))
+    total = d.count()  # single scalar; mirrors the oracle's scalar subquery
+    return d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(f"count(1) * 10000 div {total}").cast("long").alias("share_bp"),
+    )
+
+
+@query(
+    "event_user_churn",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events
+    ), mx AS (
+      SELECT MAX(t) AS mxt FROM e
+    ), last_seen AS (
+      SELECT user_id, MAX(t) AS last_t, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM e GROUP BY user_id
+    )
+    SELECT user_id, last_t AS last_seen_s, n_events,
+           CAST((mxt - last_t) // 86400 AS BIGINT) AS days_inactive
+    FROM last_seen, mx
+    WHERE mxt - last_t >= 7 * 86400
+    """,
+)
+def event_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churned-user extraction: users whose last activity is >= 7 days
+    before the corpus frontier (max event time), with their lifetime
+    event count and whole-day inactivity age — the standard retention
+    denominator feed.
+
+    Scale: one hash-shuffle to fold per-user max/count; the frontier
+    is a broadcast scalar.  No windows, no sort."""
+    ensure_deterministic_session(spark)
+    from ..sources.tables import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("t")
+    )
+    last_seen = e.groupBy("user_id").agg(
+        F.max("t").alias("last_t"), F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    mx = e.agg(F.max("t").alias("mxt"))
+    return (
+        last_seen.crossJoin(F.broadcast(mx))
+        .filter(F.col("mxt") - F.col("last_t") >= 7 * 86400)
+        .select(
+            "user_id",
+            F.col("last_t").alias("last_seen_s"),
+            "n_events",
+            ((F.col("mxt") - F.col("last_t")) / 86400)
+            .cast("long")
+            .alias("days_inactive"),
+        )
+    )
+
+
+@query(
+    "orders_backlog_aging",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS od,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus = 'O'
+    ), mx AS (
+      SELECT MAX(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)) AS mxd FROM orders
+    )
+    SELECT CAST((mxd - od) // (30 * 86400) AS BIGINT) AS age_bucket_30d,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM o, mx GROUP BY 1
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging report: orders still in status 'O'
+    bucketed by 30-day age relative to the newest order date, with
+    count and exact-cents value per bucket — the AR-aging shape every
+    operations dashboard carries.
+
+    Scale: filter + one hash-shuffle over a handful of buckets; the
+    frontier date is a broadcast scalar."""
+    ensure_deterministic_session(spark)
+    from ..sources.tables import load_table as _lt
+
+    orders = _lt(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("timestamp").cast("long")
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        od.alias("od"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+    mx = orders.agg(F.max(od).alias("mxd"))
+    return (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy(
+            ((F.col("mxd") - F.col("od")) / (30 * 86400))
+            .cast("long")
+            .alias("age_bucket_30d")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )

@@ -375,10 +375,39 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frames")  # fan-out mapInPandas — rows-only
+@query(
+    "multimodal_frames",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS asset_id, text, strlen(text) AS blen
+      FROM documents WHERE doc_id % 3 = 2
+    ), d AS (
+      SELECT asset_id, text, blen,
+             blen % 16 + 1 AS n_frames,
+             GREATEST(blen // (blen % 16 + 1), 1) AS span
+      FROM a
+    ), f AS (
+      SELECT asset_id, text, span,
+             UNNEST(range(0, n_frames, 4)) AS frame_idx
+      FROM d
+    )
+    SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(substring(text, CAST(frame_idx * span + 1 AS INT), CAST(span AS INT)))
+             AS frame_md5
+    FROM f
+    """,
+)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video assets — fan-out mapInPandas (rows
-    out > rows in); emits (asset_id, frame_idx, frame digest)."""
+    out > rows in); emits (asset_id, frame_idx, frame digest).
+
+    Oracle-checked (upgraded from rows-only in round 4): the injected
+    fake codec is fully deterministic (n_frames = byte_len % 16 + 1,
+    frame bytes = equal payload slices), and the corpus text is pure
+    ASCII (asserted in tests), so DuckDB can restate the whole fan-out
+    with VARCHAR substring arithmetic and hash-match the frame
+    digests — the same promotion ``multimodal_decode`` got in
+    round 3."""
     ensure_deterministic_session(spark)
     assets = synth_assets(load_table(spark, sf_dir, "documents"))
     frames = sample_frames(assets, every_n=4)

@@ -783,3 +783,28 @@ def test_jsonl_quarantine_routes_bad_lines(spark, tmp_path):
         "THIS IS NOT JSON",
         '{"doc_id": broken!!',
     }
+
+
+def test_corpus_text_is_ascii_for_frame_oracle(spark):
+    """multimodal_frames' DuckDB oracle slices VARCHAR positions as if
+    they were payload bytes — sound only while the corpus text is pure
+    ASCII (octet_length == char length).  Assert it per shipped SF so
+    a future non-ASCII corpus fails loudly here, not as a silent
+    digest mismatch."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources.tables import load_table
+
+    for sf_dir in sorted(g.glob("/root/testdata/sf*")):
+        excess = (
+            load_table(spark, sf_dir, "documents")
+            .agg(
+                F.max(
+                    F.octet_length(F.col("text").cast("binary")) - F.length("text")
+                )
+            )
+            .collect()[0][0]
+        )
+        assert excess == 0, f"{sf_dir}: non-ASCII text breaks the frames oracle"
