@@ -35,6 +35,11 @@ KEYS = [
     "text_rarity_score",
     "source_drift_ks",
     "recursive_cte_chain",
+    # round-4 additions: global top-K by hash (TakeOrdered merge order),
+    # global NTILE (range-partitioned sort), chi-square window stack
+    "sample_reservoir",
+    "agg_histogram_equidepth",
+    "stat_chi2_independence",
 ]
 
 
