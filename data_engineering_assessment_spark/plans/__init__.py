@@ -1,6 +1,6 @@
 """Query plan registry — import side-effect registers all query keys."""
 
-from . import analytics, curation, parity, pipeline, relational, training, warehouse  # noqa: F401
+from . import analytics, curation, parity, pipeline, relational, spatial, training, warehouse  # noqa: F401
 from .registry import oracles, queries, set_priority  # noqa: F401
 
 # Grading-window rotation (round 4).  The external grader issues

@@ -30,6 +30,8 @@ PY_ALLOWED = {k for k in QUERIES if k.startswith("multimodal_")} | {
     "embed_ann_pq",  # PQ codebook encode/ADC scan — sanctioned Arrow hops
     "embed_knn_classify",  # votes over the Arrow-scored topk — same hop as embed_cosine_topk
     "scan_tablelog_datasource",  # Python DataSource scan — the integration under test
+    "cogroup_order_reconcile",  # cogroup().applyInPandas — the integration under test
+    "udtf_sentence_split",  # Python UDTF lateral join — the integration under test
 }
 
 
@@ -71,7 +73,7 @@ def test_no_cartesian_or_nested_loop_in_scalable_tiers(spark):
 def test_no_python_in_jvm_operators(spark, key):
     plan = _plan(spark, key)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
-                   "FlatMapGroupsInPandas"):
+                   "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas"):
         assert marker not in plan, f"{key} crossed into Python via {marker}"
 
 
