@@ -311,3 +311,76 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_micro: int = 800_000,
+    cache_index: bool = True,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Directed shingle-containment pairs: |A∩B| / |A| ≥ threshold.
+
+    Containment is the *asymmetric* near-dup metric Jaccard misses: a
+    short document fully quoted inside a long one scores ~1.0 here but
+    near 0 on Jaccard (the union is dominated by the long doc).  It is
+    the standard screen for doc-in-doc duplication — boilerplate,
+    quotations, wrapper pages around syndicated bodies — and the
+    containment direction tells you which side is the fragment.
+
+    Plan shape is the Jaccard tier's inverted shingle index with two
+    deltas: the equi-join is directed (``a.doc != b.doc`` — both
+    orientations are meaningful) and there is NO size-compatibility
+    prune (containment allows |B| >> |A|), so ``df_cap`` is the only
+    skew lever — same lower-bound caveat as
+    :func:`ngram_jaccard_pairs`.  The threshold is applied as an exact
+    integer cross-multiply (``inter * 1e6 >= t_micro * n_a``) and the
+    reported score is an exact integer division — no float anywhere,
+    so the result is bit-identical in any engine and any plan.
+
+    Scale: one shuffle on the shingle (AQE-skewable), one on the
+    directed pair; candidate space = pairs sharing ≥1 surviving
+    shingle.  No cross join (asserted in PLANS.md).
+    """
+    sh = _shingled(docs, id_col, text_col, n)
+    if cache_index:
+        sh = _materialized(sh)
+    ex = sh.select(
+        "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+    )
+    if df_cap is not None:
+        hot = (
+            ex.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("sh")
+        )
+        ex = ex.join(F.broadcast(hot), "sh", "left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.filter(
+            F.col("inter") * F.lit(1_000_000) >= F.lit(threshold_micro) * F.col("n_a")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("inter").cast("long").alias("inter"),
+            F.expr("CAST(inter * 1000000 DIV n_a AS BIGINT)").alias("containment_micro"),
+        )
+    )

@@ -1381,3 +1381,76 @@ def embed_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("true_label") == F.col("pred_label")).alias("correct"),
         )
     )
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+      FROM w
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS n_a, count(*) AS inter
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id != b.doc_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(inter * 1000000 // n_a AS BIGINT) AS containment_micro
+    FROM p
+    WHERE inter * 1000000 >= 800000 * n_a
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-gram containment pairs (|A∩B|/|A| ≥ 0.8) — the
+    asymmetric doc-in-doc screen Jaccard misses (short fragments
+    quoted inside long documents; boilerplate wrappers around
+    syndicated bodies).  Same inverted shingle index as the Jaccard
+    tier, directed join, exact integer cross-multiplied threshold;
+    the oracle brute-forces the identical answer."""
+    ensure_deterministic_session(spark)
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+HEAVY_HITTER_K = 50
+
+
+@query(
+    "token_heavy_hitters",
+    oracle=f"""
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tot AS (SELECT count(*) AS n_total FROM t)
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY tok
+    HAVING count(*) * {HEAVY_HITTER_K} > (SELECT n_total FROM tot)
+    """,
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (count > N/{K}) via per-partition
+    Misra–Gries candidates + exact verification — the two-pass
+    pattern that never shuffles the full token stream (contrast
+    `token_topk`, which does).  MG gives a provable candidate
+    SUPERSET per partition (no merge needed), the verify pass
+    recounts candidates exactly, so the output is deterministic and
+    oracle-checkable despite the sketch in the middle.  See
+    operators/sketches.py for the guarantee arithmetic."""
+    ensure_deterministic_session(spark)
+    from ..functions.text import words
+    from ..operators.sketches import heavy_hitters
+    from ..sources.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tokens = d.select(F.explode(words("text")).alias("tok"))
+    return heavy_hitters(tokens, k=HEAVY_HITTER_K)

@@ -808,3 +808,65 @@ def test_corpus_text_is_ascii_for_frame_oracle(spark):
             .collect()[0][0]
         )
         assert excess == 0, f"{sf_dir}: non-ASCII text breaks the frames oracle"
+
+
+def test_containment_detects_fragment_direction(spark):
+    """A short doc fully quoted inside a long one is flagged in the
+    fragment→container direction only (the asymmetry Jaccard misses)."""
+    from data_engineering_assessment_spark.operators.dedup import containment_pairs
+
+    frag = "alpha beta gamma delta epsilon zeta"
+    container = frag + " " + " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, frag), (2, container), (3, "totally unrelated words only here now")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_a, r.doc_b): r for r in containment_pairs(docs).collect()}
+    assert (1, 2) in rows  # fragment contained in container
+    assert rows[(1, 2)].containment_micro == 1_000_000
+    assert (2, 1) not in rows  # container not contained in fragment
+    assert not any(3 in p for p in rows)
+
+
+def test_mg_merge_capacity_and_undercount_only():
+    from data_engineering_assessment_spark.operators.sketches import mg_merge
+
+    acc: dict[str, int] = {}
+    exact: dict[str, int] = {}
+    random.seed(7)
+    for _ in range(40):
+        batch: dict[str, int] = {}
+        for _ in range(30):
+            t = f"t{random.randint(0, 99)}"
+            batch[t] = batch.get(t, 0) + random.randint(1, 5)
+        for t, c in batch.items():
+            exact[t] = exact.get(t, 0) + c
+        acc = mg_merge(acc, batch, capacity=20)
+    assert len(acc) <= 20
+    for t, est in acc.items():
+        assert est <= exact[t]  # MG only ever undercounts
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    """The sketch-guided output equals the brute-force answer and is
+    identical under different partitionings (the MG candidate set may
+    differ; the verified output must not)."""
+    from data_engineering_assessment_spark.operators.sketches import heavy_hitters
+    from data_engineering_assessment_spark.functions.text import words
+    from data_engineering_assessment_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    tokens = docs.select(F.explode(words("text")).alias("tok"))
+    exact = {
+        (r.tok, r.n)
+        for r in tokens.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r.n * 50 > tokens.count()
+    }
+    for parts in (1, 7):
+        got = {
+            (r.tok, r.n)
+            for r in heavy_hitters(tokens.repartition(parts), k=50).collect()
+        }
+        assert got == exact
