@@ -125,6 +125,11 @@ HEADLINE = [
     "agg_histogram_equidepth",
     "ts_spine_zero_fill",
     "dedup_cluster_rep",
+    "grid_radius_join",
+    "grid_density_topk",
+    "dedup_containment",
+    "token_heavy_hitters",
+    "cogroup_order_reconcile",
 ]
 
 

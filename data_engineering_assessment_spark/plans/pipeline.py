@@ -1454,3 +1454,99 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     tokens = d.select(F.explode(words("text")).alias("tok"))
     return heavy_hitters(tokens, k=HEAVY_HITTER_K)
+
+
+BOILERPLATE_GRAM = 8
+BOILERPLATE_DF_MIN = 3
+
+
+@query(
+    "text_boilerplate_cov",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws) - {BOILERPLATE_GRAM - 2}),
+             i -> {{'s': i, 'g': array_to_string(ws[i:i+{BOILERPLATE_GRAM - 1}], ' ')}})) AS it
+      FROM w WHERE len(ws) >= {BOILERPLATE_GRAM}
+    ), g AS (SELECT doc_id, it.s AS s, it.g AS g8 FROM pos),
+    hot AS (
+      SELECT g8 FROM g GROUP BY g8
+      HAVING count(DISTINCT doc_id) >= {BOILERPLATE_DF_MIN}
+    ),
+    cov AS (
+      SELECT doc_id, count(DISTINCT p) AS n_cov FROM (
+        SELECT doc_id, unnest(range(s, s + {BOILERPLATE_GRAM})) AS p
+        FROM g JOIN hot USING (g8)
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+           CAST(COALESCE(cov.n_cov, 0) AS BIGINT) AS n_cov,
+           CAST(COALESCE(cov.n_cov, 0) * 1000 // len(string_split(d.text, ' '))
+                AS BIGINT) AS cov_permille
+    FROM documents d LEFT JOIN cov ON cov.doc_id = d.doc_id
+    """,
+)
+def text_boilerplate_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate coverage: the share of word positions
+    covered by any {G}-gram that appears in >= {DF} distinct docs —
+    the CCNet/RefinedWeb-style screen for navigation chrome, license
+    banners, and syndication wrappers (high coverage => the doc is
+    mostly text shared with the rest of the crawl, independent of any
+    single duplicate partner).
+
+    Plan: position-tagged {G}-grams (one generate, no self-join) →
+    hot-gram list by distinct-doc frequency (map-side-combined
+    count, small result) → broadcast semi-join back onto the
+    position stream → per-doc distinct covered positions.  Coverage
+    is reported in exact integer permille.
+
+    Scale: the only wide op keyed on grams is the df count (partial
+    agg flattens hot grams); the hot list is tiny by construction
+    (df >= {DF} at crawl scale is rare) so the coverage join is a
+    broadcast.  No pairwise doc comparison anywhere — cost is linear
+    in corpus grams."""
+    ensure_deterministic_session(spark)
+    from ..functions.text import words
+    from ..sources.tables import spread
+
+    G, DF = BOILERPLATE_GRAM, BOILERPLATE_DF_MIN
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = d.select("doc_id", words("text").alias("ws"))
+    g = (
+        w.filter(F.size("ws") >= G)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {G - 1}),"
+                    f" i -> struct(i AS s, concat_ws(' ', slice(ws, i, {G})) AS g8))"
+                )
+            ).alias("it"),
+        )
+        .select("doc_id", F.col("it.s").alias("s"), F.col("it.g8").alias("g8"))
+    )
+    hot = (
+        g.groupBy("g8")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= DF)
+        .select("g8")
+    )
+    cov = (
+        g.join(F.broadcast(hot), "g8", "semi")
+        .select("doc_id", F.explode(F.expr(f"sequence(s, s + {G - 1})")).alias("p"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").alias("n_cov"))
+    )
+    base = w.select("doc_id", F.size("ws").cast("long").alias("n_words"))
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("n_cov"), F.lit(0)).cast("long").alias("n_cov"),
+            F.expr("CAST(coalesce(n_cov, 0) * 1000 DIV n_words AS BIGINT)").alias(
+                "cov_permille"
+            ),
+        )
+    )
