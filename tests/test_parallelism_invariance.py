@@ -40,6 +40,14 @@ KEYS = [
     "sample_reservoir",
     "agg_histogram_equidepth",
     "stat_chi2_independence",
+    # late round-4 additions: neighbor-cell spatial join, cogrouped
+    # pandas hop (bucket width != shuffle width), MG-sketch-guided
+    # exact heavy hitters (candidate set may vary with partitioning;
+    # verified output must not), hot-gram coverage join
+    "grid_radius_join",
+    "cogroup_order_reconcile",
+    "token_heavy_hitters",
+    "text_boilerplate_cov",
 ]
 
 
