@@ -1550,3 +1550,58 @@ def text_boilerplate_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "multimodal_arrow_digest",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_arrow_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload integrity digests through ``mapInArrow`` — the
+    zero-copy Arrow RecordBatch hop (the last Python extension point
+    in the matrix: scalar pandas_udf, mapInPandas, applyInPandas,
+    applyInPandasWithState, cogroup, UDTF, Python DataSource, and
+    this).  For opaque media BLOBs, Arrow batches hand Python the raw
+    buffers without a pandas object-column conversion — the right
+    interface for checksumming / codec sniffing / byte-range probes
+    over multi-MB payloads.
+
+    The digest rule (md5 of the payload bytes) is restated by the
+    oracle over the same deterministic fake assets
+    (payload == utf-8 bytes of text, operators/multimodal.py:50), so
+    the Arrow path is held to a value-exact gate like every other
+    Python hop.
+
+    Scale: per-partition streaming over Arrow batches, no shuffle, no
+    pandas materialization; output is (id, len, digest) — the payload
+    never leaves the executor."""
+    ensure_deterministic_session(spark)
+    import hashlib
+
+    import pyarrow as pa
+
+    from ..operators.multimodal import synth_assets
+
+    def digest_batches(batches):
+        for batch in batches:
+            ids = batch.column("asset_id")
+            payloads = batch.column("payload")
+            md5s = [
+                hashlib.md5(p.as_py()).hexdigest() if p.is_valid else None
+                for p in payloads
+            ]
+            lens = [len(p.as_py()) if p.is_valid else None for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(lens, type=pa.int64()), pa.array(md5s, type=pa.string())],
+                names=["asset_id", "byte_len", "payload_md5"],
+            )
+
+    assets = synth_assets(load_table(spark, sf_dir, "documents"))
+    return assets.select("asset_id", "payload").mapInArrow(
+        digest_batches, schema="asset_id bigint, byte_len bigint, payload_md5 string"
+    )

@@ -74,7 +74,8 @@ def test_no_cartesian_or_nested_loop_in_scalable_tiers(spark):
 def test_no_python_in_jvm_operators(spark, key):
     plan = _plan(spark, key)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
-                   "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas"):
+                   "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas",
+                   "MapInArrow"):
         assert marker not in plan, f"{key} crossed into Python via {marker}"
 
 
