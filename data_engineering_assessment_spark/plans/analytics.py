@@ -1902,3 +1902,62 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("total_cents"),
         )
     )
+
+
+BLOOM_PROBE_KEYS = [7, 311, 911]
+
+
+@query(
+    "scan_bloom_index",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) * 100
+                AS BIGINT) AS cents
+    FROM orders
+    WHERE o_custkey IN (7, 311, 911)
+    GROUP BY o_custkey
+    """,
+)
+def scan_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup file skipping via a per-file Bloom index — the
+    companion to [[scan_stats_prune]] for the case range stats are
+    useless: the layout is range-chunked on o_orderkey, so every
+    file's o_custkey min/max spans the whole domain, yet a customer's
+    ~10 orders touch only a few files.  A per-file Bloom bitmap over
+    o_custkey (built in one distributed pass, sources/layout.py)
+    answers "might file F contain customer K?"; the query opens only
+    surviving files.  False positives cost an extra file read and are
+    removed by the residual predicate — equality with the full-scan
+    oracle proves skipping loses nothing.
+
+    Scale: the index is O(files × m_bits/8) bytes beside the data (a
+    manifest column in Delta/Iceberg terms); probe cost is O(files)
+    bit tests at plan time.  Selectivity tracks the key's file
+    footprint, not the layout order — exactly the lookups (user id,
+    order id, doc id) a 100 TB fact table serves."""
+    ensure_deterministic_session(spark)
+    import os
+
+    from ..sources.layout import (
+        bloom_probe_files,
+        build_bloom_index,
+        pruned_read,
+        write_range_chunked,
+    )
+
+    tag = _scratch_tag_local(sf_dir)
+    path = f"/root/repo/.scratch/bloom_index_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_range_chunked(
+            load_table(spark, sf_dir, "orders"), path, key="o_orderkey", n_files=16
+        )
+    index = build_bloom_index(spark, path, "o_custkey")
+    picked = bloom_probe_files(index, spark, BLOOM_PROBE_KEYS, "o_custkey")
+    df = pruned_read(spark, picked).filter(F.col("o_custkey").isin(BLOOM_PROBE_KEYS))
+    return df.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("decimal(30,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )

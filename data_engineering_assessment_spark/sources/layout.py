@@ -290,3 +290,76 @@ def pruned_read(spark: SparkSession, files: list[str]) -> DataFrame:
     if not files:
         raise ValueError("stats index pruned every file; nothing to read")
     return spark.read.parquet(*files)
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> dict[str, set[int]]:
+    """File-level Bloom index for point lookups on ``column`` — the
+    skipping tier min/max stats can't provide: a high-cardinality key
+    that isn't the layout's sort key spans [global min, global max] in
+    every file, so range stats prune nothing, while a per-file Bloom
+    bitmap answers "might this file contain key X?" with false
+    positives only.  This is the Delta/Iceberg bloom-filter-index
+    feature as an explicit operator.
+
+    Built DISTRIBUTED: one narrow Spark pass tags rows with
+    ``input_file_name``, expands each key to its ``k`` bit positions
+    (xxhash64 with k seeds — engine-internal, so no cross-engine
+    portability constraint), and collects the DISTINCT (file, bit)
+    pairs — O(files × m) tiny rows to the driver, never the data.  At
+    real scale the result would be written as a sidecar index table;
+    here it returns {file: set(bits)}.
+    """
+    from pyspark.sql import functions as F
+
+    hashes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(column), F.lit(seed)), F.lit(m_bits))
+            for seed in range(k_hashes)
+        ]
+    )
+    rows = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"), F.explode(hashes).alias("b"))
+        .distinct()
+        .groupBy("f")
+        .agg(F.collect_set("b").alias("bits"))
+        .collect()
+    )
+    return {r.f: set(r.bits) for r in rows}
+
+
+def bloom_probe_files(
+    index: dict[str, set[int]],
+    spark: SparkSession,
+    keys: list[int],
+    column: str,
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> list[str]:
+    """Files that may contain ANY of ``keys`` per the Bloom index
+    (union of per-key surviving file sets).  Bit positions are
+    computed with the same engine expression used at build time so
+    build and probe can never drift."""
+    from pyspark.sql import functions as F
+
+    probe = spark.createDataFrame([(k,) for k in keys], f"{column} long")
+    hashes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(column), F.lit(seed)), F.lit(m_bits))
+            for seed in range(k_hashes)
+        ]
+    )
+    rows = probe.select(F.col(column), hashes.alias("bs")).collect()
+    picked: list[str] = []
+    for f, bits in sorted(index.items()):
+        for r in rows:
+            if all(b in bits for b in r.bs):
+                picked.append(f)
+                break
+    return picked

@@ -281,3 +281,40 @@ def test_minmax_index_actually_skips_files(spark, tmp_path):
     assert 0 < len(picked) < len(index)  # skipping really happened
     got = pruned_read(spark, picked).filter(F.col("k").between(lo, hi)).count()
     assert got == 1000
+
+
+def test_bloom_index_skips_files_and_loses_nothing(spark):
+    """The Bloom file index must actually skip files for point probes
+    on a column the range layout can't prune (false positives allowed,
+    false negatives never)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources.layout import (
+        bloom_probe_files,
+        build_bloom_index,
+        write_range_chunked,
+    )
+    from data_engineering_assessment_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    path = "/root/repo/.scratch/bloom_test_unit"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_range_chunked(
+            load_table(spark, SF_DIR, "orders"), path, key="o_orderkey", n_files=16
+        )
+    index = build_bloom_index(spark, path, "o_custkey")
+    assert len(index) == 16
+    probe = [7]
+    picked = bloom_probe_files(index, spark, probe, "o_custkey")
+    assert len(picked) < 16, "bloom index pruned nothing"
+    # no false negatives: every file truly containing the key survives
+    truth = (
+        spark.read.parquet(path)
+        .filter(F.col("o_custkey").isin(probe))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    assert {r.f for r in truth} <= set(picked)

@@ -870,3 +870,36 @@ def test_heavy_hitters_exact_and_partition_invariant(spark):
             for r in heavy_hitters(tokens.repartition(parts), k=50).collect()
         }
         assert got == exact
+
+
+def test_mg_superset_guarantee_property():
+    """Property: after folding any stream through mg_merge, every item
+    with true count > N/(capacity+1) is still present — the guarantee
+    heavy_hitters' candidate pass relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_assessment_spark.operators.sketches import mg_merge
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+        st.integers(min_value=2, max_value=12),
+        st.integers(min_value=1, max_value=50),
+    )
+    def prop(stream, capacity, batch_size):
+        acc: dict[str, int] = {}
+        exact: dict[str, int] = {}
+        for i in range(0, len(stream), batch_size):
+            batch: dict[str, int] = {}
+            for x in stream[i : i + batch_size]:
+                t = f"t{x}"
+                batch[t] = batch.get(t, 0) + 1
+                exact[t] = exact.get(t, 0) + 1
+            acc = mg_merge(acc, batch, capacity)
+        n = len(stream)
+        for t, c in exact.items():
+            if c * (capacity + 1) > n:
+                assert t in acc, (t, c, n, capacity)
+
+    prop()
