@@ -130,6 +130,9 @@ HEADLINE = [
     "dedup_containment",
     "token_heavy_hitters",
     "cogroup_order_reconcile",
+    "text_boilerplate_cov",
+    "scan_bloom_index",
+    "multimodal_arrow_digest",
 ]
 
 
