@@ -164,3 +164,55 @@ def test_streaming_sink_exactly_once_across_replay(spark, tmp_path):
     run(str(tmp_path / "ckpt2"))
     assert tablelog.read_version(spark, table).count() == 400
     assert len(tablelog.versions(table)) == v1  # no new commits at all
+
+
+def test_stream_source_tails_only_new_appends(spark, tmp_path):
+    """The streaming source's incremental contract: a checkpointed
+    stream drains the table, then a LATER append is surfaced alone on
+    restart — versions already committed to the checkpoint are never
+    re-read (exactly-once across the version log)."""
+    from data_engineering_assessment_spark.sources.tablelog_datasource import (
+        TableLogStreamReader,
+        register,
+    )
+
+    path = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out1 = spark.range(10).selectExpr("id", "id * 2 AS v")
+    tablelog.create_table(out1.filter("id < 5"), path)
+    tablelog.append(out1.filter("id >= 5"), path)
+    register(spark)
+
+    def drain(qname):
+        got: set = set()
+
+        def sink(batch_df, batch_id):
+            got.update(tuple(r) for r in batch_df.collect())
+
+        q = (
+            spark.readStream.format("tablelog")
+            .load(path)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    first = drain("tls_first")
+    assert first == {(i, 2 * i) for i in range(10)}
+
+    tablelog.append(spark.range(10, 13).selectExpr("id", "id * 2 AS v"), path)
+    second = drain("tls_second")
+    # the checkpoint carries the committed offset — only the new
+    # append's rows arrive on restart
+    assert second == {(i, 2 * i) for i in range(10, 13)}
+
+    # offset arithmetic: files between v0 and v2 exclude v0's
+    r = TableLogStreamReader(path)
+    all_files = set(tablelog._read_manifest(path, 2)["files"])
+    v0_files = set(tablelog._read_manifest(path, 0)["files"])
+    assert set(r._files_between(0, 2)) == all_files - v0_files
+    assert set(r._files_between(-1, 2)) == all_files
