@@ -454,3 +454,59 @@ def scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "split_kfold",
+    oracle="""
+    WITH tagged AS (
+      SELECT n_chars,
+             (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16
+            + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 5 AS fold
+      FROM documents
+    ), folds AS (
+      SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM tagged GROUP BY fold
+    )
+    SELECT fold, n_docs, total_chars,
+           CAST(SUM(n_docs) OVER () - n_docs AS BIGINT) AS train_docs
+    FROM folds
+    """,
+)
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment: the fold is
+    pure arithmetic on the doc-id hash (two md5 hex chars via
+    ``ascii`` — portable to any engine, no hex-parse builtin needed),
+    so membership is stable under re-partitioning, appends, and
+    re-runs, and every engine computes the same folds.  Each output
+    row audits one fold: its eval size plus the leave-one-out train
+    size the fold's model would see.
+
+    Scale: the fold tag is a projection (no shuffle); the audit is a
+    5-group hash agg plus a 5-row window.  Writing fold as a
+    partition column materializes all 5 train/eval splits of a
+    100 TB corpus without ever moving a row between folds."""
+    ensure_deterministic_session(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    fold = (
+        F.ascii(F.substring(h, 1, 1)) * 16 + F.ascii(F.substring(h, 2, 1))
+    ) % 5
+    folds = (
+        docs.select(fold.cast("long").alias("fold"), "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    w = Window.partitionBy()
+    return folds.select(
+        "fold",
+        "n_docs",
+        "total_chars",
+        (F.sum("n_docs").over(w) - F.col("n_docs")).cast("long").alias("train_docs"),
+    )

@@ -28,6 +28,15 @@ def main() -> int:
     ap.add_argument("--first", type=int, default=0, help="only the first N keys")
     ap.add_argument("--keys", nargs="*", default=None)
     ap.add_argument("--skip-smoke", action="store_true")
+    ap.add_argument(
+        "--shuffle",
+        type=int,
+        default=None,
+        metavar="SEED",
+        help="run keys in a seeded-random order — catches cross-key "
+        "coupling (temp-view collisions, leaked runtime confs) that "
+        "registry-order runs mask",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,6 +65,10 @@ def main() -> int:
     keys = args.keys or list(queries)
     if args.first:
         keys = keys[: args.first]
+    if args.shuffle is not None:
+        import random
+
+        random.Random(args.shuffle).shuffle(keys)
 
     con = duck_connection(args.sf)
     failures: list[str] = []
