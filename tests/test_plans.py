@@ -122,3 +122,48 @@ def test_dpp_join_actually_prunes_partitions(spark):
     exists to demonstrate."""
     plan = _plan(spark, "join_dpp_prune").lower()
     assert "dynamicpruning" in plan
+
+
+def test_aqe_skew_join_actually_splits(spark):
+    """Mechanical proof of the AQE claim the scale docs make: a sort-
+    merge join against a pathologically skewed fact side (90% of rows
+    on one key, skewed partition forced far above the split
+    threshold) is re-planned at runtime with `isSkew = true` reads —
+    Spark splits the hot partition instead of letting one task carry
+    the stage."""
+    from pyspark.sql import functions as F
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        fact = spark.range(100_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = fact.join(dim, "k")
+        # the action must run THIS Dataset's QueryExecution — AQE
+        # finalizes (and records the skew split) only on execution,
+        # and df.count() would execute a different (grouped) plan
+        assert len(joined.collect()) == 100_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
