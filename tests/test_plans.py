@@ -167,3 +167,43 @@ def test_aqe_skew_join_actually_splits(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+# BroadcastNestedLoopJoin is legitimate ONLY when the build side is a
+# broadcast single-row scalar (share-of-total, thresholds), a bounded
+# query/dim batch, or a documented exact-baseline tier.  Everything
+# else must candidate-generate via hash joins.
+BNLJ_ALLOWED = {
+    "agg_antijoin_avg",  # scalar avg threshold broadcast
+    "agg_share_having",  # single-row total re-agg
+    "constraint_check",  # scalar domain bounds
+    "dedup_embed_cosine",  # documented O(n^2) exact baseline tier
+    "embed_cosine_topk",  # bounded query batch broadcast
+    "embed_knn_classify",  # same bounded batch as embed_cosine_topk
+    "event_cooccurrence",  # single-row basket total
+    "event_error_hotspots",  # scalar global baseline rate
+    "event_user_churn",  # scalar event-frontier timestamp
+    "join_range",  # broadcast bounded dim, non-equi by design
+    "key_skew_profile",  # single-row total for share computation
+    "orders_backlog_aging",  # scalar newest-order date
+    "pareto_revenue_share",  # single-row revenue total
+    "source_drift_ks",  # scalar corpus-wide totals
+    "text_tfidf_topk",  # single-row corpus doc count (IDF)
+    "token_heavy_hitters",  # single-row token total (threshold)
+}
+
+
+def test_registry_wide_no_cartesian_and_bounded_bnlj(spark):
+    """Every registered key's physical plan is free of CartesianProduct,
+    and BroadcastNestedLoopJoin appears only in the sanctioned
+    scalar/bounded set above — the registry-wide form of the per-family
+    spot checks, so a new operator can't silently plan an O(n^2) join."""
+    offenders_cartesian, offenders_bnlj = [], []
+    for key in QUERIES:
+        plan = _plan(spark, key)
+        if "CartesianProduct" in plan:
+            offenders_cartesian.append(key)
+        if "BroadcastNestedLoopJoin" in plan and key not in BNLJ_ALLOWED:
+            offenders_bnlj.append(key)
+    assert not offenders_cartesian, offenders_cartesian
+    assert not offenders_bnlj, offenders_bnlj
