@@ -2026,3 +2026,76 @@ def stream_tablelog_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.md5(F.col("text").cast("binary")).alias("text_md5"),
     )
+
+
+@query(
+    "tablelog_wap_publish",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    """,
+)
+def tablelog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish on the tablelog format — the lakehouse
+    pattern that keeps bad batches out of a production table without
+    sacrificing atomicity: files land UNCOMMITTED (invisible — every
+    read resolves a committed manifest), a validation query audits
+    exactly those staged files, and only a passing audit claims the
+    next version atomically; a failing audit discards the stage and
+    the table never saw it.
+
+    The graded run: base table = even orders; a POISONED batch of odd
+    orders (negated totals planted on orderkey % 100 == 1) is staged,
+    audited (negative-cents check), and REJECTED; the clean odd batch
+    is then staged, audited, and PUBLISHED.  The final table must
+    hash-match the full orders table — dirty rows never leaked, clean
+    rows all arrived exactly once.
+
+    Scale: staging is a plain parquet write (cluster-parallel); the
+    audit is any Spark query over just the staged files; publish is
+    one O(1) driver manifest link.  Version math is optimistic — a
+    concurrent writer moves the head and the publish fails cleanly
+    for a re-stage, never interleaves."""
+    ensure_deterministic_session(spark)
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources import tablelog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/root/repo/.scratch/tablelog_wap_{tag}"
+    if os.path.exists(path):
+        shutil.rmtree(path)
+
+    tablelog.create_table(orders.filter(F.col("o_orderkey") % 2 == 0), path)
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    def audit_ok(staged_files: list[str]) -> bool:
+        staged = tablelog.read_staged(spark, path, staged_files)
+        return staged.filter(F.col("cents") < 0).limit(1).count() == 0
+
+    # 1) poisoned batch: planted negatives must be caught and discarded
+    poisoned = odd.withColumn(
+        "cents",
+        F.when(F.col("o_orderkey") % 100 == 1, -F.col("cents")).otherwise(
+            F.col("cents")
+        ),
+    )
+    v, staged = tablelog.stage_append(poisoned, path)
+    if audit_ok(staged):  # pragma: no cover - the plant guarantees failure
+        raise AssertionError("audit must reject the poisoned batch")
+    tablelog.discard_staged(path, staged)
+
+    # 2) clean batch: audited, then atomically published
+    v, staged = tablelog.stage_append(odd, path)
+    if not audit_ok(staged):
+        raise AssertionError("audit must accept the clean batch")
+    tablelog.publish_append(path, v, staged)
+
+    return tablelog.read_version(spark, path).select("o_orderkey", "cents")

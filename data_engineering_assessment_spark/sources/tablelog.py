@@ -201,3 +201,48 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
             if os.path.isdir(full) and not os.listdir(full):
                 shutil.rmtree(full)
     return removed
+
+
+def stage_append(df: DataFrame, path: str) -> tuple[int, list[str]]:
+    """Write-Audit-Publish step 1: land ``df``'s files in the table's
+    data dir WITHOUT committing a manifest — readers cannot see them
+    (every read resolves a committed manifest), but an auditor can.
+    Returns the version the stage targets and its relative files."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no table at {path}")
+    head = vs[-1]
+    return head + 1, _write_commit_data(df, path, head + 1)
+
+
+def read_staged(spark: SparkSession, path: str, staged_files: list[str]) -> DataFrame:
+    """WAP step 2 input: the staged (uncommitted, invisible) rows, for
+    validation queries."""
+    return spark.read.parquet(*[os.path.join(path, f) for f in staged_files])
+
+
+def publish_append(
+    path: str, version: int, staged_files: list[str], meta: dict | None = None
+) -> int:
+    """WAP step 3a: atomically commit the audited stage as an append.
+    Fails with a conflict if another writer claimed the version while
+    the audit ran (stage again on the new head)."""
+    vs = versions(path)
+    head = vs[-1]
+    if version != head + 1:
+        raise FileExistsError(
+            f"stage targeted version {version} but head moved to {head}"
+        )
+    prev = _read_manifest(path, head)["files"]
+    _commit(path, version, prev + sorted(staged_files), "append", meta)
+    return version
+
+
+def discard_staged(path: str, staged_files: list[str]) -> None:
+    """WAP step 3b: audit failed — delete the staged files.  Pure
+    hygiene: unreferenced files are invisible to every reader and
+    would also be dropped by vacuum."""
+    for rel in staged_files:
+        full = os.path.join(path, rel)
+        if os.path.exists(full):
+            os.unlink(full)

