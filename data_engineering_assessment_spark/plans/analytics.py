@@ -2099,3 +2099,60 @@ def tablelog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     tablelog.publish_append(path, v, staged)
 
     return tablelog.read_version(spark, path).select("o_orderkey", "cents")
+
+
+@query(
+    "schema_widen_scan",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    """,
+)
+def schema_widen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening scan: half the dataset was written by an "old"
+    pipeline with 32-bit columns (INT32 parquet pages), half by a
+    "new" one with 64-bit — one read with the DECLARED wide schema
+    returns both, the Spark 4 parquet readers up-casting INT32 pages
+    to LONG per row group.  This is the other axis of schema
+    evolution from [[schema_evolution_scan]] (column accretion):
+    column TYPE growth, survived without rewriting history — the
+    int-overflow migration every long-lived fact table eventually
+    makes.
+
+    (``mergeSchema`` alone refuses int-vs-long conflicts —
+    CANNOT_MERGE_SCHEMAS; the declared-schema read is the sanctioned
+    path, pinned here.)
+
+    Scale: zero data movement — old files are never rewritten; the
+    cast happens inside the columnar reader at full scan speed, and
+    pushdown/pruning still apply."""
+    ensure_deterministic_session(spark)
+    import os
+
+    from ..sources.tables import load_table as _lt
+
+    tag = _scratch_tag_local(sf_dir)
+    base = f"/root/repo/.scratch/widen_{tag}"
+    orders = _lt(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    if not os.path.exists(os.path.join(base, "old", "_SUCCESS")):
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .select(
+                F.col("o_orderkey").cast("int").alias("o_orderkey"),
+                F.col("cents").cast("int").alias("cents"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "old"))
+        )
+        (
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(base, "new"))
+        )
+    return spark.read.schema("o_orderkey long, cents long").parquet(
+        os.path.join(base, "old"), os.path.join(base, "new")
+    )

@@ -207,3 +207,31 @@ def test_registry_wide_no_cartesian_and_bounded_bnlj(spark):
             offenders_bnlj.append(key)
     assert not offenders_cartesian, offenders_cartesian
     assert not offenders_bnlj, offenders_bnlj
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """Second mechanical AQE proof: a join the static planner costs as
+    sort-merge (broadcast threshold too small for the ESTIMATED size)
+    finalizes as a BroadcastHashJoin once runtime stats reveal the
+    filtered side is tiny — the re-plan that saves the shuffle on a
+    real cluster when estimates are wrong."""
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1MB")
+        big = spark.range(300_000).select(
+            F.col("id").alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("p")
+        )
+        # statically ~300k rows (over threshold); at runtime the filter
+        # leaves 100 rows — far under it
+        small = spark.range(300_000).filter(F.col("id") % 3000 == 0).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = big.join(small, "k")
+        assert len(joined.collect()) == 100
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
