@@ -1452,3 +1452,88 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n * 10000 div sum(n) over (partition by lang)").alias("share_bp"),
         )
     )
+
+
+@query("agg_kll_quantiles")  # sketch estimates are engine-specific — rows-only
+def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch rollup (Datasketches KLL, native in
+    Spark 4.1): a per-30-day-bucket KLL sketch of order cents, plus a
+    running all-time P50/P95 from the cumulative sketch merge — the
+    quantile twin of [[agg_hll_partitioned]].  This is how a 100 TB
+    metrics store serves "median latency this month AND all-time"
+    without ever rescanning history: each new partition contributes a
+    KLL blob, merges are O(sketch).
+
+    Rank accuracy (~1.7% at default k) vs the exact per-bucket median
+    is asserted in tests/test_pipeline.py; estimates are
+    engine-specific, so the driver check is rows-only."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "cast(cast(o_orderdate as timestamp) as long) "
+            "- cast(cast(o_orderdate as timestamp) as long) % 2592000"
+        ).alias("month_s"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    monthly = o.groupBy("month_s").agg(
+        F.kll_sketch_agg_bigint("cents").alias("sk"),
+        F.expr("CAST(percentile(cents, 0.5) AS BIGINT)").alias("exact_p50"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = (
+        Window.orderBy("month_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.kll_merge_agg_bigint("sk").over(w)
+    return monthly.select(
+        "month_s",
+        "n_orders",
+        "exact_p50",
+        F.kll_sketch_get_quantile_bigint("sk", F.lit(0.5)).alias("est_p50"),
+        F.kll_sketch_get_quantile_bigint(cum, F.lit(0.5)).alias("cum_p50"),
+        F.kll_sketch_get_quantile_bigint(cum, F.lit(0.95)).alias("cum_p95"),
+    )
+
+
+@query("agg_theta_customer_overlap")  # sketch estimates — rows-only
+def agg_theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set ALGEBRA on sketches (Datasketches Theta, native in
+    Spark 4.1): per-30-day-bucket customer sketches, then
+    month-over-month INTERSECTION (returning customers), DIFFERENCE
+    (new customers), and UNION estimates — the operations HLL cannot
+    express (HLL only unions).  At 100 TB this answers
+    retention/overlap questions from O(sketch) blobs instead of a
+    self-join over two months of raw facts.
+
+    Estimate accuracy vs exact distinct intersections is asserted in
+    tests/test_pipeline.py; rows-only at the driver gate."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "cast(cast(o_orderdate as timestamp) as long) "
+            "- cast(cast(o_orderdate as timestamp) as long) % 2592000"
+        ).alias("month_s"),
+        "o_custkey",
+    )
+    m = o.groupBy("month_s").agg(F.theta_sketch_agg("o_custkey").alias("sk"))
+    cur = m.select(F.col("month_s"), F.col("sk").alias("cur_sk"))
+    prev = m.select(
+        (F.col("month_s") + 2592000).alias("month_s"), F.col("sk").alias("prev_sk")
+    )
+    return (
+        cur.join(prev, "month_s")
+        .select(
+            "month_s",
+            F.theta_sketch_estimate("prev_sk").cast("long").alias("est_prev"),
+            F.theta_sketch_estimate("cur_sk").cast("long").alias("est_cur"),
+            F.theta_sketch_estimate(F.theta_intersection("prev_sk", "cur_sk"))
+            .cast("long")
+            .alias("est_returning"),
+            F.theta_sketch_estimate(F.theta_difference("cur_sk", "prev_sk"))
+            .cast("long")
+            .alias("est_new"),
+            F.theta_sketch_estimate(F.theta_union("prev_sk", "cur_sk"))
+            .cast("long")
+            .alias("est_union"),
+        )
+    )

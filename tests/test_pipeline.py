@@ -903,3 +903,77 @@ def test_mg_superset_guarantee_property():
                 assert t in acc, (t, c, n, capacity)
 
     prop()
+
+
+def test_kll_quantile_sketch_accuracy(spark):
+    """KLL guarantees RANK error, not value error (it returns real
+    order statistics; with an 18-row bucket one rank step can be a
+    big value jump) — so assert the exact rank of each estimate sits
+    near its target quantile."""
+    import __spark_entry__ as E
+    from data_engineering_assessment_spark.sources.tables import load_table
+
+    rows = E.queries()["agg_kll_quantiles"](spark, SF_DIR).collect()
+    assert rows
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.expr(
+            "cast(cast(o_orderdate as timestamp) as long) "
+            "- cast(cast(o_orderdate as timestamp) as long) % 2592000"
+        ).alias("month_s"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    by_month = {}
+    for r in o.collect():
+        by_month.setdefault(r.month_s, []).append(r.cents)
+
+    def rank_of(values, est):
+        values = sorted(values)
+        return sum(1 for v in values if v <= est) / len(values)
+
+    months = sorted(by_month)
+    for r in rows:
+        vals = by_month[r.month_s]
+        # per-bucket median: rank within one order-stat step of 0.5
+        assert abs(rank_of(vals, r.est_p50) - 0.5) <= 0.5 / len(vals) + 0.02, r
+        cum_vals = [v for m in months if m <= r.month_s for v in by_month[m]]
+        assert abs(rank_of(cum_vals, r.cum_p50) - 0.5) <= 0.5 / len(cum_vals) + 0.02
+        assert abs(rank_of(cum_vals, r.cum_p95) - 0.95) <= 0.5 / len(cum_vals) + 0.02
+        assert r.cum_p95 >= r.cum_p50
+
+
+def test_theta_set_algebra_accuracy(spark):
+    """Theta intersection/difference estimates track exact distinct
+    overlap counts month-over-month, and the inclusion-exclusion
+    identity holds on the estimates themselves."""
+    import __spark_entry__ as E
+    from data_engineering_assessment_spark.sources.tables import load_table
+
+    got = {r.month_s: r for r in
+           E.queries()["agg_theta_customer_overlap"](spark, SF_DIR).collect()}
+    assert got
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.expr(
+            "cast(cast(o_orderdate as timestamp) as long) "
+            "- cast(cast(o_orderdate as timestamp) as long) % 2592000"
+        ).alias("month_s"),
+        "o_custkey",
+    )
+    months = {r.month_s: {x.o_custkey for x in o.filter(F.col("month_s") == r.month_s)
+                          .select("o_custkey").distinct().collect()}
+              for r in o.select("month_s").distinct().collect()}
+    checked = 0
+    for month_s, r in got.items():
+        prev = months.get(month_s - 2592000)
+        cur = months.get(month_s)
+        if prev is None or cur is None:
+            continue
+        exact_ret, exact_new = len(cur & prev), len(cur - prev)
+        tol = lambda x: max(0.06 * x, 3)  # noqa: E731
+        assert abs(r.est_returning - exact_ret) <= tol(exact_ret), month_s
+        assert abs(r.est_new - exact_new) <= tol(exact_new), month_s
+        # inclusion-exclusion on the estimates (same sketch family)
+        assert abs((r.est_prev + r.est_cur - r.est_returning) - r.est_union) <= tol(
+            r.est_union
+        )
+        checked += 1
+    assert checked >= 3
