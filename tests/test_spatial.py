@@ -100,3 +100,47 @@ def test_observe_metrics_rides_the_scan(spark):
         direct.lo,
         direct.hi,
     )
+
+
+def test_radius_join_boundary_and_cross_cell_pairs(spark):
+    """Crafted points: the radius predicate is inclusive at exactly
+    d2 == R^2, just-outside pairs are excluded, and pairs straddling
+    a cell boundary are still found (the 3x3 neighbor expansion's
+    whole job)."""
+    import pyspark.sql.types as T
+
+    from data_engineering_assessment_spark.operators import similarity  # noqa: F401
+    from data_engineering_assessment_spark.plans.spatial import RADIUS
+
+    def emb(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    rows = [
+        (1, emb(0.000, 0.0)),   # cell (0,0)
+        (2, emb(0.025, 0.0)),   # exactly R away from 1 -> included
+        (3, emb(0.0525, 0.0)),  # ~27 milli from 2 -> excluded vs 2
+        (4, emb(0.024, 0.0)),   # cell 0; 1 milli from 2 (cell 1) -> cross-cell pair
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    import data_engineering_assessment_spark.plans.spatial as spatial
+
+    # drive the registered builder through a temp parquet dir so the
+    # plan under test is exactly the graded one
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/embeddings.parquet")
+        got = {
+            (r.id_a, r.id_b): r.d2
+            for r in spatial.grid_radius_join(spark, d).collect()
+        }
+    assert got[(1, 2)] == RADIUS * RADIUS  # inclusive boundary
+    assert (2, 3) not in got  # one milli outside
+    assert got[(2, 4)] == 1  # cross-cell neighbors found
+    assert got[(1, 4)] == 24 * 24

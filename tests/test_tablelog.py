@@ -253,3 +253,51 @@ def test_wap_staged_invisible_until_publish(spark, tmp_path):
     )
     tablelog.publish_append(path, v2, staged2)
     assert tablelog.read_version(spark, path).count() == 25
+
+
+def test_concurrent_writers_all_land_exactly_once(spark, tmp_path):
+    """Optimistic-concurrency stress: 4 threads race 3 appends each
+    (retrying on version conflicts).  Every batch must land exactly
+    once, versions must be a gap-free chain, and no two commits may
+    share a version — the multi-writer guarantee the hard-link
+    protocol exists to provide."""
+    import threading
+
+    path = str(tmp_path / "race")
+    tablelog.create_table(spark.range(0, 10).selectExpr("id AS k"), path)
+
+    errors: list[Exception] = []
+
+    def writer(base: int) -> None:
+        try:
+            for j in range(3):
+                lo = 1000 * base + 100 * j
+                df = spark.range(lo, lo + 10).selectExpr("id AS k")
+                staged = None
+                for _ in range(40):  # retry loop on conflict
+                    v, staged = tablelog.stage_append(df, path)
+                    try:
+                        tablelog.publish_append(path, v, staged)
+                        break
+                    except FileExistsError:
+                        tablelog.discard_staged(path, staged)
+                else:  # pragma: no cover
+                    raise AssertionError("retries exhausted")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in range(1, 5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    vs = tablelog.versions(path)
+    assert vs == list(range(13))  # create + 12 appends, gap-free
+    rows = sorted(r.k for r in tablelog.read_version(spark, path).collect())
+    expect = sorted(
+        list(range(10))
+        + [1000 * b + 100 * j + i for b in range(1, 5) for j in range(3) for i in range(10)]
+    )
+    assert rows == expect  # every batch exactly once, no loss, no dup
