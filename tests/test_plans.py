@@ -32,6 +32,7 @@ PY_ALLOWED = {k for k in QUERIES if k.startswith("multimodal_")} | {
     "scan_tablelog_datasource",  # Python DataSource scan — the integration under test
     "cogroup_order_reconcile",  # cogroup().applyInPandas — the integration under test
     "udtf_sentence_split",  # Python UDTF lateral join — the integration under test
+    "udtf_dynamic_melt",  # polymorphic UDTF (analyze) — the integration under test
     "token_heavy_hitters",  # MG sketch candidate pass — exact verify makes it oracle-checked
 }
 

@@ -144,3 +144,27 @@ def test_radius_join_boundary_and_cross_cell_pairs(spark):
     assert (2, 3) not in got  # one milli outside
     assert got[(2, 4)] == 1  # cross-cell neighbors found
     assert got[(1, 4)] == 24 * 24
+
+
+def test_dynamic_melt_udtf_is_polymorphic(spark):
+    """The analyze()-based UDTF works unchanged on a second, totally
+    different schema (orders), and plan-time validation rejects a
+    table with no BIGINT id column."""
+    import pytest
+
+    # the graded key registers the function; invoke it on orders
+    QUERIES["udtf_dynamic_melt"](spark, SF_DIR)
+    from data_engineering_assessment_spark.sources.tables import load_table
+
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("udtf_poly_orders_v")
+    rows = spark.sql(
+        "SELECT * FROM melt_strings_udtf(TABLE(udtf_poly_orders_v))"
+    ).limit(10).collect()
+    assert rows
+    assert {r.col_name for r in rows} <= {"o_orderstatus", "o_orderpriority"}
+
+    spark.createDataFrame([("a", "b")], "x string, y string").createOrReplaceTempView(
+        "udtf_poly_bad_v"
+    )
+    with pytest.raises(Exception, match="BIGINT id"):
+        spark.sql("SELECT * FROM melt_strings_udtf(TABLE(udtf_poly_bad_v))").collect()
