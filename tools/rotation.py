@@ -54,6 +54,10 @@ def main() -> None:
         print(f"#   {k}: {verdicts.get(k)}")
     print(f"# never graded: {len(ungraded)}")
     print(f"# rows-only by design: {len(rows_only)}")
+    # oracle-backed keys first: a hash verdict is a stronger signal
+    # than a rows-only one, so spend the ~50-key window on them and
+    # let rows-only keys take whatever slots remain
+    ungraded.sort(key=lambda k: (k not in oracled,))
     prio = failing + ungraded
     print("\nset_priority([")
     for k in prio:
