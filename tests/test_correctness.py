@@ -169,3 +169,36 @@ def test_package_sql_and_run_query_api(spark):
     ).count()
     df = engine.run_query("agg_group", spark, SF_DIR)
     assert df.count() > 0
+
+
+def test_comparator_distinguishes_types_and_detects_mutations():
+    """Self-test of the verification harness: the canonical rowset
+    must (a) treat equal-looking values of different types as
+    different — a canonicalization collision would make every oracle
+    silently weaker — (b) be column-order insensitive (the driver
+    sorts columns by name), and (c) catch the classic multiset
+    mutations: dropped row, changed value, cross-row cell swap."""
+    import datetime
+    import decimal
+
+    from tests.oracle_utils import _canon, _rowset
+
+    lookalikes = [1, "1", 1.0, True, decimal.Decimal("1"), None,
+                  datetime.date(1970, 1, 1), b"1"]
+    canons = [_canon(v) for v in lookalikes]
+    assert len(set(canons)) == len(canons), canons
+
+    rows = [(1, "a", 10), (2, "b", 20), (3, "a", 30)]
+    cols = ["k", "g", "v"]
+    base = _rowset(rows, cols)
+    # column-order insensitive: permuted columns, same cells per row
+    permuted = _rowset([(r[1], r[2], r[0]) for r in rows], ["g", "v", "k"])
+    assert permuted == base
+    # dropped row
+    assert _rowset(rows[:-1], cols) != base
+    # changed value
+    assert _rowset([(1, "a", 10), (2, "b", 21), (3, "a", 30)], cols) != base
+    # cross-row swap of one column's cells changes the multiset
+    assert _rowset([(1, "b", 10), (2, "a", 20), (3, "a", 30)], cols) != base
+    # duplicate-multiplicity change
+    assert _rowset([rows[0], rows[0], rows[2]], cols) != base
