@@ -2156,3 +2156,45 @@ def schema_widen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("o_orderkey long, cents long").parquet(
         os.path.join(base, "old"), os.path.join(base, "new")
     )
+
+
+@query(
+    "tablelog_delete_rows",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents WHERE doc_id % 10 <> 3
+    """,
+)
+def tablelog_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row DELETE on the tablelog format — the GDPR /
+    right-to-be-forgotten shape: rows matching a predicate vanish
+    from the new version while only the files that CONTAINED matches
+    are rewritten; untouched files are carried into the new manifest
+    byte-shared (asserted in tests, with time travel still showing
+    the rows in the old version until vacuum).
+
+    The graded run: documents staged as a 2-commit table, rows with
+    doc_id % 10 == 3 deleted via sources/tablelog.py:delete_where,
+    final snapshot hash-matched against the SQL restatement.
+
+    Scale: one predicate scan tags hit files (no shuffle), one job
+    rewrites survivors of just those files, one O(1) manifest link —
+    cost tracks the changed data, not the table size."""
+    ensure_deterministic_session(spark)
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources import tablelog
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/root/repo/.scratch/tablelog_del_{tag}"
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tablelog.create_table(docs.filter(F.col("doc_id") % 2 == 0).repartition(4), path)
+    tablelog.append(docs.filter(F.col("doc_id") % 2 == 1).repartition(4), path)
+    tablelog.delete_where(spark, path, "doc_id % 10 = 3")
+    return tablelog.read_version(spark, path)

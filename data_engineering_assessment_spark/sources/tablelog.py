@@ -246,3 +246,49 @@ def discard_staged(path: str, staged_files: list[str]) -> None:
         full = os.path.join(path, rel)
         if os.path.exists(full):
             os.unlink(full)
+
+
+def delete_where(spark: SparkSession, path: str, condition_sql: str) -> int:
+    """Copy-on-write row DELETE: commit a new version in which rows
+    matching ``condition_sql`` are gone, rewriting ONLY the files
+    that contain matches — every other file is carried into the new
+    manifest untouched (shared bytes, like Delta/Iceberg COW DELETE).
+    History is preserved: earlier versions still show the rows (the
+    GDPR hard-erase would follow with :func:`vacuum`).
+
+    Plan: one distributed pass tags matching rows with their source
+    file (``input_file_name`` + the predicate — O(table scan), no
+    shuffle); the bounded hit-file list comes to the driver; one more
+    job reads JUST those files, filters survivors, and writes them to
+    a commit-private dir; the new manifest = untouched files +
+    rewritten files, claimed atomically.  Cost scales with the data
+    that actually changes, not the table."""
+    from pyspark.sql import functions as F
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no table at {path}")
+    head = vs[-1]
+    prev = _read_manifest(path, head)["files"]
+    abs_to_rel = {os.path.join(path, f): f for f in prev}
+
+    full = spark.read.parquet(*abs_to_rel.keys())
+    hits = (
+        full.filter(F.expr(condition_sql))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    # input_file_name returns URIs (file:///abs/path); normalize
+    hit_abs = {r.f.removeprefix("file://") for r in hits}
+    hit_rel = {abs_to_rel[a] for a in hit_abs}
+    if not hit_rel:
+        return head  # nothing matched; no new version needed
+
+    survivors = spark.read.parquet(*[os.path.join(path, f) for f in hit_rel]).filter(
+        ~F.expr(condition_sql)
+    )
+    new_files = _write_commit_data(survivors, path, head + 1)
+    kept = [f for f in prev if f not in hit_rel]
+    _commit(path, head + 1, kept + new_files, "delete")
+    return head + 1

@@ -301,3 +301,33 @@ def test_concurrent_writers_all_land_exactly_once(spark, tmp_path):
         + [1000 * b + 100 * j + i for b in range(1, 5) for j in range(3) for i in range(10)]
     )
     assert rows == expect  # every batch exactly once, no loss, no dup
+
+
+def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
+    """COW delete invariants: files without matches are carried into
+    the new manifest byte-shared (same relative path), hit files are
+    replaced, deleted rows are gone from the head but still visible
+    via time travel, and a no-match delete commits nothing."""
+    path = str(tmp_path / "del")
+    # 4 disjoint-range files: only one contains keys < 25
+    df = spark.range(100).selectExpr("id AS k")
+    from pyspark.sql import functions as F
+
+    tablelog.create_table(df.repartitionByRange(4, F.col("k")), path)
+    m0 = tablelog._read_manifest(path, 0)["files"]
+    assert len(m0) == 4
+
+    v = tablelog.delete_where(spark, path, "k < 25")
+    assert v == 1
+    m1 = tablelog._read_manifest(path, 1)["files"]
+    shared = set(m0) & set(m1)
+    assert len(shared) == 3  # three range files untouched, byte-shared
+    assert sorted(r.k for r in tablelog.read_version(spark, path).collect()) == list(
+        range(25, 100)
+    )
+    # time travel still shows the deleted rows
+    assert tablelog.read_version(spark, path, 0).count() == 100
+
+    # no-match delete: no new version
+    assert tablelog.delete_where(spark, path, "k > 1000") == 1
+    assert tablelog.versions(path) == [0, 1]
