@@ -2198,3 +2198,49 @@ def tablelog_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tablelog.append(docs.filter(F.col("doc_id") % 2 == 1).repartition(4), path)
     tablelog.delete_where(spark, path, "doc_id % 10 = 3")
     return tablelog.read_version(spark, path)
+
+
+@query(
+    "tablelog_update_rows",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 10 = 7 THEN 'relabeled' ELSE source END AS source,
+           CASE WHEN doc_id % 10 = 7 THEN n_chars + 1000000 ELSE n_chars END AS n_chars
+    FROM documents
+    """,
+)
+def tablelog_update_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row UPDATE on the tablelog format (the
+    label-correction / re-annotation shape): rows matching the
+    predicate get ``SET source = 'relabeled', n_chars += 1e6``; only
+    the files containing matches are rewritten, the rest byte-share
+    into the new manifest (sources/tablelog.py:update_where — same
+    hit-file machinery as [[tablelog_delete_rows]]).  With append
+    (INSERT), delete, and the keyed MERGE sink, the format's DML set
+    is complete.
+
+    Scale: cost tracks the changed files, not the table — the write
+    amplification is bounded by predicate locality, which is why
+    curated layouts cluster on the columns DML predicates use."""
+    ensure_deterministic_session(spark)
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources import tablelog
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/root/repo/.scratch/tablelog_upd_{tag}"
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tablelog.create_table(docs.repartition(6), path)
+    tablelog.update_where(
+        spark,
+        path,
+        "doc_id % 10 = 7",
+        {"source": "'relabeled'", "n_chars": "n_chars + 1000000"},
+    )
+    return tablelog.read_version(spark, path)

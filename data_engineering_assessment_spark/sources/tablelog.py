@@ -292,3 +292,52 @@ def delete_where(spark: SparkSession, path: str, condition_sql: str) -> int:
     kept = [f for f in prev if f not in hit_rel]
     _commit(path, head + 1, kept + new_files, "delete")
     return head + 1
+
+
+def update_where(
+    spark: SparkSession, path: str, condition_sql: str, set_exprs: dict[str, str]
+) -> int:
+    """Copy-on-write row UPDATE — the same hit-file machinery as
+    :func:`delete_where`: one pass tags the files containing matches,
+    only those files are rewritten with ``SET col = expr`` applied to
+    matching rows (non-matching rows in a hit file are copied
+    through), untouched files are byte-shared into the new manifest.
+    Completes the format's DML set: INSERT (append), DELETE, UPDATE,
+    MERGE (keyed upsert / stream sink)."""
+    from pyspark.sql import functions as F
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no table at {path}")
+    head = vs[-1]
+    prev = _read_manifest(path, head)["files"]
+    abs_to_rel = {os.path.join(path, f): f for f in prev}
+
+    full = spark.read.parquet(*abs_to_rel.keys())
+    hits = (
+        full.filter(F.expr(condition_sql))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    hit_abs = {r.f.removeprefix("file://") for r in hits}
+    hit_rel = {abs_to_rel[a] for a in hit_abs}
+    if not hit_rel:
+        return head
+
+    src = spark.read.parquet(*[os.path.join(path, f) for f in hit_rel])
+    cond = F.expr(condition_sql)
+    rewritten = src.select(
+        *[
+            (
+                F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+            )
+            for c in src.columns
+        ]
+    )
+    new_files = _write_commit_data(rewritten, path, head + 1)
+    kept = [f for f in prev if f not in hit_rel]
+    _commit(path, head + 1, kept + new_files, "update")
+    return head + 1

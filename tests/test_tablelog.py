@@ -331,3 +331,26 @@ def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
     # no-match delete: no new version
     assert tablelog.delete_where(spark, path, "k > 1000") == 1
     assert tablelog.versions(path) == [0, 1]
+
+
+def test_update_where_rewrites_only_hit_files(spark, tmp_path):
+    """COW update: non-hit files byte-shared, hit files rewritten with
+    SET applied to matching rows only; non-matching rows in a hit
+    file copy through unchanged."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "upd")
+    df = spark.range(100).selectExpr("id AS k", "id * 10 AS v")
+    tablelog.create_table(df.repartitionByRange(4, F.col("k")), path)
+    m0 = tablelog._read_manifest(path, 0)["files"]
+
+    v = tablelog.update_where(spark, path, "k BETWEEN 10 AND 20", {"v": "v + 1"})
+    assert v == 1
+    m1 = tablelog._read_manifest(path, 1)["files"]
+    assert len(set(m0) & set(m1)) == 3  # one range file hit, three shared
+    got = {r.k: r.v for r in tablelog.read_version(spark, path).collect()}
+    for k in range(100):
+        assert got[k] == k * 10 + (1 if 10 <= k <= 20 else 0)
+    # history intact
+    old = {r.k: r.v for r in tablelog.read_version(spark, path, 0).collect()}
+    assert old[15] == 150
