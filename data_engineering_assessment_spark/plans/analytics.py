@@ -2244,3 +2244,44 @@ def tablelog_update_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"source": "'relabeled'", "n_chars": "n_chars + 1000000"},
     )
     return tablelog.read_version(spark, path)
+
+
+@query(
+    "tablelog_optimize",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+)
+def tablelog_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional OPTIMIZE: a documents table fragmented into 32
+    tiny files is bin-packed into few right-sized ones as a COMMIT
+    (sources/tablelog.py:optimize_small_files) — readers see the old
+    or the new version, never a half-compacted listing, and the
+    pre-compaction layout stays time-travelable until vacuum.
+    Content is bit-identical; the oracle is simply the table.
+
+    Scale: small-file detection is O(files) manifest+stat work; the
+    rewrite reads only the small files.  This is the nightly
+    maintenance job that keeps streaming-ingested tables (many tiny
+    per-batch files) scannable at full throughput."""
+    ensure_deterministic_session(spark)
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources import tablelog
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/root/repo/.scratch/tablelog_opt_{tag}"
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    tablelog.create_table(docs.repartition(32), path)
+    n_before = len(tablelog._read_manifest(path, 0)["files"])
+    tablelog.optimize_small_files(spark, path)
+    n_after = len(tablelog._read_manifest(path, tablelog.versions(path)[-1])["files"])
+    if n_after >= n_before:
+        raise AssertionError(f"optimize did not shrink file count: {n_before}->{n_after}")
+    return tablelog.read_version(spark, path)

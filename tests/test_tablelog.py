@@ -354,3 +354,29 @@ def test_update_where_rewrites_only_hit_files(spark, tmp_path):
     # history intact
     old = {r.k: r.v for r in tablelog.read_version(spark, path, 0).collect()}
     assert old[15] == 150
+
+
+def test_optimize_binpacks_small_files_sharing_large_ones(spark, tmp_path):
+    """OPTIMIZE commits a new version with fewer files, byte-shares
+    files already over the threshold, leaves content identical, and
+    is a no-op when there is nothing to pack."""
+    path = str(tmp_path / "opt")
+    df = spark.range(2000).selectExpr("id AS k", "repeat('x', 100) AS pad")
+    tablelog.create_table(df.repartition(16), path)
+    m0 = tablelog._read_manifest(path, 0)["files"]
+    big = max(m0, key=lambda f: __import__("os").path.getsize(f"{path}/{f}"))
+
+    import os
+
+    big_size = os.path.getsize(f"{path}/{big}")
+    # threshold just above the biggest file -> everything packs
+    v = tablelog.optimize_small_files(spark, path, min_bytes=big_size + 1)
+    assert v == 1
+    m1 = tablelog._read_manifest(path, 1)["files"]
+    assert len(m1) < len(m0)
+    assert sorted(r.k for r in tablelog.read_version(spark, path).collect()) == list(
+        range(2000)
+    )
+    # second optimize with a tiny threshold: no small files -> no-op
+    assert tablelog.optimize_small_files(spark, path, min_bytes=1) == 1
+    assert tablelog.versions(path) == [0, 1]
