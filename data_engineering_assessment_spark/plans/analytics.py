@@ -2285,3 +2285,68 @@ def tablelog_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_after >= n_before:
         raise AssertionError(f"optimize did not shrink file count: {n_before}->{n_after}")
     return tablelog.read_version(spark, path)
+
+
+@query(
+    "constraint_suite",
+    oracle="""
+    SELECT 'not_null(o_custkey)' AS constraint,
+           CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) AS violations,
+           COUNT(*) FILTER (o_custkey IS NULL) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'range(o_totalprice,0,1000000)',
+           CAST(COUNT(*) FILTER (o_totalprice IS NULL
+                 OR o_totalprice < 0 OR o_totalprice > 1000000) AS BIGINT),
+           COUNT(*) FILTER (o_totalprice IS NULL
+                 OR o_totalprice < 0 OR o_totalprice > 1000000) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'isin(o_orderstatus)',
+           CAST(COUNT(*) FILTER (o_orderstatus IS NULL
+                 OR o_orderstatus NOT IN ('O','F','P')) AS BIGINT),
+           COUNT(*) FILTER (o_orderstatus IS NULL
+                 OR o_orderstatus NOT IN ('O','F','P')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT),
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) = 0
+    UNION ALL
+    SELECT 'fk(o_custkey->c_custkey)',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+    """,
+)
+def constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators/expectations.py —
+    the Deequ/dbt-test shape as an engine API): five constraints over
+    orders — not-null, range, accepted-values, key uniqueness,
+    referential integrity — compiled so every row-local check shares
+    ONE scan (a single conditional aggregation; adding a tenth check
+    adds an expression, not a pass), uniqueness is one shuffle, and
+    the FK check is a broadcast anti-join.  One report row per
+    constraint, value-exact against the SQL restatement.
+
+    Complements [[constraint_check]] (the same idea hand-written as
+    one query); this key grades the reusable compiler."""
+    ensure_deterministic_session(spark)
+    from ..operators.expectations import expect, run_expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return run_expectations(
+        orders,
+        [
+            expect.not_null("o_custkey"),
+            expect.range_between("o_totalprice", 0, 1_000_000),
+            expect.isin("o_orderstatus", ["O", "F", "P"]),
+            expect.unique("o_orderkey"),
+            expect.foreign_key("o_custkey", customer, "c_custkey"),
+        ],
+    )
