@@ -2350,3 +2350,65 @@ def constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             expect.foreign_key("o_custkey", customer, "c_custkey"),
         ],
     )
+
+
+@query(
+    "tablelog_stats_prune",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders
+    )
+    SELECT o.o_orderkey,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o, span
+    WHERE o.o_orderkey BETWEEN span.mn + (span.mx - span.mn) * 40 // 100
+                           AND span.mn + (span.mx - span.mn) * 55 // 100
+    """,
+)
+def tablelog_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-level file pruning — the Iceberg planning path as a
+    format feature: each commit embeds per-file [min,max] stats in
+    the manifest (collected from footers once, at write time), so a
+    range query plans its file list from ONE manifest read with zero
+    storage access (contrast [[scan_stats_prune]], which stats the
+    footers at query time).  Orders are committed range-chunked on
+    o_orderkey with stats; the query opens only files intersecting
+    the middle [40%, 55%] key slice (strictly fewer than total —
+    asserted in tests) and must equal the full-scan oracle.
+
+    Scale: planning cost is O(manifest) and independent of storage
+    latency — this is why lakehouse formats put stats in metadata,
+    and files-without-stats degrade to false positives, never
+    loss."""
+    ensure_deterministic_session(spark)
+    import hashlib
+    import os
+
+    from ..sources import tablelog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/root/repo/.scratch/tablelog_stats_{tag}"
+    if not tablelog.versions(path):
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        tablelog.create_table_with_stats(
+            orders.repartitionByRange(16, F.col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"),
+            path,
+            stats_cols=["o_orderkey"],
+        )
+    stats = tablelog._read_manifest(path, 0)["stats"]
+    g_mn = min(s["o_orderkey"][0] for s in stats.values())
+    g_mx = max(s["o_orderkey"][1] for s in stats.values())
+    lo = g_mn + (g_mx - g_mn) * 40 // 100
+    hi = g_mn + (g_mx - g_mn) * 55 // 100
+    df, n_opened, n_total = tablelog.scan_pruned(spark, path, "o_orderkey", lo, hi)
+    if n_opened >= n_total:
+        raise AssertionError(f"manifest stats pruned nothing: {n_opened}/{n_total}")
+    return df

@@ -375,3 +375,76 @@ def optimize_small_files(
     kept = [f for f in prev if f not in set(small)]
     _commit(path, head + 1, kept + new_files, "optimize")
     return head + 1
+
+
+def _collect_file_stats(
+    path: str, rel_files: list[str], stats_cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for ``stats_cols``, read from parquet
+    FOOTERS right after the write (O(files) driver work, no data
+    pages) — the numbers a lakehouse manifest carries so PLANNING
+    never touches storage."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for rel in rel_files:
+        md = pq.ParquetFile(os.path.join(path, rel)).metadata
+        stats: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema in stats_cols and col.statistics is not None:
+                    s = col.statistics
+                    cur = stats.get(col.path_in_schema)
+                    if cur is None:
+                        stats[col.path_in_schema] = [s.min, s.max]
+                    else:
+                        cur[0] = min(cur[0], s.min)
+                        cur[1] = max(cur[1], s.max)
+        out[rel] = stats
+    return out
+
+
+def create_table_with_stats(
+    df: DataFrame, path: str, stats_cols: list[str]
+) -> int:
+    """Create version 0 with per-file column stats embedded in the
+    manifest (readers that don't know about stats ignore them)."""
+    if versions(path):
+        raise FileExistsError(f"table already exists at {path}")
+    files = _write_commit_data(df, path, 0)
+    _commit(
+        path, 0, files, "create",
+        meta={"stats": _collect_file_stats(path, files, stats_cols)},
+    )
+    return 0
+
+
+def scan_pruned(
+    spark: SparkSession, path: str, column: str, lo, hi, version: int | None = None
+) -> tuple[DataFrame, int, int]:
+    """Manifest-stats file pruning (the Iceberg planning path): files
+    whose [min, max] for ``column`` cannot intersect [lo, hi] are
+    skipped using ONLY the manifest — zero storage reads at plan
+    time.  Returns (DataFrame of surviving files filtered to the
+    range, files_opened, files_total).  Falls back to opening a file
+    when its stats are absent (false positives only, never loss)."""
+    from pyspark.sql import functions as F
+
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no table at {path}")
+    v = vs[-1] if version is None else version
+    m = _read_manifest(path, v)
+    stats = m.get("stats", {})
+    picked = []
+    for rel in m["files"]:
+        s = stats.get(rel, {}).get(column)
+        if s is None or (s[1] >= lo and s[0] <= hi):
+            picked.append(rel)
+    df = (
+        spark.read.parquet(*[os.path.join(path, f) for f in picked])
+        .filter(F.col(column).between(lo, hi))
+    )
+    return df, len(picked), len(m["files"])

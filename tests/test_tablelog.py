@@ -380,3 +380,34 @@ def test_optimize_binpacks_small_files_sharing_large_ones(spark, tmp_path):
     # second optimize with a tiny threshold: no small files -> no-op
     assert tablelog.optimize_small_files(spark, path, min_bytes=1) == 1
     assert tablelog.versions(path) == [0, 1]
+
+
+def test_manifest_stats_prune_skips_and_loses_nothing(spark, tmp_path):
+    """Manifest-level pruning: a range query opens only intersecting
+    files, files lacking stats degrade to opened (never skipped), and
+    the pruned result equals the full filter."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "st")
+    df = spark.range(1000).selectExpr("id AS k", "id * 3 AS v")
+    tablelog.create_table_with_stats(
+        df.repartitionByRange(8, F.col("k")).sortWithinPartitions("k"),
+        path,
+        stats_cols=["k"],
+    )
+    out, opened, total = tablelog.scan_pruned(spark, path, "k", 100, 299)
+    assert total == 8 and opened < total
+    got = sorted(r.k for r in out.collect())
+    assert got == list(range(100, 300))
+
+    # strip stats from one file -> it must always be opened
+    m = tablelog._read_manifest(path, 0)
+    victim = m["files"][0]
+    del m["stats"][victim]["k"]
+    import json
+    import os
+
+    with open(tablelog._manifest_path(path, 0), "w") as f:
+        json.dump(m, f)
+    _, opened2, _ = tablelog.scan_pruned(spark, path, "k", 990, 999)
+    assert opened2 == 2  # the true last-range file + the stats-less one
