@@ -448,3 +448,38 @@ def scan_pruned(
         .filter(F.col(column).between(lo, hi))
     )
     return df, len(picked), len(m["files"])
+
+
+def set_tag(path: str, name: str, version: int | None = None) -> int:
+    """Named ref (Iceberg-style tag): pin a human name to a version.
+    Tags live as tiny JSON files under ``_log/tags/`` and are
+    re-pointable (retag = atomic replace).  ``vacuum`` never inspects
+    tags — retention is version-count based — so a tag older than the
+    retention window dangles; :func:`read_tag` surfaces that as
+    FileNotFoundError rather than resurrecting deleted data."""
+    vs = versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no table at {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs}")
+    d = os.path.join(_log_dir(path), "tags")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump({"version": v}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(d, f"{name}.json"))  # atomic re-point
+    return v
+
+
+def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Snapshot read through a named tag — `read_version` at whatever
+    version the tag points to."""
+    tag_file = os.path.join(_log_dir(path), "tags", f"{name}.json")
+    if not os.path.exists(tag_file):
+        raise FileNotFoundError(f"no tag {name!r} at {path}")
+    with open(tag_file) as f:
+        v = json.load(f)["version"]
+    return read_version(spark, path, v)

@@ -411,3 +411,22 @@ def test_manifest_stats_prune_skips_and_loses_nothing(spark, tmp_path):
         json.dump(m, f)
     _, opened2, _ = tablelog.scan_pruned(spark, path, "k", 990, 999)
     assert opened2 == 2  # the true last-range file + the stats-less one
+
+
+def test_tags_pin_versions_and_repoint_atomically(spark, tmp_path):
+    path = str(tmp_path / "tags")
+    tablelog.create_table(spark.range(5).selectExpr("id AS k"), path)
+    tablelog.append(spark.range(5, 9).selectExpr("id AS k"), path)
+
+    tablelog.set_tag(path, "prod", 0)
+    tablelog.set_tag(path, "latest")  # defaults to head
+    assert tablelog.read_tag(spark, path, "prod").count() == 5
+    assert tablelog.read_tag(spark, path, "latest").count() == 9
+
+    tablelog.set_tag(path, "prod", 1)  # promote
+    assert tablelog.read_tag(spark, path, "prod").count() == 9
+
+    with pytest.raises(FileNotFoundError):
+        tablelog.read_tag(spark, path, "nope")
+    with pytest.raises(FileNotFoundError):
+        tablelog.set_tag(path, "bad", 9)
