@@ -510,3 +510,51 @@ def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         (F.sum("n_docs").over(w) - F.col("n_docs")).cast("long").alias("train_docs"),
     )
+
+
+WEIGHTED_K = 150
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, n_chars,
+             CAST((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                 + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) * 256
+                 + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) AS DOUBLE)
+               / CAST(n_chars AS DOUBLE) AS p
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars FROM pri
+    ORDER BY p, doc_id
+    LIMIT {WEIGHTED_K}
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted-priority sampling: each doc gets
+    priority hash/weight (weight = n_chars here; a quality score in
+    production) and the global K smallest win — the exponential-race
+    shape of Efraimidis–Spirakis sampling with a hash standing in for
+    the random draw, so selection probability is monotone in weight,
+    membership is stable under re-partitioning and appends, and the
+    SAME subset comes back on every engine (the priority is ONE IEEE
+    division on identical operands — bit-exact cross-engine, and the
+    hash is pure ascii-md5 arithmetic needing no hex-parse builtin).
+
+    Scale: like [[sample_reservoir]], orderBy().limit(K) executes as
+    TakeOrderedAndProject — per-partition heaps, driver merges P·K
+    rows, no corpus shuffle."""
+    ensure_deterministic_session(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    hv = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) * 256 + F.ascii(F.substring(h, 3, 1))
+    pri = hv.cast("double") / F.col("n_chars").cast("double")
+    return (
+        docs.select("doc_id", "n_chars", pri.alias("p"))
+        .orderBy("p", "doc_id")
+        .limit(WEIGHTED_K)
+        .select("doc_id", "n_chars")
+    )

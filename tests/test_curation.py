@@ -141,3 +141,32 @@ def test_expectations_row_local_checks_share_one_scan(spark):
     )
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
+
+
+def test_weighted_sample_overrepresents_heavy_docs(spark):
+    """The weight actually biases selection: the sampled docs' mean
+    length exceeds the corpus mean, and the subset is identical under
+    re-partitioning (priority is partition-independent)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from data_engineering_assessment_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    picked = E.queries()["sample_weighted"](spark, SF_DIR)
+    corpus_mean = (
+        load_table(spark, SF_DIR, "documents")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    sample_mean = picked.agg(F.avg("n_chars")).collect()[0][0]
+    assert sample_mean > corpus_mean
+
+    ids = sorted(r.doc_id for r in picked.collect())
+    again = sorted(
+        r.doc_id
+        for r in E.queries()["sample_weighted"](spark, SF_DIR)
+        .repartition(13)
+        .collect()
+    )
+    assert ids == again
