@@ -1605,3 +1605,107 @@ def multimodal_arrow_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.select("asset_id", "payload").mapInArrow(
         digest_batches, schema="asset_id bigint, byte_len bigint, payload_md5 string"
     )
+
+
+_MAT_COS = """
+CAST(ROUND(
+  list_sum(list_transform(range(1, {n1}),
+    i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, {n1}),
+       i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({a}.embedding[i] AS DOUBLE))))
+   * sqrt(list_sum(list_transform(range(1, {n1}),
+       i -> CAST({b}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))))
+  * 1000000, 0) AS BIGINT)
+"""
+
+
+@query(
+    "embed_matryoshka_overlap",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+    c AS (SELECT vec_id, embedding FROM embeddings),
+    s AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             {_MAT_COS.format(n1=65, a="q", b="c")} AS cos_full,
+             {_MAT_COS.format(n1=17, a="q", b="c")} AS cos_16
+      FROM q JOIN c ON q.vec_id <> c.vec_id
+    ),
+    rf AS (SELECT q_id, n_id,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_full DESC, n_id) AS r FROM s),
+    rt AS (SELECT q_id, n_id,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_16 DESC, n_id) AS r FROM s),
+    hit AS (
+      SELECT f.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM (SELECT q_id, n_id FROM rf WHERE r <= 5) f
+      JOIN (SELECT q_id, n_id FROM rt WHERE r <= 5) t
+        ON f.q_id = t.q_id AND f.n_id = t.n_id
+      GROUP BY f.q_id
+    )
+    SELECT q.vec_id AS q_id,
+           CAST(COALESCE(hit.n_overlap, 0) AS BIGINT) AS n_overlap
+    FROM q LEFT JOIN hit ON hit.q_id = q.vec_id
+    """,
+)
+def embed_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit: for each query, how many
+    of the exact top-5 neighbors under the FULL 64-dim cosine survive
+    when embeddings are truncated to their first 16 dims — the
+    measurement behind MRL-style "shorten the vectors, keep the
+    recall" decisions (truncate → cheaper index; this key quantifies
+    what it costs on YOUR corpus before committing).
+
+    Rankings are on micro-quantized cosines with neighbor-id
+    tie-breaks (portable), both computed in ONE pass over the
+    broadcast query x corpus pair stream; overlap is a self-join of
+    the two per-query top-5 lists.
+
+    Scale: bounded query batch broadcast (the embed_cosine_topk
+    plan), corpus streamed once; the windows run per query over k·n
+    candidate rows.  The truncated tier's real deployment would
+    re-index at 16 dims — this audit is the go/no-go evidence."""
+    ensure_deterministic_session(spark)
+    from ..operators.similarity import dot, norm_sq, spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("cv"))
+    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+
+    def cos_micro(dims: int | None):
+        qv = F.slice("qv", 1, dims) if dims else F.col("qv")
+        cv = F.slice("cv", 1, dims) if dims else F.col("cv")
+        cos = dot(qv, cv) / (F.sqrt(norm_sq(qv)) * F.sqrt(norm_sq(cv)))
+        return F.round(cos * 1_000_000, 0).cast("long")
+
+    scored = pairs.select(
+        "q_id",
+        "n_id",
+        cos_micro(None).alias("cos_full"),
+        cos_micro(16).alias("cos_16"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("cos_full"), F.asc("n_id"))
+    wt = Window.partitionBy("q_id").orderBy(F.desc("cos_16"), F.asc("n_id"))
+    top_full = (
+        scored.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= 5)
+        .select("q_id", "n_id")
+    )
+    top_trunc = (
+        scored.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= 5)
+        .select("q_id", "n_id")
+    )
+    hit = top_full.join(top_trunc, ["q_id", "n_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        q.select("q_id")
+        .join(hit, "q_id", "left")
+        .select(
+            "q_id", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap")
+        )
+    )

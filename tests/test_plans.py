@@ -181,6 +181,7 @@ BNLJ_ALLOWED = {
     "dedup_embed_cosine",  # documented O(n^2) exact baseline tier
     "embed_cosine_topk",  # bounded query batch broadcast
     "embed_knn_classify",  # same bounded batch as embed_cosine_topk
+    "embed_matryoshka_overlap",  # same bounded query batch broadcast
     "event_cooccurrence",  # single-row basket total
     "event_error_hotspots",  # scalar global baseline rate
     "event_user_churn",  # scalar event-frontier timestamp
