@@ -2412,3 +2412,95 @@ def tablelog_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_opened >= n_total:
         raise AssertionError(f"manifest stats pruned nothing: {n_opened}/{n_total}")
     return df
+
+
+@query(
+    "event_seasonality_profile",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY dow, hour
+    """,
+)
+def event_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality heatmap: events and distinct users per
+    (day-of-week x hour-of-day) cell — capacity planning, anomaly
+    baselines, and send-time optimization all read this matrix.
+    DuckDB's dayofweek is 0=Sunday vs Spark's 1=Sunday, so the Spark
+    side emits ``dayofweek - 1`` to match (both engines bucket the
+    same UTC timestamps).
+
+    Scale: one map-side-combined aggregation into at most 168 cells;
+    the distinct-user count per cell is the only shuffle."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)
+               - CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) % 2592000 AS month_s,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), f AS (
+      SELECT o_custkey, MIN(month_s) AS cohort FROM o GROUP BY o_custkey
+    )
+    SELECT f.cohort AS cohort_month_s,
+           CAST((o.month_s - f.cohort) // 2592000 AS BIGINT) AS month_offset,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(o.cents) AS BIGINT) AS cents
+    FROM o JOIN f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by
+    first-order month, revenue in exact cents per (cohort x
+    months-since-acquisition) cell — the money twin of
+    [[event_retention]]'s user-count triangle, and the table every
+    LTV/payback model starts from.
+
+    Scale: the cohort assignment is a window-min over o_custkey (one
+    shuffle, no history self-join — the same trick as
+    event_retention); the triangle is a second map-side-combined
+    aggregation over at most cohorts x offsets cells."""
+    ensure_deterministic_session(spark)
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "cast(cast(o_orderdate as timestamp) as long) "
+            "- cast(cast(o_orderdate as timestamp) as long) % 2592000"
+        ).alias("month_s"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey")
+    with_cohort = o.withColumn("cohort", F.min("month_s").over(w))
+    return (
+        with_cohort.groupBy(
+            F.col("cohort").alias("cohort_month_s"),
+            F.expr("CAST((month_s - cohort) DIV 2592000 AS BIGINT)").alias(
+                "month_offset"
+            ),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

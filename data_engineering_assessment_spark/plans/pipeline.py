@@ -1709,3 +1709,51 @@ def embed_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap")
         )
     )
+
+
+@query(
+    "dedup_threshold_curve",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+      FROM w
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), j AS (
+      SELECT CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jac FROM p
+    )
+    SELECT CAST(FLOOR(jac * 10) AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM j WHERE jac >= 0.3
+    GROUP BY decile
+    """,
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity curve for near-dup removal: candidate
+    pairs bucketed by Jaccard decile (0.3 and up) — the histogram a
+    curation team reads before committing to a production threshold
+    (how many pairs does 0.7 vs 0.8 actually remove?).  One run of
+    the inverted-index pair stream feeds every bucket; no re-scan per
+    threshold.  Jaccard is a single IEEE division of identical exact
+    integers, so decile assignment is bit-identical cross-engine."""
+    ensure_deterministic_session(spark)
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.3
+    )
+    return (
+        pairs.select(F.floor(F.col("jaccard") * 10).cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
