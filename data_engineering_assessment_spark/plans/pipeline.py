@@ -1757,3 +1757,83 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "embed_outlier_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(range(1, 65),
+               i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+      FROM embeddings
+    ), sums AS (
+      SELECT i, SUM(xq[i]) AS s, COUNT(*) AS n
+      FROM q CROSS JOIN range(1, 65) AS t(i)
+      GROUP BY i
+    ), m AS (
+      SELECT list(CAST(s AS DOUBLE) / n ORDER BY i) AS means FROM sums
+    ), d AS (
+      SELECT q.vec_id,
+             CAST(ROUND(list_sum(list_transform(range(1, 65),
+               i -> (CAST(xq[i] AS DOUBLE) - means[i])
+                  * (CAST(xq[i] AS DOUBLE) - means[i]))) / 1000000, 0) AS BIGINT)
+               AS d2_scaled
+      FROM q CROSS JOIN m
+    )
+    SELECT vec_id, d2_scaled FROM d
+    ORDER BY d2_scaled DESC, vec_id
+    LIMIT 20
+    """,
+)
+def embed_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen: the 20 vectors farthest from
+    the corpus centroid (squared distance in quantized micro space) —
+    the quality gate that surfaces mis-embedded, corrupted, or
+    off-distribution items before they pollute ANN indexes and
+    clustering (the vector-space twin of [[text_quality_filter]]).
+
+    Portability: components quantize to integer micro (FLOOR — no tie
+    ambiguity), per-dim sums are exact BIGINT, each mean is ONE IEEE
+    division, and the distance is a left-fold in array order —
+    identical operation sequences in Spark (`aggregate`/`zip_with`)
+    and DuckDB (`list_sum`/`list_transform`), then one rounded
+    rescale.  Top-20 carries a vec_id tie-break.
+
+    Scale: one pass builds the 64 exact per-dim sums (map-side
+    combined; a bounded 64-row driver collect, like the IVF
+    centroids), a second pass folds each vector against the
+    broadcast mean — no shuffle of vectors, TakeOrderedAndProject
+    for the top-k."""
+    ensure_deterministic_session(spark)
+    from ..sources.tables import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("xq"),
+    )
+    sums = (
+        q.select(F.posexplode("xq").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .orderBy("i")
+        .collect()
+    )
+    means = [float(r.s) / r.n for r in sums]  # one IEEE division per dim
+    mean_arr = F.array(*[F.lit(m) for m in means])
+    d2 = F.aggregate(
+        F.zip_with(F.col("xq"), mean_arr, lambda x, m: (x.cast("double") - m) * (x.cast("double") - m)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        q.select(
+            "vec_id",
+            F.round(d2 / 1_000_000, 0).cast("long").alias("d2_scaled"),
+        )
+        .orderBy(F.desc("d2_scaled"), "vec_id")
+        .limit(20)
+    )

@@ -1537,3 +1537,61 @@ def agg_theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_union"),
         )
     )
+
+
+@query(
+    "orders_fulfillment_lag",
+    oracle="""
+    WITH first_ship AS (
+      SELECT l_orderkey,
+             MIN(CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) // 86400) AS ship_day
+      FROM lineitem GROUP BY l_orderkey
+    ), lag AS (
+      SELECT o.o_orderpriority,
+             f.ship_day - (CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) // 86400)
+               AS lag_days
+      FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(lag_days) AS BIGINT) AS min_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_days,
+           CAST(SUM(lag_days) * 1000 // COUNT(*) AS BIGINT) AS avg_days_milli
+    FROM lag GROUP BY o_orderpriority
+    """,
+)
+def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment latency by order priority: whole days from order
+    date to the order's FIRST shipment (min/max plus an exact
+    fixed-point average) — the operational SLA readout that tells you
+    whether 1-URGENT actually ships faster.
+
+    Scale: first-ship is a map-side-combined MIN per orderkey (one
+    shuffle on the fact key), then a broadcast-joined rollup into five
+    priority rows; day arithmetic is exact integer epoch division."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(FLOOR(cast(cast(l_shipdate as timestamp) as double)) AS BIGINT) DIV 86400").alias(
+            "ship_day"
+        ),
+    )
+    first_ship = li.groupBy("l_orderkey").agg(F.min("ship_day").alias("ship_day"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(FLOOR(cast(cast(o_orderdate as timestamp) as double)) AS BIGINT) DIV 86400").alias(
+            "order_day"
+        ),
+    )
+    lag = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey).select(
+        "o_orderpriority", (F.col("ship_day") - F.col("order_day")).alias("lag_days")
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("lag_days").cast("long").alias("min_days"),
+        F.max("lag_days").cast("long").alias("max_days"),
+        F.expr("CAST(SUM(lag_days) * 1000 DIV COUNT(*) AS BIGINT)").alias(
+            "avg_days_milli"
+        ),
+    )
