@@ -2504,3 +2504,55 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+@query(
+    "event_interarrival_hist",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s, event_id
+      FROM events
+    ), gaps AS (
+      SELECT ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts_s, event_id) AS gap_s
+      FROM s
+    )
+    SELECT CAST(CASE WHEN gap_s = 0 THEN 0
+                     ELSE bit_length(ltrim(bin(gap_s), '0')) END AS BIGINT)
+             AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY log2_bucket
+    """,
+)
+def event_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness profile: per-user inter-event gaps bucketed by bit
+    length (the log2 histogram trick from [[agg_histogram_log2]] — no
+    floating log, exact at power-of-two boundaries) — session-gap
+    tuning, bot detection, and watermark sizing all read this
+    distribution.
+
+    Scale: one window over the (user_id, ts, event_id) total order
+    (one shuffle), then a map-side-combined rollup into ~40 buckets."""
+    ensure_deterministic_session(spark)
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gaps = e.select((F.col("ts_s") - F.lag("ts_s").over(w)).alias("gap_s")).where(
+        F.col("gap_s").isNotNull()
+    )
+    bucket = F.when(F.col("gap_s") == 0, F.lit(0)).otherwise(
+        F.expr("CAST(bit_length(ltrim('0', bin(gap_s))) AS BIGINT)")
+    )
+    return gaps.groupBy(bucket.cast("long").alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+    )
