@@ -1595,3 +1595,58 @@ def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_days_milli"
         ),
     )
+
+
+@query(
+    "agg_decile_profile",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), d AS (
+      SELECT o_custkey, cents,
+             ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+      FROM c
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(SUM(cents)) OVER (ORDER BY decile) AS BIGINT) AS cum_cents
+    FROM d GROUP BY decile
+    """,
+)
+def agg_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by customer decile: customers ranked by
+    exact lifetime cents, NTILE(10) with a custkey tie-break, per-
+    decile and cumulative revenue — the full concentration curve
+    behind "top 10% of customers drive X%" ([[pareto_revenue_share]]
+    answers the inverse question: the smallest set covering a
+    target).
+
+    Scale: one hash agg per customer, one global NTILE over the
+    customer table (range-partitioned sort over customers, not
+    facts), a 10-row rollup + running sum."""
+    ensure_deterministic_session(spark)
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    d = c.withColumn("decile", F.ntile(10).over(w))
+    per = d.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "n_customers",
+        "cents",
+        F.sum("cents").over(wc).cast("long").alias("cum_cents"),
+    )
