@@ -133,6 +133,12 @@ HEADLINE = [
     "text_boilerplate_cov",
     "scan_bloom_index",
     "multimodal_arrow_digest",
+    "dedup_threshold_curve",
+    "orders_cohort_ltv",
+    "embed_outlier_topk",
+    "constraint_suite",
+    "tablelog_stats_prune",
+    "event_interarrival_hist",
 ]
 
 
