@@ -1837,3 +1837,56 @@ def embed_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("d2_scaled"), "vec_id")
         .limit(20)
     )
+
+
+@query(
+    "vocab_growth_curve",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), firsts AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM t GROUP BY tok
+    ), buckets AS (
+      SELECT ((first_doc // 100) + 1) * 100 AS after_docs,
+             CAST(COUNT(*) AS BIGINT) AS new_types
+      FROM firsts GROUP BY 1
+    )
+    SELECT CAST(after_docs AS BIGINT) AS after_docs, new_types,
+           CAST(SUM(new_types) OVER (ORDER BY after_docs) AS BIGINT)
+             AS vocab_size
+    FROM buckets
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: distinct word types seen after
+    each 100-document prefix (doc_id order) — the curve that sizes
+    tokenizer vocabularies and predicts how much NEW text keeps
+    paying off (a flattening curve says the corpus is saturating).
+
+    Computed without any per-prefix rescan: each type's FIRST
+    document (min doc_id per token — one shuffle, the
+    [[text_novelty_by_doc]] trick), bucketed by prefix boundary, then
+    a running sum over the handful of buckets."""
+    ensure_deterministic_session(spark)
+    from pyspark.sql import Window
+
+    from ..functions.text import words
+    from ..sources.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    firsts = (
+        d.select("doc_id", F.explode(F.array_distinct(words("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    buckets = firsts.groupBy(
+        ((F.col("first_doc") / 100).cast("long") + 1) * 100
+    ).agg(F.count(F.lit(1)).alias("new_types"))
+    buckets = buckets.withColumnRenamed(buckets.columns[0], "after_docs")
+    w = Window.orderBy("after_docs").rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.select(
+        F.col("after_docs").cast("long").alias("after_docs"),
+        F.col("new_types").cast("long").alias("new_types"),
+        F.sum("new_types").over(w).cast("long").alias("vocab_size"),
+    )

@@ -1650,3 +1650,87 @@ def agg_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.sum("cents").over(wc).cast("long").alias("cum_cents"),
     )
+
+
+@query(
+    "join_customer_360",
+    oracle="""
+    WITH ord AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(MAX(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400) AS BIGINT)
+               AS last_order_day
+      FROM orders GROUP BY o_custkey
+    ), ev AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchases
+      FROM events GROUP BY user_id
+    )
+    SELECT c.c_custkey, n.n_name AS nation, c.c_mktsegment,
+           CAST(COALESCE(ord.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(ord.cents, 0) AS BIGINT) AS lifetime_cents,
+           CAST(COALESCE(ord.last_order_day, -1) AS BIGINT) AS last_order_day,
+           CAST(COALESCE(ev.n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(ev.n_purchases, 0) AS BIGINT) AS n_purchases
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN ord ON ord.o_custkey = c.c_custkey
+    LEFT JOIN ev ON ev.user_id = c.c_custkey
+    """,
+)
+def join_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-360 serving table: one row per customer denormalizing
+    the dimension (nation, segment) with order-fact rollups (count,
+    exact lifetime cents, last order day) and event-fact rollups
+    (activity, purchases) — the materialization every feature store /
+    CRM serving layer builds nightly.  Customers with no orders or no
+    events survive with zero-filled metrics (LEFT joins — silent
+    inner-join shrinkage is the classic 360 bug).
+
+    Scale: each fact table pre-aggregates to one row per customer
+    BEFORE joining (shuffle on the fact key once, map-side combined),
+    then the joins are dimension-sized and broadcast; the wide row is
+    assembled without ever joining raw facts to raw facts."""
+    ensure_deterministic_session(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.max(
+                F.expr(
+                    "CAST(FLOOR(cast(cast(o_orderdate as timestamp) as double)) AS BIGINT) DIV 86400"
+                )
+            ).alias("last_order_day"),
+        )
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        )
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(ords, cust.c_custkey == ords.o_custkey, "left")
+        .join(ev, cust.c_custkey == ev.user_id, "left")
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nation"),
+            "c_mktsegment",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("cents", F.lit(0)).cast("long").alias("lifetime_cents"),
+            F.coalesce("last_order_day", F.lit(-1)).cast("long").alias("last_order_day"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+        )
+    )
