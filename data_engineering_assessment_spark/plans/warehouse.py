@@ -1734,3 +1734,32 @@ def join_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
         )
     )
+
+
+@query(
+    "agg_order_fanout_hist",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_items,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM per_order GROUP BY n_items
+    """,
+)
+def agg_order_fanout_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out distribution: how many line items each order has
+    — the statistic that justifies every orders⋈lineitem cost
+    estimate in this repo (bounded fan-out claims, interval-join 2x
+    bounds, salting thresholds).  Two map-side-combined aggregations,
+    output is a ~7-row histogram at any scale."""
+    ensure_deterministic_session(spark)
+    per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    return per_order.groupBy(F.col("n_items").cast("long").alias("n_items")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
