@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Benchmark headline queries; prints ONE JSON line.
+"""Benchmark headline queries; prints ONE compact JSON line (last).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS  (default 32).
@@ -9,6 +9,14 @@ timed wall-clock; `value` is the total seconds across headline
 queries.  Session startup and the one-time warmup scan are excluded:
 at 100 TB the fixed JVM cost is noise, per-query execution is what
 scales.
+
+The driver captures only a bounded TAIL of stdout (~2 KB): round 4's
+116-query line overflowed it and the bench gate recorded
+``parsed: null``.  So the printed line carries totals + anchor +
+per-query timings for the CORE set only (the round-3 53-query
+headline — keeps round-over-round comparison possible), and the full
+per-query detail for every headline query is written to
+``BENCH_DETAIL.json`` instead.
 """
 
 from __future__ import annotations
@@ -141,6 +149,11 @@ HEADLINE = [
     "event_interarrival_hist",
 ]
 
+# The round-3 53-query headline — the stable cross-round comparison
+# set whose per-query timings go on the printed line (everything in
+# HEADLINE goes to BENCH_DETAIL.json).
+N_CORE = 53
+
 
 ANCHOR_ROWS = 200_000
 
@@ -218,25 +231,40 @@ def main() -> None:
     anchor_sec = _time_anchor(spark)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "anchor": {
-                    "name": "green_taxi_pipeline",
-                    "rows": ANCHOR_ROWS,
-                    "sec": anchor_sec,
-                    "note": "reference-equivalent end-to-end (CSV->clean->"
-                    "typed->parquet->derived->parquet, single-file) on this "
-                    "box; the measured stand-in for the reference baseline",
-                },
-            }
-        )
-    )
+    core = HEADLINE[:N_CORE]
+    core_timings = {k: timings[k] for k in core}
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(HEADLINE),
+        "queries": timings,
+        "core_sec": round(sum(core_timings.values()), 3),
+        "sf": sf,
+        "anchor": {
+            "name": "green_taxi_pipeline",
+            "rows": ANCHOR_ROWS,
+            "sec": anchor_sec,
+            "note": "reference-equivalent end-to-end (CSV->clean->"
+            "typed->parquet->derived->parquet, single-file) on this "
+            "box; the measured stand-in for the reference baseline",
+        },
+    }
+    with open("/root/repo/BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=2)
+    # The LAST stdout line must fit the driver's bounded tail capture:
+    # compact summary only (core per-query map is ~1.4 KB, r03-proven).
+    summary = dict(detail, queries=core_timings)
+    summary["anchor"] = {
+        "name": "green_taxi_pipeline",
+        "rows": ANCHOR_ROWS,
+        "sec": anchor_sec,
+    }
+    summary["detail"] = "BENCH_DETAIL.json"
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 1800, f"bench summary line too long ({len(line)} chars)"
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":

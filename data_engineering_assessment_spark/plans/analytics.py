@@ -314,11 +314,18 @@ def scan_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic_session(spark)
     import os
 
-    from ..sources.layout import build_minmax_index, pruned_read, write_range_chunked
+    from ..sources.layout import (
+        build_minmax_index,
+        clean_superseded,
+        pruned_read,
+        versioned_scratch_tag,
+        write_range_chunked,
+    )
 
-    tag = _scratch_tag_local(sf_dir)
+    tag = versioned_scratch_tag(sf_dir, scan_stats_prune)
     path = f"/root/repo/.scratch/stats_prune_{tag}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        clean_superseded(path)
         write_range_chunked(
             load_table(spark, sf_dir, "orders"), path, key="o_orderkey", n_files=16
         )
@@ -1942,13 +1949,16 @@ def scan_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.layout import (
         bloom_probe_files,
         build_bloom_index,
+        clean_superseded,
         pruned_read,
+        versioned_scratch_tag,
         write_range_chunked,
     )
 
-    tag = _scratch_tag_local(sf_dir)
+    tag = versioned_scratch_tag(sf_dir, scan_bloom_index)
     path = f"/root/repo/.scratch/bloom_index_{tag}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        clean_superseded(path)
         write_range_chunked(
             load_table(spark, sf_dir, "orders"), path, key="o_orderkey", n_files=16
         )
@@ -2032,7 +2042,7 @@ def stream_tablelog_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tablelog_wap_publish",
     oracle="""
     SELECT o_orderkey,
-           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
     FROM orders
     """,
 )
@@ -2066,7 +2076,7 @@ def tablelog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = f"/root/repo/.scratch/tablelog_wap_{tag}"
@@ -2105,7 +2115,7 @@ def tablelog_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     "schema_widen_scan",
     oracle="""
     SELECT o_orderkey,
-           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
     FROM orders
     """,
 )
@@ -2130,15 +2140,17 @@ def schema_widen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic_session(spark)
     import os
 
+    from ..sources.layout import clean_superseded, versioned_scratch_tag
     from ..sources.tables import load_table as _lt
 
-    tag = _scratch_tag_local(sf_dir)
+    tag = versioned_scratch_tag(sf_dir, schema_widen_scan)
     base = f"/root/repo/.scratch/widen_{tag}"
     orders = _lt(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
     )
     if not os.path.exists(os.path.join(base, "old", "_SUCCESS")):
+        clean_superseded(base)
         (
             orders.filter(F.col("o_orderkey") % 2 == 0)
             .select(
@@ -2359,7 +2371,7 @@ def constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders
     )
     SELECT o.o_orderkey,
-           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+           CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
     FROM orders o, span
     WHERE o.o_orderkey BETWEEN span.mn + (span.mx - span.mn) * 40 // 100
                            AND span.mn + (span.mx - span.mn) * 55 // 100
@@ -2381,22 +2393,23 @@ def tablelog_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     and files-without-stats degrade to false positives, never
     loss."""
     ensure_deterministic_session(spark)
-    import hashlib
     import os
 
     from ..sources import tablelog
+    from ..sources.layout import clean_superseded, versioned_scratch_tag
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = versioned_scratch_tag(sf_dir, tablelog_stats_prune)
     path = f"/root/repo/.scratch/tablelog_stats_{tag}"
     if not tablelog.versions(path):
         if os.path.exists(path):
             import shutil
 
             shutil.rmtree(path)
+        clean_superseded(path)
         tablelog.create_table_with_stats(
             orders.repartitionByRange(16, F.col("o_orderkey"))
             .sortWithinPartitions("o_orderkey"),
@@ -2455,7 +2468,7 @@ def event_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)
                - CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) % 2592000 AS month_s,
-             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
       FROM orders
     ), f AS (
       SELECT o_custkey, MIN(month_s) AS cohort FROM o GROUP BY o_custkey
@@ -2488,7 +2501,7 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(cast(o_orderdate as timestamp) as long) "
             "- cast(cast(o_orderdate as timestamp) as long) % 2592000"
         ).alias("month_s"),
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
     )
     w = Window.partitionBy("o_custkey")
     with_cohort = o.withColumn("cohort", F.min("month_s").over(w))

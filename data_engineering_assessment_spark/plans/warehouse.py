@@ -26,12 +26,21 @@ def _epoch_s(c: str | Column) -> Column:
 
 
 def _rev_x10000(price: str = "l_extendedprice", disc: str = "l_discount") -> Column:
-    """Discounted line revenue quantized to 1e-4 units — exact for
-    2-decimal price × 2-decimal discount, identical in both engines."""
-    return F.round(F.col(price) * (1 - F.col(disc)) * 10000, 0).cast("long")
+    """Discounted line revenue quantized to 1e-4 units — exact decimal
+    arithmetic end-to-end (2-decimal price × 2-decimal discount), so
+    no floating point is involved on either engine (the repo's
+    decimal-cast cents contract, docs/VERIFICATION.md §1)."""
+    return (
+        F.col(price).cast("decimal(12,2)")
+        * (F.lit(1) - F.col(disc).cast("decimal(3,2)"))
+        * 10000
+    ).cast("long")
 
 
-_REV_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)"
+_REV_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(3,2))) * 10000 AS BIGINT)"
+)
 
 
 @query(
@@ -455,15 +464,15 @@ def subquery_semi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_antijoin_avg",
     oracle="""
     WITH bal AS (
-      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS tot_x100,
+      SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS tot_x100,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM customer WHERE c_acctbal > 0
     )
     SELECT CAST(c.c_nationkey AS INT) AS nationkey,
            CAST(COUNT(*) AS BIGINT) AS numcust,
-           CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS totacctbal_x100
+           CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS totacctbal_x100
     FROM customer c, bal
-    WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) * bal.cnt > bal.tot_x100
+    WHERE CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) * bal.cnt > bal.tot_x100
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c.c_nationkey
     """,
@@ -479,7 +488,7 @@ def agg_antijoin_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     then trivial."""
     ensure_deterministic_session(spark)
     c = load_table(spark, sf_dir, "customer")
-    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    cents = (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
     bal = (
         c.filter(F.col("c_acctbal") > 0)
         .agg(F.sum(cents).alias("tot_x100"), F.count(F.lit(1)).alias("cnt"))
@@ -545,7 +554,7 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS bucket_h,
              CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
              event_id,
-             CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v_micro
+             CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS v_micro
       FROM events
     ), r AS (
       SELECT *,
@@ -582,7 +591,7 @@ def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(cast(ts as timestamp) as long) div 3600").alias("bucket_h"),
         _epoch_s("ts").alias("ts_s"),
         "event_id",
-        F.round(F.col("value") * 1000000, 0).cast("long").alias("v_micro"),
+        (F.col("value").cast("decimal(12,2)") * 1000000).cast("long").alias("v_micro"),
     )
     grp = ("user_id", "bucket_h")
     w_a = Window.partitionBy(*grp).orderBy(F.asc("ts_s"), F.asc("event_id"))
@@ -655,7 +664,7 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT user_id, event_id,
              CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
-             CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v_micro
+             CAST(CAST(value AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS v_micro
       FROM events
     )
     SELECT user_id, event_id, ts_s, v_micro,
@@ -682,7 +691,7 @@ def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         _epoch_s("ts").alias("ts_s"),
-        F.round(F.col("value") * 1000000, 0).cast("long").alias("v_micro"),
+        (F.col("value").cast("decimal(12,2)") * 1000000).cast("long").alias("v_micro"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600, 0)
     return e.select(
@@ -811,7 +820,7 @@ _LATERAL_SQL = """
 SELECT CAST(n.n_nationkey AS INT) AS nationkey, l.c_custkey, l.bal_x100
 FROM nation n,
 LATERAL (
-  SELECT c_custkey, CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_x100
+  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_x100
   FROM customer c
   WHERE c.c_nationkey = n.n_nationkey
   ORDER BY bal_x100 DESC, c_custkey
@@ -932,7 +941,7 @@ def source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT user_id, event_id, event_type,
              CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
-             CAST(ROUND(value * 100, 0) AS BIGINT) AS value_x100
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS value_x100
       FROM events
     ), w AS (
       SELECT *,
@@ -965,7 +974,7 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         _epoch_s("ts").alias("ts_s"),
-        F.round(F.col("value") * 100, 0).cast("long").alias("value_x100"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("value_x100"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -995,7 +1004,8 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_filtered_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000, 0) AS BIGINT))
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(l_discount AS DECIMAL(3,2)) * 10000 AS BIGINT))
                 AS BIGINT) AS revenue_x10000,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
@@ -1020,7 +1030,11 @@ def agg_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.02, 0.06)
         & (F.col("l_quantity") < 24)
     )
-    rev = F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000, 0).cast("long")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * F.col("l_discount").cast("decimal(3,2)")
+        * 10000
+    ).cast("long")
     return li.agg(
         F.sum(rev).alias("revenue_x10000"),
         F.count(F.lit(1)).alias("n_lines"),
@@ -1032,8 +1046,10 @@ def agg_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS INT) AS order_year,
-           CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
-                                - p.p_retailprice * l.l_quantity) * 10000, 0) AS BIGINT))
+           CAST(SUM(CAST((CAST(l.l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                          - CAST(p.p_retailprice AS DECIMAL(12,2))
+                            * CAST(l.l_quantity AS DECIMAL(7,2))) * 10000 AS BIGINT))
                 AS BIGINT) AS profit_x10000
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -1062,13 +1078,14 @@ def multi_join_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem")
-    profit = F.round(
+    profit = (
         (
-            F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            - F.col("p_retailprice") * F.col("l_quantity")
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+            - F.col("p_retailprice").cast("decimal(12,2)")
+            * F.col("l_quantity").cast("decimal(7,2)")
         )
-        * 10000,
-        0,
+        * 10000
     ).cast("long")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -1154,7 +1171,7 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey AS custkey,
              MAX(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)) AS last_order_s,
              CAST(COUNT(*) AS BIGINT) AS n_orders,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
                AS spend_x100
       FROM orders GROUP BY o_custkey
     )
@@ -1182,7 +1199,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(_epoch_s("o_orderdate")).alias("last_order_s"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("spend_x100"),
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")).alias("spend_x100"),
     )
     return base.select(
         "custkey",
@@ -1193,6 +1210,35 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(Window.orderBy(F.desc("n_orders"), F.asc("custkey"))).cast("int").alias("f_score"),
         F.ntile(4).over(Window.orderBy(F.desc("spend_x100"), F.asc("custkey"))).cast("int").alias("m_score"),
     )
+
+
+def _binfiles_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per corpus digest + code version) the bounded
+    .bin fixture set shared by [[scan_binary_files]] and
+    [[stream_file_intake]]; returns its directory.  Both keys derive
+    the path from THIS function so the versioned tag can never skew
+    between them."""
+    import os
+
+    from ..sources.layout import clean_superseded, versioned_scratch_tag
+
+    tag = versioned_scratch_tag(sf_dir, _binfiles_fixture)
+    path = f"/root/repo/.scratch/binfiles_{tag}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        clean_superseded(path)
+        os.makedirs(path, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 100)
+            .select("doc_id", "text")
+            .collect()  # bounded: 100 fixture files
+        )
+        for r in rows:
+            with open(os.path.join(path, f"{r.doc_id:06d}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        open(marker, "w").close()
+    return path
 
 
 @query(
@@ -1216,24 +1262,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay columnar Arrow until the consuming UDF.  Corpus text is
     ASCII-safe here so byte length equals n_chars."""
     ensure_deterministic_session(spark)
-    import hashlib
-    import os
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/root/repo/.scratch/binfiles_{tag}"
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
-        os.makedirs(path, exist_ok=True)
-        rows = (
-            load_table(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 100)
-            .select("doc_id", "text")
-            .collect()  # bounded: 100 fixture files
-        )
-        for r in rows:
-            with open(os.path.join(path, f"{r.doc_id:06d}.bin"), "wb") as f:
-                f.write(r.text.encode("utf-8"))
-        open(marker, "w").close()
+    path = _binfiles_fixture(spark, sf_dir)
     files = spark.read.format("binaryFile").load(f"{path}/*.bin")
     return files.select(
         F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
@@ -1266,9 +1295,8 @@ def stream_file_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     # reuse (or create) the bounded fixture set
-    scan_binary_files(spark, sf_dir)
+    path = _binfiles_fixture(spark, sf_dir)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/root/repo/.scratch/binfiles_{tag}"
     # file-source streams need the schema declared up front (no
     # inference on unbounded input); binaryFile's schema is fixed
     bin_schema = (
@@ -1473,7 +1501,7 @@ def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(cast(o_orderdate as timestamp) as long) "
             "- cast(cast(o_orderdate as timestamp) as long) % 2592000"
         ).alias("month_s"),
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
     )
     monthly = o.groupBy("month_s").agg(
         F.kll_sketch_agg_bigint("cents").alias("sk"),
@@ -1602,7 +1630,7 @@ def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT o_custkey,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
       FROM orders GROUP BY o_custkey
     ), d AS (
       SELECT o_custkey, cents,
@@ -1632,7 +1660,7 @@ def agg_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
             .cast("long")
             .alias("cents")
         )
@@ -1658,7 +1686,7 @@ def agg_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ord AS (
       SELECT o_custkey,
              CAST(COUNT(*) AS BIGINT) AS n_orders,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
              CAST(MAX(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400) AS BIGINT)
                AS last_order_day
       FROM orders GROUP BY o_custkey
@@ -1701,7 +1729,7 @@ def join_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
             .cast("long")
             .alias("cents"),
             F.max(

@@ -55,6 +55,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # keep \r progress-bar junk out of captured stdout (the bench
+        # driver parses a bounded tail of it)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.optimizer.excludedRules", _EXCLUDED_OPT_RULES)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -20,6 +20,38 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
+def versioned_scratch_tag(sf_dir: str, layout_fn) -> str:
+    """Corpus+code-keyed tag for a materialized scratch layout.
+
+    Digests the corpus path AND the source of the function that
+    writes the layout, so a changed partitioning/layout expression can
+    never serve a stale materialization to a later run (the round-4
+    hazard: ``orders_dpp_<md5(sf_dir)>`` reused across code versions).
+    Any edit to the owning function — including its docstring — is a
+    version bump; rebuilds are cheap relative to a silent wrong reuse.
+    """
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(layout_fn)
+    return hashlib.md5(f"{sf_dir}|{src}".encode()).hexdigest()[:8]
+
+
+def clean_superseded(path: str) -> None:
+    """Remove sibling scratch layouts superseded by ``path``.
+
+    ``path`` ends in ``_<tag>``; every sibling sharing the prefix up
+    to the tag but carrying a different (stale) tag is deleted, so
+    version bumps don't accrete dead layouts in ``.scratch``."""
+    import glob
+    import shutil
+
+    prefix = path.rsplit("_", 1)[0] + "_"
+    for p in glob.glob(prefix + "*"):
+        if p != path:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -318,3 +318,37 @@ def test_bloom_index_skips_files_and_loses_nothing(spark):
         .collect()
     )
     assert {r.f for r in truth} <= set(picked)
+
+
+def test_versioned_scratch_tag_tracks_code_and_corpus(tmp_path):
+    """A materialized layout's tag must change when either the corpus
+    path OR the source of the function that writes the layout changes
+    (the round-4 hazard: a code edit silently serving a stale layout),
+    and must be stable when neither does."""
+    from data_engineering_assessment_spark.sources.layout import (
+        clean_superseded,
+        versioned_scratch_tag,
+    )
+
+    def writer_v1():
+        return "partition_by=month"
+
+    def writer_v2():
+        return "partition_by=day"  # changed layout expression
+
+    t1 = versioned_scratch_tag("/corpus/a", writer_v1)
+    assert t1 == versioned_scratch_tag("/corpus/a", writer_v1)  # stable
+    assert t1 != versioned_scratch_tag("/corpus/a", writer_v2)  # code bump
+    assert t1 != versioned_scratch_tag("/corpus/b", writer_v1)  # corpus bump
+
+    # superseded sibling layouts are deleted, the live one is kept
+    live = tmp_path / f"orders_dpp_{t1}"
+    stale = tmp_path / "orders_dpp_deadbeef"
+    other = tmp_path / "orders_bymonth_cafe0000"
+    for d in (live, stale, other):
+        d.mkdir()
+        (d / "_SUCCESS").touch()
+    clean_superseded(str(live))
+    assert live.exists()
+    assert not stale.exists()
+    assert other.exists()  # different layout family is untouched
