@@ -2531,7 +2531,7 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT CAST(CASE WHEN gap_s = 0 THEN 0
-                     ELSE bit_length(ltrim(bin(gap_s), '0')) END AS BIGINT)
+                     ELSE length(ltrim(bin(gap_s), '0')) END AS BIGINT)
              AS log2_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_gaps,
            CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
@@ -2561,8 +2561,12 @@ def event_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = e.select((F.col("ts_s") - F.lag("ts_s").over(w)).alias("gap_s")).where(
         F.col("gap_s").isNotNull()
     )
+    # character count of the zero-trimmed binary string = bit length
+    # of the VALUE = floor(log2)+1.  (bit_length() on the string would
+    # count 8 bits per character — 8x the intended bucket, the round-4
+    # advisory finding.)
     bucket = F.when(F.col("gap_s") == 0, F.lit(0)).otherwise(
-        F.expr("CAST(bit_length(ltrim('0', bin(gap_s))) AS BIGINT)")
+        F.expr("CAST(length(ltrim('0', bin(gap_s))) AS BIGINT)")
     )
     return gaps.groupBy(bucket.cast("long").alias("log2_bucket")).agg(
         F.count(F.lit(1)).alias("n_gaps"),

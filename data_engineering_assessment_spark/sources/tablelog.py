@@ -285,8 +285,13 @@ def delete_where(spark: SparkSession, path: str, condition_sql: str) -> int:
     if not hit_rel:
         return head  # nothing matched; no new version needed
 
+    # SQL DELETE semantics: delete only rows where the predicate is
+    # TRUE — keep rows where it is FALSE **or NULL**.  A bare
+    # ~predicate is NULL for NULL-predicate rows, which would silently
+    # drop them from rewritten files while identical rows in untouched
+    # files survive (layout-dependent results).
     survivors = spark.read.parquet(*[os.path.join(path, f) for f in hit_rel]).filter(
-        ~F.expr(condition_sql)
+        ~F.coalesce(F.expr(condition_sql), F.lit(False))
     )
     new_files = _write_commit_data(survivors, path, head + 1)
     kept = [f for f in prev if f not in hit_rel]
@@ -443,6 +448,15 @@ def scan_pruned(
         s = stats.get(rel, {}).get(column)
         if s is None or (s[1] >= lo and s[0] <= hi):
             picked.append(rel)
+    if not picked:
+        # every file pruned: an empty result with the table schema,
+        # not an opaque spark.read.parquet(<no paths>) engine error
+        # (mirrors layout.pruned_read's explicit guard)
+        if not m["files"]:
+            raise ValueError(f"table at {path} v{v} has no data files")
+        schema_src = spark.read.parquet(os.path.join(path, m["files"][0]))
+        df = spark.createDataFrame([], schema_src.schema)
+        return df, 0, len(m["files"])
     df = (
         spark.read.parquet(*[os.path.join(path, f) for f in picked])
         .filter(F.col(column).between(lo, hi))

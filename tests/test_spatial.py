@@ -168,3 +168,14 @@ def test_dynamic_melt_udtf_is_polymorphic(spark):
     )
     with pytest.raises(Exception, match="BIGINT id"):
         spark.sql("SELECT * FROM melt_strings_udtf(TABLE(udtf_poly_bad_v))").collect()
+
+    # row_id must be the VALIDATED bigint column even when a boolean
+    # and a narrower int column precede it in column order (the
+    # round-4 advisory bug: eval picked the first int-looking value)
+    spark.createDataFrame(
+        [(True, 7, 12345, "hello")], "flag boolean, small int, doc_id long, name string"
+    ).createOrReplaceTempView("udtf_poly_order_v")
+    rows = spark.sql(
+        "SELECT * FROM melt_strings_udtf(TABLE(udtf_poly_order_v))"
+    ).collect()
+    assert [(r.row_id, r.col_name, r.val) for r in rows] == [(12345, "name", "hello")]

@@ -430,3 +430,47 @@ def test_tags_pin_versions_and_repoint_atomically(spark, tmp_path):
         tablelog.read_tag(spark, path, "nope")
     with pytest.raises(FileNotFoundError):
         tablelog.set_tag(path, "bad", 9)
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows whose predicate evaluates to NULL
+    are KEPT — even when they live in a file that was rewritten
+    because a sibling row matched.  (A bare ~predicate is NULL for
+    them, which would drop them layout-dependently.)"""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t_null")
+    # one file: k=0..4 with v NULL on k=1 and k=3; predicate v > 10
+    # matches k=4 only, is NULL for k=1/k=3, FALSE for the rest
+    df = spark.range(0, 5).withColumnRenamed("id", "k").withColumn(
+        "v",
+        F.when(F.col("k").isin(1, 3), F.lit(None).cast("long")).otherwise(
+            F.col("k") * 10
+        ),
+    ).coalesce(1)
+    tablelog.create_table(df, path)
+
+    v = tablelog.delete_where(spark, path, "v > 10")
+    got = {
+        (r.k, r.v) for r in tablelog.read_version(spark, path, v).collect()
+    }
+    # k=2 (v=20) and k=4 (v=40) deleted; NULL-predicate rows k=1, k=3
+    # survive alongside k=0 (v=0, predicate FALSE)
+    assert got == {(0, 0), (1, None), (3, None)}
+
+
+def test_scan_pruned_all_files_pruned_returns_empty(spark, tmp_path):
+    """A range intersecting no file's stats yields an empty DataFrame
+    with the table schema — not an opaque zero-path read error."""
+    path = str(tmp_path / "t_prune_empty")
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    tablelog.create_table_with_stats(
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        path,
+        stats_cols=["k"],
+    )
+    out, opened, total = tablelog.scan_pruned(spark, path, "k", 10_000, 20_000)
+    assert opened == 0
+    assert total > 0
+    assert out.count() == 0
+    assert out.columns == df.columns
