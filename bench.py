@@ -252,17 +252,18 @@ def main() -> None:
     }
     with open("/root/repo/BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=2)
-    # The LAST stdout line must fit the driver's bounded tail capture:
-    # compact summary only (core per-query map is ~1.4 KB, r03-proven).
-    summary = dict(detail, queries=core_timings)
+    # The LAST stdout line must fit the driver's bounded tail capture
+    # (~2 KB; the r03 53-query line at 1.69 KB is the proven size, the
+    # r04 116-query line at ~4 KB overflowed).  Per-query timings are
+    # 2-decimal here; 3-decimal detail lives in BENCH_DETAIL.json.
+    summary = dict(detail, queries={k: round(v, 2) for k, v in core_timings.items()})
     summary["anchor"] = {
         "name": "green_taxi_pipeline",
         "rows": ANCHOR_ROWS,
         "sec": anchor_sec,
     }
-    summary["detail"] = "BENCH_DETAIL.json"
     line = json.dumps(summary, separators=(",", ":"))
-    assert len(line) < 1800, f"bench summary line too long ({len(line)} chars)"
+    assert len(line) < 1750, f"bench summary line too long ({len(line)} chars)"
     sys.stdout.flush()
     print(line)
 
