@@ -1012,11 +1012,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
     n_nodes = deg.count()  # bounded scalar action: one BIGINT to the driver
     tp = 15 * 10**12 // (100 * n_nodes)
+    # Degree is loop-invariant: annotate every edge with its source
+    # degree ONCE (one join total instead of one per round), hash-
+    # partitioned on the per-round join key before the checkpoint
+    # (localCheckpoint preserves outputPartitioning, so when the rank
+    # table outgrows broadcast at real scale the |E| side joins with
+    # NO per-round exchange).  At local SF the rank side broadcasts
+    # and the timing is unchanged — the win is the 100-TB plan shape.
+    e_deg = (
+        e.join(deg, "u")
+        .select("u", "v", "c")
+        .repartition(F.col("u"))
+        .localCheckpoint(eager=True)
+    )
     r = deg.select(F.col("u").alias("node"), F.lit(10**12 // n_nodes).alias("r"))
     for i in range(_PAGERANK_ITERS):
         r = (
-            e.join(r, e.u == r.node)
-            .join(deg, "u")
+            e_deg.join(r, e_deg.u == r.node)
             .select(F.col("v"), F.expr("r div c").alias("contrib"))
             .groupBy("v")
             .agg(F.sum("contrib").alias("s"))
