@@ -633,20 +633,21 @@ def scan_tablelog_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fast path — this key grades the FORMAT integration, not a
     replacement scan."""
     ensure_deterministic_session(spark)
-    import hashlib
     import os
 
     from ..sources import tablelog
+    from ..sources.layout import clean_superseded, versioned_scratch_tag
     from ..sources.tablelog_datasource import register
 
     docs = load_table(spark, sf_dir, "documents")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/root/repo/.scratch/tablelog_{tag}"
+    tag = versioned_scratch_tag(sf_dir, scan_tablelog_datasource)
+    path = f"/root/repo/.scratch/tablelog_ds_{tag}"
     if not tablelog.versions(path):
         if os.path.exists(path):
             import shutil
 
             shutil.rmtree(path)
+        clean_superseded(path)
         tablelog.create_table(docs.filter(F.col("doc_id") % 3 == 0), path)
         tablelog.append(docs.filter(F.col("doc_id") % 3 == 1), path)
     register(spark)
@@ -721,15 +722,17 @@ def scan_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver round-trip; the bad-row stream is a filter on the same
     pass and can sink to its own table for replay."""
     ensure_deterministic_session(spark)
-    import hashlib
     import os
 
     from pyspark.sql import types as T
 
+    from ..sources.layout import clean_superseded, versioned_scratch_tag
+
     docs = load_table(spark, sf_dir, "documents")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = versioned_scratch_tag(sf_dir, scan_jsonl_quarantine)
     path = f"/root/repo/.scratch/jsonl_quarantine_{tag}"
     if not os.path.exists(os.path.join(path, "_corrupted_marker")):
+        clean_superseded(path)
         docs.select("doc_id", "lang", "text").write.mode("overwrite").json(path)
         # inject garbage lines: clearly-broken JSON every ~40 records
         for name in sorted(os.listdir(path)):
@@ -2013,19 +2016,20 @@ def stream_tablelog_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     immutable manifests, so recovery cannot duplicate or drop a
     file."""
     ensure_deterministic_session(spark)
-    import hashlib
     import os
     import shutil
 
     from ..sources import tablelog
+    from ..sources.layout import clean_superseded, versioned_scratch_tag
     from ..sources.tablelog_datasource import register
 
     docs = load_table(spark, sf_dir, "documents")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = versioned_scratch_tag(sf_dir, stream_tablelog_source)
     path = f"/root/repo/.scratch/tablelog_src_{tag}"
     if len(tablelog.versions(path)) != 3:
         if os.path.exists(path):
             shutil.rmtree(path)
+        clean_superseded(path)
         tablelog.create_table(docs.filter(F.col("doc_id") % 3 == 0), path)
         tablelog.append(docs.filter(F.col("doc_id") % 3 == 1), path)
         tablelog.append(docs.filter(F.col("doc_id") % 3 == 2), path)

@@ -423,11 +423,14 @@ def scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic_session(spark)
     docs = load_table(spark, sf_dir, "documents")
 
-    base = f"/root/repo/.scratch/corrupt_scan_{_scratch_tag(sf_dir)}"
+    from ..sources.layout import clean_superseded, versioned_scratch_tag
+
+    base = f"/root/repo/.scratch/corrupt_scan_{versioned_scratch_tag(sf_dir, scan_corrupt_tolerant)}"
     in_dir = f"{base}/in"
     marker = f"{base}/_STAGED"
     if not os.path.exists(marker):
         shutil.rmtree(base, ignore_errors=True)
+        clean_superseded(base)
         os.makedirs(in_dir)
         for i in range(4):
             stage = f"{base}/stage{i}"
