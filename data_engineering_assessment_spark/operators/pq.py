@@ -13,9 +13,10 @@ codes and only then *refine* the short list against true vectors.
 
 Scale design mirrors ivf.py:
 - codebooks are tiny driver state (m × ksub × d/m floats); training
-  runs one distributed Lloyd pass PER ROUND covering ALL subspaces at
-  once (subvectors are exploded to (sub, cell, pos) rows — one bounded
-  shuffle per iteration, never per-subspace jobs);
+  follows FAISS practice: a deterministic hash-sample bounded at
+  ~train_cap vectors (independent of corpus size) is collected once
+  and Lloyd's iterates in vectorized NumPy on the driver — one Spark
+  job for training no matter how many rounds;
 - encoding and ADC scoring are Arrow-batched matrix ops against the
   broadcast codebooks; candidate scoring is a linear scan of codes
   (cheap) followed by an exact rescore of the top ``refine``×k short
@@ -50,69 +51,44 @@ def train_pq_codebooks(
     """Deterministic Lloyd's k-means per subspace (Euclidean), all
     subspaces trained together; returns (m × ksub × d/m) codebooks.
 
-    Training runs on a deterministic hash-sample of ≤ ``train_cap``
+    Training runs on a deterministic hash-sample of ≤ ~``train_cap``
     vectors (standard PQ practice — codebooks need a representative
     sample, not the corpus; FAISS trains on ~256·ksub points).  The
-    sampled, exploded subvector table is checkpointed once so each
-    Lloyd round rescans materialized rows instead of replaying the
-    scan+explode lineage."""
+    sample is BOUNDED regardless of corpus size, so it is collected to
+    the driver once and Lloyd's runs in vectorized NumPy there: one
+    Spark job total instead of 2·n_iter shuffle+collect rounds.  Rows
+    are sorted by xxhash64(id) before any summation, so the result is
+    bit-identical no matter how the corpus was partitioned."""
     v = spread(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     n_total = v.count()
     if n_total > train_cap:
         # keep ~train_cap rows via a deterministic xxhash64 threshold
         frac_bits = max(1, (n_total + train_cap - 1) // train_cap)
         v = v.filter(F.pmod(F.xxhash64("id"), F.lit(frac_bits)) == 0)
-    first = v.select(F.size("vec").alias("d")).limit(1).collect()
-    d = first[0].d
+    # bounded driver collect (≤ ~train_cap rows of d floats)
+    rows = sorted(
+        v.withColumn("h", F.xxhash64("id")).select("h", "vec").collect(),
+        key=lambda r: r.h,
+    )
+    if not rows:
+        raise ValueError("empty training corpus")
+    X = np.array([list(r.vec) for r in rows], dtype=np.float64)
+    d = X.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
 
     # deterministic seeds: ksub smallest-hash vectors, sliced per subspace
-    seed_rows = (
-        v.withColumn("h", F.xxhash64("id")).orderBy("h").limit(ksub).select("vec").collect()
-    )
-    seeds = np.array([list(r.vec) for r in seed_rows], dtype=np.float64)
-    books = np.stack([seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)])
-
-    sub = (
-        v.select(
-            "id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {m - 1}),"
-                    f" s -> struct(s AS sub, slice(vec, s * {dsub} + 1, {dsub}) AS sv))"
-                )
-            ).alias("e"),
-        )
-        .select("id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
-        .localCheckpoint(eager=True)
-    )
+    books = np.stack([X[:ksub, s * dsub : (s + 1) * dsub] for s in range(m)])
 
     for _ in range(n_iter):
-        B = books.copy()
-
-        @pandas_udf("int")
-        def _cell(subs: pd.Series, svs: pd.Series) -> pd.Series:
-            out = np.empty(len(svs), dtype=np.int32)
-            S = subs.values
-            X = np.stack(svs.values).astype(np.float64)
-            for s in np.unique(S):
-                mask = S == s
-                diff = X[mask, None, :] - B[int(s)][None, :, :]
-                out[mask] = np.argmin((diff * diff).sum(axis=2), axis=1)
-            return pd.Series(out)
-
-        assigned = sub.select("sub", "sv", _cell("sub", "sv").alias("cell"))
-        stats = (
-            assigned.select("sub", "cell", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("sub", "cell", "pos")
-            .agg(F.avg("x").alias("mval"))
-            .collect()
-        )
         new = books.copy()
-        for r in stats:
-            new[r.sub, r.cell, r.pos] = r.mval
+        for s in range(m):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            diff = Xs[:, None, :] - books[s][None, :, :]
+            cells = np.argmin((diff * diff).sum(axis=2), axis=1)
+            for c in np.unique(cells):
+                new[s, c] = Xs[cells == c].mean(axis=0)
         if np.allclose(new, books, atol=1e-9):
             books = new
             break
