@@ -74,6 +74,13 @@ def ensure_deterministic_session(spark: SparkSession) -> SparkSession:
     runtime conf, so this is safe on a live session.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Pin result-affecting dialect confs to the values every local
+    # verification ran under, in case the external session was built
+    # with different defaults: ANSI mode changes invalid-cast /
+    # overflow semantics (error vs NULL), the parser policy changes
+    # how datetime patterns resolve.  Both are runtime confs.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.legacy.timeParserPolicy", "CORRECTED")
     # Results-neutral perf conf (see _EXCLUDED_OPT_RULES): applied here
     # too so externally-created sessions (the driver's) get it.
     spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_OPT_RULES)

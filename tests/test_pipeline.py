@@ -746,6 +746,10 @@ def test_pq_codebooks_shape_and_determinism(spark):
     import numpy as np
 
     assert np.array_equal(b1, b2)  # same seeds, exact averages
+    # partitioning must not leak into the codebooks: the training
+    # sample is sorted by xxhash64(id) before any summation
+    b3 = train_pq_codebooks(emb.repartition(7), m=4, ksub=8, n_iter=2)
+    assert np.array_equal(b1, b3)
 
 
 def test_jsonl_quarantine_routes_bad_lines(spark, tmp_path):
