@@ -2248,7 +2248,7 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sink_parquet_single", oracle=_ROUNDTRIP_ORACLE)
 def sink_parquet_single(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-file parquet sink round-trip: documents → coalesce(1)
+    """Single-file parquet sink round-trip: documents → one-task
     write + lone-part-file promotion (the reference's exact sink
     contract, 02.py:131-138) → re-scan → digest projection.  Drives
     sources/parquet_io.py through the driver's oracle gate; the

@@ -26,13 +26,18 @@ def write_parquet(
 ) -> str:
     """Write ``df`` as parquet.
 
-    ``single_file=True`` mirrors the reference exactly: coalesce to one
-    task, write, then move the lone part-file to ``path`` itself
-    (reference ``02.py:131-138``).  Use only for small outputs.
+    ``single_file=True`` reproduces the reference's sink contract
+    (one promoted part-file, reference ``02.py:131-138``) but via
+    ``repartition(1)`` rather than the reference's ``coalesce(1)``:
+    coalesce folds the ENTIRE upstream job into the single write task
+    (measured 3x slower on the anchor pipeline), while repartition
+    keeps the scan/parse stages parallel and serializes only the
+    write.  Same file count, same row multiset.  Use only for small
+    outputs.
     """
     if single_file:
         tmp_dir = path + "._job"
-        df.coalesce(1).write.parquet(tmp_dir, mode=mode)
+        df.repartition(1).write.parquet(tmp_dir, mode=mode)
         parts = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))
         if len(parts) != 1:
             raise RuntimeError(f"expected 1 part-file in {tmp_dir}, got {len(parts)}")
