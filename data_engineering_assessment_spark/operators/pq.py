@@ -65,11 +65,15 @@ def train_pq_codebooks(
         # keep ~train_cap rows via a deterministic xxhash64 threshold
         frac_bits = max(1, (n_total + train_cap - 1) // train_cap)
         v = v.filter(F.pmod(F.xxhash64("id"), F.lit(frac_bits)) == 0)
-    # bounded driver collect (≤ ~train_cap rows of d floats)
+    # bounded driver collect (≤ ~train_cap rows of d floats).  The
+    # hash-mod filter bounds the sample only in EXPECTATION, so after
+    # collecting, sort deterministically (hash, then id — a 64-bit
+    # hash tie must not fall back to nondeterministic collect order)
+    # and hard-cap to exactly train_cap rows.
     rows = sorted(
-        v.withColumn("h", F.xxhash64("id")).select("h", "vec").collect(),
-        key=lambda r: r.h,
-    )
+        v.withColumn("h", F.xxhash64("id")).select("h", "id", "vec").collect(),
+        key=lambda r: (r.h, r.id),
+    )[:train_cap]
     if not rows:
         raise ValueError("empty training corpus")
     X = np.array([list(r.vec) for r in rows], dtype=np.float64)

@@ -640,7 +640,7 @@ def scan_tablelog_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tablelog_datasource import register
 
     docs = load_table(spark, sf_dir, "documents")
-    tag = versioned_scratch_tag(sf_dir, scan_tablelog_datasource)
+    tag = versioned_scratch_tag(sf_dir, scan_tablelog_datasource, tablelog)
     path = f"/root/repo/.scratch/tablelog_ds_{tag}"
     if not tablelog.versions(path):
         if os.path.exists(path):
@@ -2024,7 +2024,7 @@ def stream_tablelog_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tablelog_datasource import register
 
     docs = load_table(spark, sf_dir, "documents")
-    tag = versioned_scratch_tag(sf_dir, stream_tablelog_source)
+    tag = versioned_scratch_tag(sf_dir, stream_tablelog_source, tablelog)
     path = f"/root/repo/.scratch/tablelog_src_{tag}"
     if len(tablelog.versions(path)) != 3:
         if os.path.exists(path):
@@ -2418,7 +2418,7 @@ def tablelog_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
     )
-    tag = versioned_scratch_tag(sf_dir, tablelog_stats_prune)
+    tag = versioned_scratch_tag(sf_dir, tablelog_stats_prune, tablelog)
     path = f"/root/repo/.scratch/tablelog_stats_{tag}"
     if not tablelog.versions(path):
         if os.path.exists(path):

@@ -20,35 +20,48 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
-def versioned_scratch_tag(sf_dir: str, layout_fn) -> str:
+def versioned_scratch_tag(sf_dir: str, *fns) -> str:
     """Corpus+code-keyed tag for a materialized scratch layout.
 
-    Digests the corpus path AND the source of the function that
-    writes the layout, so a changed partitioning/layout expression can
-    never serve a stale materialization to a later run (the round-4
+    Digests the corpus path, the source of every function or module in
+    ``fns`` (the owning query plus any out-of-module writer helpers,
+    e.g. the ``tablelog`` module), AND this module's own full source —
+    so a change to a layout-writing helper (``write_partitioned``,
+    ``write_range_chunked``, ``build_bloom_index``, …) bumps the tag
+    even though the owning function's text is unchanged, and a stale
+    materialization can never be served to a later run (the round-4
     hazard: ``orders_dpp_<md5(sf_dir)>`` reused across code versions).
-    Any edit to the owning function — including its docstring — is a
+    Any edit anywhere in the write path — including docstrings — is a
     version bump; rebuilds are cheap relative to a silent wrong reuse.
     """
     import hashlib
     import inspect
+    import sys
 
-    src = inspect.getsource(layout_fn)
-    return hashlib.md5(f"{sf_dir}|{src}".encode()).hexdigest()[:8]
+    parts = [sf_dir, inspect.getsource(sys.modules[__name__])]
+    parts += [inspect.getsource(fn) for fn in fns]
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
 
 
 def clean_superseded(path: str) -> None:
     """Remove sibling scratch layouts superseded by ``path``.
 
-    ``path`` ends in ``_<tag>``; every sibling sharing the prefix up
-    to the tag but carrying a different (stale) tag is deleted, so
-    version bumps don't accrete dead layouts in ``.scratch``."""
+    ``path`` ends in ``_<tag>`` (8 hex chars); every sibling sharing
+    the prefix up to the tag but carrying a different (stale) tag is
+    deleted, so version bumps don't accrete dead layouts in
+    ``.scratch``.  Siblings are matched by the exact ``<prefix>_<8
+    hex>`` shape — NOT a bare ``prefix*`` glob — so a scratch family
+    whose name merely extends another's prefix (``binfiles_ckpt_*``
+    vs ``binfiles_<tag>``) can never be collected by the shorter
+    family's clean."""
     import glob
+    import re
     import shutil
 
     prefix = path.rsplit("_", 1)[0] + "_"
+    tag_re = re.compile(re.escape(prefix) + r"[0-9a-f]{8}$")
     for p in glob.glob(prefix + "*"):
-        if p != path:
+        if p != path and tag_re.fullmatch(p):
             shutil.rmtree(p, ignore_errors=True)
 
 

@@ -237,3 +237,35 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
         assert "BroadcastHashJoin" in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bench_core_set_and_summary_line_bound():
+    """The bench contract the driver depends on: (a) the cross-round
+    CORE comparison set is frozen by name and stays a subset of
+    HEADLINE (a positional slice silently re-defined the set when
+    HEADLINE grew — ADVICE r05); (b) a worst-case summary line fits
+    the driver's bounded tail capture, so BENCH_r{N}.json can never
+    regress to parsed:null while the query set is this size."""
+    import json
+
+    import bench
+
+    assert set(bench.CORE) <= set(bench.HEADLINE)
+    assert len(bench.CORE) == 53  # the round-3 comparison set, frozen
+    assert len(set(bench.CORE)) == len(bench.CORE)
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+
+    # worst-case line: every core query at 4-digit seconds
+    worst = {
+        "metric": "headline_queries_total_sec",
+        "value": 99999.999,
+        "unit": "sec",
+        "n_queries": len(bench.HEADLINE),
+        "queries": {k: 9999.99 for k in bench.CORE},
+        "core_sec": 99999.999,
+        "sf": 0.1,
+        "anchor": {"name": "green_taxi_pipeline", "rows": bench.ANCHOR_ROWS,
+                   "sec": 9999.999},
+    }
+    line = json.dumps(worst, separators=(",", ":"))
+    assert len(line) < 1750, len(line)
