@@ -998,7 +998,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard |E|-proportional plan — with localCheckpoint truncating
     lineage so round k never re-plans rounds 1..k-1.  The only driver
     scalars are the node count (one bounded action) fed into the two
-    teleport constants."""
+    teleport constants.
+
+    Why a FIXED round count, not convergence detection: the oracle is
+    a statically-unrolled CTE chain generated from the same round
+    count, so the iteration count is part of the cross-engine
+    contract — a data-dependent early exit would desync engine and
+    oracle (and add one residual action per round, the only per-round
+    driver traffic this key currently avoids).  A production variant
+    without an exactness oracle would stop on
+    ``max(|r_k - r_{k-1}|) < eps`` computed in the same round's agg."""
     ensure_deterministic_session(spark)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
