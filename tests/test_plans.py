@@ -269,3 +269,53 @@ def test_bench_core_set_and_summary_line_bound():
     }
     line = json.dumps(worst, separators=(",", ":"))
     assert len(line) < 1750, len(line)
+
+
+def test_grading_window_spent_on_keys_needing_verdicts():
+    """Rotation tripwire: the external grader issues verdicts for the
+    first ~50 registry keys each round, so every window slot spent on
+    a key that already has a green verdict is a wasted verdict.  This
+    asserts the committed registration order puts ALL keys still
+    needing a verdict (failing latest verdict, or never graded) ahead
+    of keys that don't — i.e. the rotation has been applied.
+
+    EXPECTED TO FAIL the moment a new CORRECTNESS_r{N}.json lands
+    (the freshly-graded keys are then green but still sit in the
+    prefix): that failure IS the reminder — run `python
+    tools/rotation.py`, paste its output into `plans/__init__.py`,
+    and this test goes green again.  Round 4's verdict called an
+    unapplied rotation the single highest-leverage miss in the repo;
+    this makes it impossible to miss silently."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation", "/root/repo/tools/rotation.py"
+    )
+    rotation = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rotation)
+
+    from data_engineering_assessment_spark import plans
+
+    registered = list(plans.queries().keys())
+    oracled = set(plans.oracles().keys())
+    failing, ungraded, _rows_only = rotation.classify(
+        registered, oracled, rotation.fold_verdicts()
+    )
+    need = set(failing) | set(ungraded)
+    if not need:
+        return  # every key has a verdict — nothing to rotate
+    window = 50
+    pos = {k: i for i, k in enumerate(registered)}
+    # every needing key must come before every non-needing key, up to
+    # the window (if more keys need verdicts than fit, the entire
+    # window must be needing keys; spare slots may hold anything)
+    first_nonneed = min(
+        (pos[k] for k in registered if k not in need), default=len(registered)
+    )
+    late_need = sorted(k for k in need if pos[k] > first_nonneed and pos[k] < window)
+    assert not late_need, (
+        f"rotation not applied: keys needing verdicts {late_need} sit "
+        f"behind already-verdicted keys inside the {window}-key grading "
+        "window — run `python tools/rotation.py` and paste its output "
+        "into plans/__init__.py"
+    )

@@ -23,12 +23,8 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def main() -> None:
-    from data_engineering_assessment_spark import plans
-
-    registered = list(plans.queries().keys())
-    oracled = set(plans.oracles().keys())
-
+def fold_verdicts() -> dict[str, dict]:
+    """Latest-wins fold of every CORRECTNESS_r*.json verdict."""
     verdicts: dict[str, dict] = {}
     for path in sorted(
         glob.glob("/root/repo/CORRECTNESS_r*.json"),
@@ -36,17 +32,35 @@ def main() -> None:
     ):
         for key, row in json.load(open(path)).items():
             verdicts[key] = row
+    return verdicts
 
+
+def classify(registered, oracled, verdicts):
+    """Partition registry keys into (failing, never-graded, rows-only).
+
+    ``failing`` ∪ ``never-graded`` = the keys that still NEED a
+    verdict; rows-only-by-design keys stay out of the grading window
+    permanently (their no_oracle verdict is already the strongest
+    available signal) unless an oracle has since been added."""
     failing, ungraded, rows_only = [], [], []
     for key in registered:
         v = verdicts.get(key)
         if v is None:
             ungraded.append(key)
         elif v.get("err") == "no_oracle":
-            # rows-only by design unless an oracle has since been added
             (failing if key in oracled else rows_only).append(key)
         elif not (v.get("rows_match") and v.get("schema_match") and v.get("hash_match")):
             failing.append(key)
+    return failing, ungraded, rows_only
+
+
+def main() -> None:
+    from data_engineering_assessment_spark import plans
+
+    registered = list(plans.queries().keys())
+    oracled = set(plans.oracles().keys())
+    verdicts = fold_verdicts()
+    failing, ungraded, rows_only = classify(registered, oracled, verdicts)
 
     print(f"# registered={len(registered)} graded={len(verdicts)}")
     print(f"# failing latest verdict: {len(failing)}")
