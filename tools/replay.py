@@ -66,7 +66,7 @@ def main() -> int:
     )
 
     import __spark_entry__ as E
-    from tests.oracle_utils import compare, duck_connection
+    from tests.oracle_utils import NONPORTABLE_ORACLE_KEYS, compare, duck_connection
 
     if not args.skip_smoke:
         n = len(E.entry(spark).collect())
@@ -90,7 +90,12 @@ def main() -> int:
         try:
             df = queries[key](spark, args.sf)
             if key in oracles:
-                compare(df, con, oracles[key])
+                compare(
+                    df,
+                    con,
+                    oracles[key],
+                    allow_nonportable=key in NONPORTABLE_ORACLE_KEYS,
+                )
                 status = "pass"
             else:
                 rows = df.collect()
