@@ -321,9 +321,10 @@ def main() -> None:
     # Degrade, never die: a benchmark that ran to completion must
     # always print its line (an assert here would reproduce the very
     # parsed:null failure it was meant to prevent).  If the summary
-    # outgrows the driver's tail capture, shed the per-query map first
-    # (full detail is already in BENCH_DETAIL.json), then the anchor
-    # note — totals always fit.
+    # outgrows the driver's tail capture, shed the per-query map —
+    # full detail is already in BENCH_DETAIL.json, and the remaining
+    # fixed-size fields (totals + compact anchor) are ~250 chars,
+    # far inside the bound.
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) >= 1750:
         summary["queries"] = {}

@@ -23,6 +23,14 @@ from data_engineering_assessment_spark.schemas import CORPUS_TABLES
 # the driver's own verdict bit.
 NONPORTABLE_ORACLE_KEYS = {"probe_hugeint_sum"}
 
+# DuckDB result types that the grading driver's typed fetch does NOT
+# canonicalize like their Spark counterparts (HUGEINT = what
+# SUM(BIGINT) returns; DECIMAL by the fixed-point output contract).
+# Shared by compare() below and the static lint in
+# tests/test_correctness.py so the two can never drift apart.
+NONPORTABLE_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+NONPORTABLE_ORACLE_TYPE_PREFIXES = ("DECIMAL",)
+
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
@@ -70,8 +78,8 @@ def compare(
     # so replay catches the class without waiting for a round trip.
     if not allow_nonportable:
         for name, typ, *_ in con.execute(f"DESCRIBE ({sql})").fetchall():
-            assert typ not in ("HUGEINT", "UHUGEINT") and not typ.startswith(
-                "DECIMAL"
+            assert typ not in NONPORTABLE_ORACLE_TYPES and not typ.startswith(
+                NONPORTABLE_ORACLE_TYPE_PREFIXES
             ), (
                 f"oracle column {name} has non-portable type {typ} "
                 "(driver-side hash hazard): wrap in CAST(.. AS BIGINT)"

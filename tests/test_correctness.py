@@ -8,7 +8,13 @@ import pytest
 
 import __spark_entry__ as entry_mod
 from tests.conftest import SF_DIR
-from tests.oracle_utils import NONPORTABLE_ORACLE_KEYS, compare, duck_connection
+from tests.oracle_utils import (
+    NONPORTABLE_ORACLE_KEYS,
+    NONPORTABLE_ORACLE_TYPE_PREFIXES,
+    NONPORTABLE_ORACLE_TYPES,
+    compare,
+    duck_connection,
+)
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
@@ -149,12 +155,12 @@ def test_oracle_output_types_are_portable(duck, key):
         pytest.skip("deliberate HUGEINT control probe")
     desc = duck.execute(f"DESCRIBE ({ORACLES[key]})").fetchall()
     for name, typ, *_ in desc:
-        assert typ not in ("HUGEINT", "UHUGEINT"), (
+        assert typ not in NONPORTABLE_ORACLE_TYPES, (
             f"{key}.{name} oracle outputs {typ}: wrap in CAST(.. AS BIGINT) "
             "(DuckDB SUM(BIGINT) widens to HUGEINT, which the grading "
             "driver canonicalizes differently from Spark's BIGINT)"
         )
-        assert not typ.startswith("DECIMAL"), (
+        assert not typ.startswith(NONPORTABLE_ORACLE_TYPE_PREFIXES), (
             f"{key}.{name} oracle outputs {typ}: graded outputs are "
             "integer/string/bool fixed-point"
         )

@@ -305,17 +305,16 @@ def test_grading_window_spent_on_keys_needing_verdicts():
     if not need:
         return  # every key has a verdict — nothing to rotate
     window = 50
-    pos = {k: i for i, k in enumerate(registered)}
-    # every needing key must come before every non-needing key, up to
-    # the window (if more keys need verdicts than fit, the entire
-    # window must be needing keys; spare slots may hold anything)
-    first_nonneed = min(
-        (pos[k] for k in registered if k not in need), default=len(registered)
-    )
-    late_need = sorted(k for k in need if pos[k] > first_nonneed and pos[k] < window)
-    assert not late_need, (
-        f"rotation not applied: keys needing verdicts {late_need} sit "
-        f"behind already-verdicted keys inside the {window}-key grading "
-        "window — run `python tools/rotation.py` and paste its output "
-        "into plans/__init__.py"
+    # The first min(len(need), window) registry slots must ALL hold
+    # keys that need a verdict: if more keys need verdicts than fit,
+    # the whole window must be needing keys; if fewer, every needing
+    # key must sit inside the window (an already-green key occupying a
+    # slot while a needing key waits outside is a wasted verdict).
+    must_fill = registered[: min(len(need), window)]
+    wasted = sorted(k for k in must_fill if k not in need)
+    assert not wasted, (
+        f"rotation not applied: already-verdicted keys {wasted} occupy "
+        f"grading-window slots while {len(need)} keys still need "
+        "verdicts — run `python tools/rotation.py` and paste its "
+        "output into plans/__init__.py"
     )

@@ -15,8 +15,7 @@ folded CORRECTNESS_r01..r05 verdicts.
 
 from __future__ import annotations
 
-import glob
-import json
+import importlib.util
 import sys
 
 import duckdb
@@ -35,13 +34,15 @@ PORTABLE = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "VARCHAR", "BOOLEAN",
 
 
 def folded_verdicts() -> dict:
-    out = {}
-    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json")):
-        with open(f) as fh:
-            data = json.load(fh)
-        for k, v in data.items():
-            out[k] = (v, f.split("/")[-1])
-    return out
+    """Latest-wins verdict fold, shared with tools/rotation.py (which
+    handles arbitrary round numbers — a local r0* glob would silently
+    drop CORRECTNESS_r10.json and later)."""
+    spec = importlib.util.spec_from_file_location(
+        "rotation", "/root/repo/tools/rotation.py"
+    )
+    rotation = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rotation)
+    return {k: (v, "folded") for k, v in rotation.fold_verdicts().items()}
 
 
 def main() -> int:
