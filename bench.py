@@ -256,6 +256,28 @@ def _time_anchor(spark) -> float:
     return round(best, 3)
 
 
+def _time_reference(spark) -> float | None:
+    """Best-of-3 wall time of the REFERENCE's own 01.py+02.py run
+    verbatim on the same anchor CSV (tools/ref_baseline.py) — the
+    measured baseline the anchor previously stood in for.  Returns
+    None when the reference checkout is unavailable; the bench line
+    must never die on its absence."""
+    try:
+        sys.path.insert(0, "/root/repo/tools")
+        import ref_baseline
+
+        ref01, ref02 = ref_baseline.load_reference()
+        scratch = "/root/repo/.scratch/ref_baseline"
+        os.makedirs(scratch, exist_ok=True)
+        b1, b2 = ref_baseline.measure_reference(
+            spark, ref01, ref02, _anchor_csv(),
+            f"{scratch}/bench_01.parquet", f"{scratch}/bench_02.parquet",
+        )
+        return round(b1 + b2, 3)
+    except Exception:  # noqa: BLE001 — absent checkout, version drift
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -286,6 +308,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     anchor_sec = _time_anchor(spark)
+    reference_sec = _time_reference(spark)
 
     total = round(sum(timings.values()), 3)
     core_timings = {k: timings[k] for k in CORE}
@@ -301,9 +324,12 @@ def main() -> None:
             "name": "green_taxi_pipeline",
             "rows": ANCHOR_ROWS,
             "sec": anchor_sec,
-            "note": "reference-equivalent end-to-end (CSV->clean->"
-            "typed->parquet->derived->parquet, single-file) on this "
-            "box; the measured stand-in for the reference baseline",
+            "ref_sec": reference_sec,
+            "note": "sec = this repo's reference-equivalent end-to-end "
+            "(CSV->clean->typed->parquet->derived->parquet, "
+            "single-file); ref_sec = the reference's own 01.py+02.py "
+            "run verbatim on the same CSV, same box, same session "
+            "(tools/ref_baseline.py) — the measured baseline",
         },
     }
     with open("/root/repo/BENCH_DETAIL.json", "w") as f:
@@ -317,6 +343,7 @@ def main() -> None:
         "name": "green_taxi_pipeline",
         "rows": ANCHOR_ROWS,
         "sec": anchor_sec,
+        "ref_sec": reference_sec,
     }
     # Degrade, never die: a benchmark that ran to completion must
     # always print its line (an assert here would reproduce the very

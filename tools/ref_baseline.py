@@ -47,7 +47,10 @@ def load_reference_module(name: str, path: str):
     return mod
 
 
-def main() -> None:
+def load_reference():
+    """Import the reference's 01.py/02.py verbatim with the two
+    environment shims (absent smart_open; pyarrow 1.0.1 vs 16.x
+    timestamp-parse behavior).  Returns (ref01, ref02)."""
     # smart_open shim: the reference uses it only to open the source
     # URL; for a local file path builtin open is behaviorally identical
     if "smart_open" not in sys.modules:
@@ -96,14 +99,50 @@ def main() -> None:
         return pa.table(dict(zip(table.column_names, cols)))
 
     ref01.parse_green_taxi_csv = parse_then_localize
+    return ref01, ref02
+
+
+def measure_reference(spark, ref01, ref02, csv_path, stage1_out, final_out,
+                      repeats: int = 3):
+    """Best-of-``repeats`` wall time of the reference's two stages on
+    ``csv_path``; returns (stage1_sec, stage2_sec)."""
+    from io import BytesIO
+
+    best1 = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        with BytesIO() as buf:
+            ref01.read_green_taxi_csv(csv_path, buf)
+            buf.seek(0)
+            table = ref01.parse_green_taxi_csv(buf)
+        ref01.write_table_to_parquet(table, stage1_out)
+        best1 = min(best1, time.perf_counter() - t0)
+
+    best2 = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        with TemporaryDirectory() as output_dir:
+            out_dir = Path(output_dir)
+            input_df = spark.read.parquet(f"file://{stage1_out}")
+            alias = "input_df"
+            input_df.createOrReplaceTempView(alias)
+            output_df = spark.sql(ref02.build_query(alias))
+            output_df.coalesce(1).write.parquet(
+                f"file://{out_dir}", mode="overwrite"
+            )
+            shutil.move(next(out_dir.glob("*.parquet")), Path(final_out))
+        best2 = min(best2, time.perf_counter() - t0)
+    return best1, best2
+
+
+def main() -> None:
+    ref01, ref02 = load_reference()
 
     from bench import _anchor_csv
     from data_engineering_assessment_spark.session import get_spark
     from data_engineering_assessment_spark.sources.green_taxi import (
         green_taxi_pipeline,
     )
-
-    from io import BytesIO
 
     spark = get_spark(app_name="ref-baseline")
     spark.sparkContext.setLogLevel("ERROR")
@@ -117,32 +156,10 @@ def main() -> None:
         stage1_out = scratch / f"01_{n_rows}.parquet"
         final_out = scratch / f"02_{n_rows}.parquet"
 
-        # ---- stage 1: reference 01.py verbatim ----
-        best1 = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            with BytesIO() as buf:
-                ref01.read_green_taxi_csv(csv_path, buf)
-                buf.seek(0)
-                table = ref01.parse_green_taxi_csv(buf)
-            ref01.write_table_to_parquet(table, stage1_out)
-            best1 = min(best1, time.perf_counter() - t0)
-
-        # ---- stage 2: reference 02.py flow, parameterized paths ----
-        best2 = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            with TemporaryDirectory() as output_dir:
-                out_dir = Path(output_dir)
-                input_df = spark.read.parquet(f"file://{stage1_out}")
-                alias = "input_df"
-                input_df.createOrReplaceTempView(alias)
-                output_df = spark.sql(ref02.build_query(alias))
-                output_df.coalesce(1).write.parquet(
-                    f"file://{out_dir}", mode="overwrite"
-                )
-                shutil.move(next(out_dir.glob("*.parquet")), final_out)
-            best2 = min(best2, time.perf_counter() - t0)
+        # ---- reference 01.py + 02.py verbatim ----
+        best1, best2 = measure_reference(
+            spark, ref01, ref02, csv_path, stage1_out, final_out
+        )
 
         # ---- this repo's pipeline: identical end-to-end work ----
         ours = float("inf")
