@@ -256,6 +256,24 @@ def _time_anchor(spark) -> float:
     return round(best, 3)
 
 
+def _time_anchor_parallel(spark) -> float:
+    """Best-of-3 of the same end-to-end work WITHOUT the single-file
+    constraint — parallel output files, the only correct shape beyond
+    laptop scale (the reference has no parallel variant: its stage 1
+    is a single-process BytesIO pass by construction)."""
+    from data_engineering_assessment_spark.sources.green_taxi import green_taxi_pipeline
+
+    csv = _anchor_csv()
+    best = float("inf")
+    for i in range(3):
+        staged = f"/root/repo/.scratch/anchorp_staged_{i}.parquet"
+        out = f"/root/repo/.scratch/anchorp_out_{i}.parquet"
+        t0 = time.perf_counter()
+        green_taxi_pipeline(spark, csv, staged, out, single_file=False)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def _time_reference(spark) -> float | None:
     """Best-of-3 wall time of the REFERENCE's own 01.py+02.py run
     verbatim on the same anchor CSV (tools/ref_baseline.py) — the
@@ -308,6 +326,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     anchor_sec = _time_anchor(spark)
+    anchor_par_sec = _time_anchor_parallel(spark)
     reference_sec = _time_reference(spark)
 
     total = round(sum(timings.values()), 3)
@@ -324,12 +343,14 @@ def main() -> None:
             "name": "green_taxi_pipeline",
             "rows": ANCHOR_ROWS,
             "sec": anchor_sec,
+            "par_sec": anchor_par_sec,
             "ref_sec": reference_sec,
             "note": "sec = this repo's reference-equivalent end-to-end "
             "(CSV->clean->typed->parquet->derived->parquet, "
-            "single-file); ref_sec = the reference's own 01.py+02.py "
-            "run verbatim on the same CSV, same box, same session "
-            "(tools/ref_baseline.py) — the measured baseline",
+            "single-file); par_sec = same work, parallel output files "
+            "(the shape that scales); ref_sec = the reference's own "
+            "01.py+02.py run verbatim on the same CSV, same box, same "
+            "session (tools/ref_baseline.py) — the measured baseline",
         },
     }
     with open("/root/repo/BENCH_DETAIL.json", "w") as f:
@@ -343,6 +364,7 @@ def main() -> None:
         "name": "green_taxi_pipeline",
         "rows": ANCHOR_ROWS,
         "sec": anchor_sec,
+        "par_sec": anchor_par_sec,
         "ref_sec": reference_sec,
     }
     # Degrade, never die: a benchmark that ran to completion must

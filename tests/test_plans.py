@@ -265,7 +265,8 @@ def test_bench_core_set_and_summary_line_bound():
         "core_sec": 99999.999,
         "sf": 0.1,
         "anchor": {"name": "green_taxi_pipeline", "rows": bench.ANCHOR_ROWS,
-                   "sec": 9999.999, "ref_sec": 9999.999},
+                   "sec": 9999.999, "par_sec": 9999.999,
+                   "ref_sec": 9999.999},
     }
     line = json.dumps(worst, separators=(",", ":"))
     assert len(line) < 1750, len(line)
