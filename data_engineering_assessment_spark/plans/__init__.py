@@ -1,79 +1,40 @@
 """Query plan registry — import side-effect registers all query keys."""
 
-from . import analytics, curation, parity, pipeline, relational, spatial, training, warehouse  # noqa: F401
+from . import (  # noqa: F401
+    analytics,
+    curation,
+    mlcorpus,
+    parity,
+    pipeline,
+    relational,
+    spatial,
+    training,
+    warehouse,
+)
 from .registry import oracles, queries, set_priority  # noqa: F401
 
-# Grading-window rotation (round 6).  The external grader issues
+# Grading-window rotation (round 7).  The external grader issues
 # correctness verdicts for a ~50-key prefix of this registry per round;
 # verdicts persist, so the prefix holds exactly the keys that still
 # need one (tools/rotation.py generates the list from the
-# CORRECTNESS_r*.json fold):
-#   1. the four keys whose latest verdict is red — all four were
-#      diagnosed in round 6 as DuckDB HUGEINT SUM outputs (the
-#      driver's oracle fetch canonicalizes HUGEINT unlike BIGINT;
-#      local fetchall() hides it) and their oracles now CAST the
-#      output SUMs to BIGINT — expected green,
-#   2. probe_hugeint_sum — the control that DELIBERATELY keeps a bare
-#      HUGEINT SUM, expected RED, confirming the diagnosis from the
-#      driver's own verdict bit,
-#   3. the 75 keys that have never been graded, oracle-backed first
-#      (tablelog DML/OPTIMIZE/WAP family, TPC-H Q4-Q22 shapes, round-4
-#      analytics additions) in registry order; the ~30 past the window
-#      roll to round 7.
+# CORRECTNESS_r*.json fold).  Round-6 result: 49/50 green; the single
+# red was probe_hugeint_sum, the deliberate HUGEINT control, red
+# exactly as predicted in its docstring — diagnosis confirmed from the
+# driver's own verdict bit.  This round's window:
+#   1. probe_hugeint_sum — control retired; its oracle now uses the
+#      standard CAST(SUM(..) AS BIGINT) idiom, expected green,
+#   2. the 30 keys that have never been graded (the TPC-H tail
+#      Q6/Q9/Q19/Q22 + Q20, recursive CTE, lateral top-n, VARIANT
+#      scan, the sketch stores, PQ, round-4 analytics) in rotation
+#      order — oracle-backed first,
+#   3. the 19 round-7 mlcorpus keys (plans/mlcorpus.py), registered
+#      behind the leftovers so they grade only after every older key
+#      has its verdict.  31 + 19 = 50 — the window exactly.
 # Rows-only-by-design keys stay out of the prefix permanently (their
 # no_oracle verdict is already the strongest available signal).
 set_priority(
     [
-        "join_dpp_prune",
-        "agg_share_having",
-        "agg_argmax_revenue",
-        "probe_lineitem_totals",
         "probe_hugeint_sum",
-        "stream_tablelog_source",
-        "tablelog_wap_publish",
-        "schema_widen_scan",
-        "tablelog_delete_rows",
-        "tablelog_update_rows",
-        "tablelog_optimize",
-        "constraint_suite",
-        "tablelog_stats_prune",
-        "event_seasonality_profile",
-        "orders_cohort_ltv",
-        "event_interarrival_hist",
-        "sample_reservoir",
-        "split_group_holdout",
-        "agg_histogram_equidepth",
-        "ts_spine_zero_fill",
-        "dedup_cluster_rep",
-        "stream_late_watermark",
-        "scan_corrupt_tolerant",
-        "split_kfold",
-        "sample_weighted",
-        "embed_centroid_label",
-        "embed_knn_classify",
-        "dedup_containment",
-        "token_heavy_hitters",
-        "text_boilerplate_cov",
-        "multimodal_arrow_digest",
-        "embed_matryoshka_overlap",
-        "dedup_threshold_curve",
-        "embed_outlier_topk",
-        "vocab_growth_curve",
-        "grid_density_topk",
-        "grid_radius_join",
-        "cogroup_order_reconcile",
-        "udtf_sentence_split",
-        "observe_metrics",
-        "udtf_dynamic_melt",
-        "corpus_token_budget",
-        "text_hapax_ratio",
-        "join_exists_late",
-        "multi_join_nation_flow",
-        "agg_market_share",
-        "join_priority_class",
-        "agg_custdist",
-        "agg_promo_share",
-        "agg_supplier_distinct",
         "join_disjunctive",
         "subquery_semi_agg",
         "agg_antijoin_avg",
@@ -104,5 +65,25 @@ set_priority(
         "agg_hll_partitioned",
         "agg_kll_quantiles",
         "agg_theta_customer_overlap",
+        # --- round-7 additions (plans/mlcorpus.py), behind the tail ---
+        "dedup_semantic_cluster",
+        "dedup_prefix_exact",
+        "dedup_survivorship",
+        "quality_weighted_gate",
+        "tokenize_pack_shard",
+        "contamination_matrix",
+        "token_drift_slices",
+        "length_curriculum",
+        "zstd_dict_sample",
+        "text_char_diversity",
+        "bigram_lift_topk",
+        "mix_temperature_weights",
+        "text_ttr_buckets",
+        "corpus_quota_fill",
+        "source_token_tv_drift",
+        "lang_balance_resample",
+        "window_nth_value",
+        "event_burst_windows",
+        "orders_reorder_interval",
     ]
 )

@@ -132,10 +132,10 @@ def test_graded_output_types_are_portable(spark, key):
             )
 
 
-# probe_hugeint_sum is the round-6 diagnostic control: its oracle
-# DELIBERATELY outputs a bare HUGEINT SUM to prove, from the driver's
-# own verdict bit, that HUGEINT is what made the r04/r05 reds red.
-# (Shared with tools/replay.py via oracle_utils.)
+# Empty since round 7 (probe_hugeint_sum, the round-6 diagnostic
+# control whose oracle deliberately output a bare HUGEINT SUM, was
+# confirmed red by CORRECTNESS_r06.json and retired to the CAST
+# idiom).  Shared with tools/replay.py via oracle_utils.
 ORACLE_TYPE_LINT_EXEMPT = NONPORTABLE_ORACLE_KEYS
 
 
@@ -256,9 +256,18 @@ def test_driver_typed_fetch_emulation(duck):
     lossy and canonically unlike Spark's BIGINT — while the CAST(..
     AS BIGINT) idiom stays int64.  fetchall() hides the difference
     (Python int either way), which is why four locally-green keys were
-    red driver-side in rounds 4-5."""
-    bare = duck.sql(ORACLES["probe_hugeint_sum"]).df()
+    red driver-side in rounds 4-5.  (Uses a literal bare-SUM query:
+    the probe_hugeint_sum registry oracle carried it through round 6
+    but was retired to the CAST idiom once CORRECTNESS_r06.json
+    confirmed the prediction.)"""
+    bare = duck.sql(
+        "SELECT SUM(CAST(l_quantity AS BIGINT)) AS qty_sum "
+        "FROM lineitem WHERE l_orderkey < 30"
+    ).df()
     assert str(bare["qty_sum"].dtype) == "float64"  # the hazard, live
+
+    fixed = duck.sql(ORACLES["probe_hugeint_sum"]).df()
+    assert str(fixed["qty_sum"].dtype) == "int64", dict(fixed.dtypes)
 
     fixed = duck.sql(ORACLES["probe_lineitem_totals"]).df()
     assert all(str(fixed[c].dtype) == "int64" for c in fixed.columns), (
