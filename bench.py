@@ -147,6 +147,26 @@ HEADLINE = [
     "constraint_suite",
     "tablelog_stats_prune",
     "event_interarrival_hist",
+    # round-7 mlcorpus additions
+    "dedup_semantic_cluster",
+    "dedup_prefix_exact",
+    "dedup_survivorship",
+    "quality_weighted_gate",
+    "tokenize_pack_shard",
+    "contamination_matrix",
+    "token_drift_slices",
+    "length_curriculum",
+    "zstd_dict_sample",
+    "text_char_diversity",
+    "bigram_lift_topk",
+    "mix_temperature_weights",
+    "text_ttr_buckets",
+    "corpus_quota_fill",
+    "source_token_tv_drift",
+    "lang_balance_resample",
+    "window_nth_value",
+    "event_burst_windows",
+    "orders_reorder_interval",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison
@@ -292,7 +312,10 @@ def _time_reference(spark) -> float | None:
             f"{scratch}/bench_01.parquet", f"{scratch}/bench_02.parquet",
         )
         return round(b1 + b2, 3)
-    except Exception:  # noqa: BLE001 — absent checkout, version drift
+    except Exception as e:  # noqa: BLE001 — absent checkout, version drift
+        # a silently-null baseline is undiagnosable (ADVICE r06) —
+        # leave the reason on stderr without touching the JSON line
+        print(f"ref baseline skipped: {type(e).__name__}: {e}", file=sys.stderr)
         return None
 
 
@@ -312,14 +335,18 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Best-of-3 per query: later runs measure steady state (JIT,
-    # shuffle-service buffers); min is the standard steady-state
-    # metric, and single runs on this box vary 3-4x under identical
-    # conditions, so two samples are not enough.
+    # Reduction rule (documented for cross-round comparability,
+    # VERDICT r06 #5): best-of-N wall clock per query — min is the
+    # standard steady-state metric (later runs measure JIT / shuffle
+    # buffers; single runs on this box vary 3-4x under identical
+    # conditions).  N=5 for the frozen CORE comparison set (its
+    # round-over-round deltas are what regressions are called on, so
+    # it gets the extra noise damping); N=3 for the rest of HEADLINE.
     timings: dict[str, float] = {}
+    core_set = set(CORE)
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5 if name in core_set else 3):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -53,7 +53,9 @@ def validate_header(spark: SparkSession, path: str) -> None:
     if "://" not in local:
         import os
 
-        if os.path.exists(local):
+        # isfile, not exists: a directory of CSV parts must fall
+        # through to the distributed reader below, not open()
+        if os.path.isfile(local):
             with open(local, "rb") as f:
                 line = f.readline().decode("utf-8", errors="replace")
             if tuple(line.rstrip("\r\n").split(",")) != GREEN_TAXI_HEADER:

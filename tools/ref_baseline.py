@@ -47,10 +47,40 @@ def load_reference_module(name: str, path: str):
     return mod
 
 
+# Content pins for the reference scripts (ADVICE r06: module-level
+# code from the untrusted /root/reference checkout executes on every
+# bench run via bench._time_reference).  The scripts were reviewed at
+# these hashes; if the checkout ever changes, refuse to exec and let
+# the bench record "ref baseline skipped" instead of running
+# unreviewed code.
+REFERENCE_SHA256 = {
+    "/root/reference/01.py": (
+        "74adc90641f23cbef773b79b89072a22b6d9be496b950dfe81c7366361566b16"
+    ),
+    "/root/reference/02.py": (
+        "31c93592259a3c31b0e8873cbd7efccb5bee184310a928ade1928be5348388df"
+    ),
+}
+
+
+def _check_reference_pins() -> None:
+    import hashlib
+
+    for path, expected in REFERENCE_SHA256.items():
+        actual = hashlib.sha256(Path(path).read_bytes()).hexdigest()
+        if actual != expected:
+            raise RuntimeError(
+                f"{path} content hash {actual[:12]}… != reviewed pin "
+                f"{expected[:12]}… — refusing to exec unreviewed code"
+            )
+
+
 def load_reference():
     """Import the reference's 01.py/02.py verbatim with the two
     environment shims (absent smart_open; pyarrow 1.0.1 vs 16.x
-    timestamp-parse behavior).  Returns (ref01, ref02)."""
+    timestamp-parse behavior).  Returns (ref01, ref02).  The scripts'
+    content hashes are pinned (REFERENCE_SHA256) before exec."""
+    _check_reference_pins()
     # smart_open shim: the reference uses it only to open the source
     # URL; for a local file path builtin open is behaviorally identical
     if "smart_open" not in sys.modules:
