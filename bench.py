@@ -167,6 +167,16 @@ HEADLINE = [
     "window_nth_value",
     "event_burst_windows",
     "orders_reorder_interval",
+    # round-7b metrics additions
+    "quality_score_auc",
+    "calibration_bins",
+    "gate_agreement_kappa",
+    "ts_cusum_changepoint",
+    "ts_lagged_covariance",
+    "session_max_concurrency",
+    "dedup_levenshtein_block",
+    "token_gini_concentration",
+    "embed_silhouette",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

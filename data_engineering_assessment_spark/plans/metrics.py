@@ -1,0 +1,754 @@
+"""Round-7b statistical evaluation & monitoring operators — the
+measurement layer a corpus-curation pipeline runs AROUND its filters:
+did the quality gate actually rank documents well (AUC, calibration,
+inter-gate agreement), did the event stream shift (CUSUM changepoint,
+lagged covariance), how concentrated is the token distribution (exact
+Gini), how crisp are the semantic clusters (silhouette margin), plus
+the blocked edit-distance tier the dedup ladder was missing between
+exact-prefix and shingle-Jaccard.
+
+Output contract (README round-3): every graded column is BIGINT /
+STRING fixed-point; ratios are exact integer milli/ppm (`x * 1000 div
+y`); the only doubles compared are single IEEE ops on identical
+operands (the [[dedup_embed_cosine]] fold-order precedent).  Signed
+ratios pin truncation explicitly (toward zero on the absolute value)
+because `div`/`//` semantics on negatives are not engine-portable.
+
+Scale notes use one shared trick worth naming: **value-bucketed rank
+statistics**.  Rank-based measures (AUC, Gini) are computed by
+grouping on the VALUE first (one hash shuffle, map-side combined) and
+prefix-summing over *distinct values* — a window whose cardinality is
+the value domain (word counts, frequency counts), not the row count.
+A 100 TB corpus has billions of documents but only ~1e5 distinct
+lengths, so the ordered pass is a driver-sized frame no matter the
+input scale; nothing ever global-sorts the raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import word_count, words
+from ..operators.similarity import dot, norm_sq
+from ..session import ensure_deterministic_session
+from ..sources.tables import load_table, spread
+from .registry import query
+
+
+def _epoch_s(c) -> F.Column:
+    """Timestamp → epoch seconds BIGINT (floor), engine-portable —
+    same contract as plans/relational.py:31 (session pinned UTC;
+    DuckDB twin is CAST(FLOOR(epoch(ts)) AS BIGINT))."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.floor(col.cast("timestamp").cast("double")).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Gate evaluation: AUC, calibration, agreement
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_score_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT len(string_split(text, ' ')) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ), per AS (
+      SELECT s, SUM(pos) AS np, SUM(1 - pos) AS nn
+      FROM scored GROUP BY s
+    ), cum AS (
+      SELECT s, np, nn,
+             COALESCE(SUM(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM per
+    )
+    SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(nn) AS BIGINT) AS n_neg,
+           CAST(SUM(2 * np * below + np * nn) AS BIGINT) AS u2,
+           CAST(SUM(2 * np * below + np * nn) * 1000
+                // (2 * SUM(np) * SUM(nn)) AS BIGINT) AS auc_milli
+    FROM cum
+    """,
+)
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a quality score (here: word count predicting
+    lang='en') via the Mann–Whitney rank-sum identity — the metric a
+    curation team reports before trusting a classifier gate like
+    [[quality_weighted_gate]].  ``u2`` is twice the U statistic
+    (ties count 1 instead of 0.5, keeping everything integer);
+    AUC = u2 / (2·n_pos·n_neg), emitted as exact milli.
+
+    Scale (value-bucketed rank statistics, module docstring): one hash
+    shuffle groups rows BY SCORE (map-side combined), then the ordered
+    prefix pass runs over distinct score values only — bounded by the
+    score domain (~1e3 word-count values), not the corpus size.  No
+    global sort of documents ever happens; a naive rank() over 1e11
+    rows would single-task, this never does."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        word_count("text").cast("long").alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    per = d.groupBy("s").agg(
+        F.sum("pos").alias("np"), F.sum(F.lit(1) - F.col("pos")).alias("nn")
+    )
+    below = F.coalesce(
+        F.sum("nn").over(
+            Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    cum = per.withColumn("below", below)
+    return cum.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(2 * F.col("np") * F.col("below") + F.col("np") * F.col("nn"))
+        .cast("long")
+        .alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.expr("u2 * 1000 div (2 * n_pos * n_neg)").cast("long").alias("auc_milli"),
+    )
+
+
+@query(
+    "calibration_bins",
+    oracle="""
+    WITH lims AS (
+      SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents
+    ), binned AS (
+      SELECT LEAST(9, (d.n_chars - l.mn) * 10 // (l.mx - l.mn + 1)) AS bin,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents d CROSS JOIN lims l
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(pos) * 1000 // count(*) AS BIGINT) AS pos_rate_milli
+    FROM binned GROUP BY bin
+    """,
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a score (n_chars) against a label
+    (lang='en'): ten equi-width bins over the observed score range,
+    each reporting document count, positives, and the exact-milli
+    positive rate — the calibration evidence that decides whether a
+    gate's threshold transfers across corpora.  Companion to
+    [[quality_score_auc]] (discrimination) — this measures
+    calibration.
+
+    Scale: pass 1 is a two-scalar min/max aggregate; the single result
+    row broadcasts (BroadcastNestedLoopJoin on a 1-row build side —
+    the sanctioned scalar-broadcast shape); pass 2 bins at scan speed
+    and hash-aggregates on 10 keys, map-side combined."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "n_chars", F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos")
+    )
+    lims = d.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    binned = d.crossJoin(F.broadcast(lims)).select(
+        F.least(F.lit(9), F.expr("(n_chars - mn) * 10 div (mx - mn + 1)"))
+        .cast("long")
+        .alias("bin"),
+        "pos",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.expr("SUM(pos) * 1000 div COUNT(*)").cast("long").alias("pos_rate_milli"),
+    )
+
+
+@query(
+    "gate_agreement_kappa",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END AS a,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS b
+      FROM documents
+    ), c AS (
+      SELECT CAST(SUM(a * b) AS BIGINT) AS n11,
+             CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM g
+    )
+    SELECT n11, n10, n01, n00,
+           CAST(2 * (n11 * n00 - n10 * n01) AS BIGINT) AS kappa_num,
+           CAST((n11 + n10) * (n10 + n00)
+                + (n11 + n01) * (n01 + n00) AS BIGINT) AS kappa_den,
+           CAST(CASE WHEN n11 * n00 >= n10 * n01
+                THEN 2 * (n11 * n00 - n10 * n01) * 1000
+                     // ((n11 + n10) * (n10 + n00) + (n11 + n01) * (n01 + n00))
+                ELSE -(2 * (n10 * n01 - n11 * n00) * 1000
+                     // ((n11 + n10) * (n10 + n00) + (n11 + n01) * (n01 + n00)))
+                END AS BIGINT) AS kappa_milli
+    FROM c
+    """,
+)
+def gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two heuristic quality gates (word-count
+    ≥ 55 vs char-count ≥ 300) — chance-corrected agreement, the
+    standard check that two filters are measuring the same thing
+    before one replaces the other in a pipeline.  For binary 2×2
+    tables kappa reduces to 2(n11·n00 − n10·n01) / ((n11+n10)(n10+n00)
+    + (n11+n01)(n01+n00)) — exact integers end to end; the milli form
+    truncates the ABSOLUTE value toward zero and re-applies the sign
+    explicitly, because negative integer division is not portable
+    across engines.
+
+    Scale: a single full-scan aggregate — four conditional sums, no
+    shuffle beyond the final single-partition combine."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        F.when(word_count("text") >= 55, 1).otherwise(0).alias("a"),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("b"),
+    )
+    c = d.agg(
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    return c.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        (2 * (F.col("n11") * F.col("n00") - F.col("n10") * F.col("n01")))
+        .cast("long")
+        .alias("kappa_num"),
+        (
+            (F.col("n11") + F.col("n10")) * (F.col("n10") + F.col("n00"))
+            + (F.col("n11") + F.col("n01")) * (F.col("n01") + F.col("n00"))
+        )
+        .cast("long")
+        .alias("kappa_den"),
+        F.expr(
+            """CASE WHEN n11 * n00 >= n10 * n01
+               THEN 2 * (n11 * n00 - n10 * n01) * 1000
+                    div ((n11 + n10) * (n10 + n00) + (n11 + n01) * (n01 + n00))
+               ELSE -(2 * (n10 * n01 - n11 * n00) * 1000
+                    div ((n11 + n10) * (n10 + n00) + (n11 + n01) * (n01 + n00)))
+               END"""
+        )
+        .cast("long")
+        .alias("kappa_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream monitoring: changepoint, lagged covariance, concurrency
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), stat AS (
+      SELECT event_type, day_idx, c,
+             COUNT(*) OVER (PARTITION BY event_type) AS d,
+             SUM(c) OVER (PARTITION BY event_type) AS tot
+      FROM daily
+    ), cu AS (
+      SELECT event_type, day_idx, d, tot,
+             SUM(d * c - tot) OVER (PARTITION BY event_type ORDER BY day_idx
+               ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM stat
+    ), ranked AS (
+      SELECT event_type, day_idx, d, tot, ABS(cusum) AS a,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ABS(cusum) DESC, day_idx) AS rn
+      FROM cu
+    )
+    SELECT event_type,
+           CAST(d AS BIGINT) AS n_days,
+           CAST(tot AS BIGINT) AS total_events,
+           CAST(a AS BIGINT) AS max_abs_cusum,
+           CAST(day_idx AS BIGINT) AS peak_day_idx
+    FROM ranked WHERE rn = 1
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative deviation of daily counts from the series mean peaks —
+    the classic drift alarm a pipeline monitor raises when an event
+    stream's rate shifts mid-window.  The deviation is scaled by the
+    day count (D·c_d − total), keeping the whole cusum in exact
+    integers with the same argmax as the mean-centered float version.
+
+    Scale: daily counts are one hash shuffle on (type, day) with
+    map-side combine — the only pass over raw events; every window
+    after that runs on the (type × day) frame, whose size is the
+    calendar, not the data.  Ties on |cusum| break to the earliest
+    day."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", _epoch_s("ts").alias("ts_s")
+    ).select("event_type", F.expr("ts_s div 86400").alias("day_idx"))
+    daily = e.groupBy("event_type", "day_idx").agg(F.count("*").alias("c"))
+    part = Window.partitionBy("event_type")
+    stat = daily.select(
+        "event_type",
+        "day_idx",
+        "c",
+        F.count("*").over(part).alias("d"),
+        F.sum("c").over(part).alias("tot"),
+    )
+    cum = Window.partitionBy("event_type").orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cu = stat.withColumn(
+        "cusum", F.sum(F.col("d") * F.col("c") - F.col("tot")).over(cum)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.desc(F.abs(F.col("cusum"))), F.asc("day_idx")
+        )
+    )
+    return (
+        cu.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("d").cast("long").alias("n_days"),
+            F.col("tot").cast("long").alias("total_events"),
+            F.abs(F.col("cusum")).cast("long").alias("max_abs_cusum"),
+            F.col("day_idx").cast("long").alias("peak_day_idx"),
+        )
+    )
+
+
+@query(
+    "ts_lagged_covariance",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY 1
+    ), led AS (
+      SELECT day_idx, x,
+             lead(y, 0) OVER w AS y0, lead(day_idx, 0) OVER w AS d0,
+             lead(y, 1) OVER w AS y1, lead(day_idx, 1) OVER w AS d1,
+             lead(y, 7) OVER w AS y7, lead(day_idx, 7) OVER w AS d7
+      FROM daily WINDOW w AS (ORDER BY day_idx)
+    ), pairs AS (
+      SELECT 0 AS lag, x, y0 AS y FROM led WHERE d0 = day_idx + 0
+      UNION ALL
+      SELECT 1 AS lag, x, y1 AS y FROM led WHERE d1 = day_idx + 1
+      UNION ALL
+      SELECT 7 AS lag, x, y7 AS y FROM led WHERE d7 = day_idx + 7
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           count(*) AS n_days,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS cov_num
+    FROM pairs GROUP BY lag
+    """,
+)
+def ts_lagged_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-covariance between two event streams (does today's
+    click volume predict purchases 0/1/7 days later?) — the lead-lag
+    diagnostic behind conversion-delay and attribution-window choices.
+    ``cov_num`` is the n-scaled covariance numerator n·Σxy − Σx·Σy,
+    exact BIGINT; its sign and relative magnitude across lags is the
+    decision signal, no division needed.  Pairs require the lead row
+    to be exactly `lag` days ahead (calendar lag, not row lag), so
+    gap days drop out rather than silently misaligning.
+
+    Scale: one hash shuffle over raw events onto the daily frame;
+    the lead window and the per-lag aggregate run on calendar-sized
+    data.  The three lags share a single window pass."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        _epoch_s("ts").alias("ts_s"), "event_type"
+    ).select(F.expr("ts_s div 86400").alias("day_idx"), "event_type")
+    daily = e.groupBy("day_idx").agg(
+        F.count_if(F.col("event_type") == "click").alias("x"),
+        F.count_if(F.col("event_type") == "purchase").alias("y"),
+    )
+    w = Window.orderBy("day_idx")
+    led = daily.select(
+        "day_idx",
+        "x",
+        *[
+            c
+            for lag in (0, 1, 7)
+            for c in (
+                F.lead("y", lag).over(w).alias(f"y{lag}"),
+                F.lead("day_idx", lag).over(w).alias(f"d{lag}"),
+            )
+        ],
+    )
+    pairs = None
+    for lag in (0, 1, 7):
+        p = led.filter(F.col(f"d{lag}") == F.col("day_idx") + lag).select(
+            F.lit(lag).cast("long").alias("lag"),
+            F.col("x"),
+            F.col(f"y{lag}").alias("y"),
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    return pairs.groupBy("lag").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        (F.count("*") * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+        .cast("long")
+        .alias("cov_num"),
+    )
+
+
+@query(
+    "session_max_concurrency",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s FROM events
+    ), l AS (
+      SELECT user_id, ts_s,
+             CASE WHEN lag(ts_s) OVER w IS NULL
+                    OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+    ), s AS (
+      SELECT user_id, ts_s,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM l
+    ), sess AS (
+      SELECT user_id, session_no, MIN(ts_s) AS start_s, MAX(ts_s) AS end_s
+      FROM s GROUP BY 1, 2
+    ), deltas AS (
+      SELECT start_s // 60 AS m, 1 AS d FROM sess
+      UNION ALL
+      SELECT end_s // 60 + 1 AS m, -1 AS d FROM sess
+    ), per_min AS (
+      SELECT m, SUM(d) AS d_net,
+             SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS plus_cnt
+      FROM deltas GROUP BY m
+    ), run AS (
+      SELECT m, plus_cnt,
+             SUM(d_net) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS running
+      FROM per_min
+    )
+    SELECT CAST(SUM(plus_cnt) AS BIGINT) AS n_sessions,
+           CAST(MAX(running) AS BIGINT) AS max_concurrency,
+           CAST(MIN(CASE WHEN running = (SELECT MAX(running) FROM run)
+                    THEN m END) AS BIGINT) AS peak_minute
+    FROM run
+    """,
+)
+def session_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions (capacity planning's headline number):
+    sessionize per user with the 30-min-gap rule ([[sessionize_lag]]),
+    sweep-line the session intervals as minute-bucketed ±1 deltas, and
+    take the maximum of the running sum — plus the earliest minute it
+    was reached.  A session occupies every minute from its start
+    minute through its end minute inclusive.
+
+    Scale: sessionization shuffles once on user_id (both window passes
+    and the session agg share the partitioning); the sweep then lives
+    on the MINUTE frame — cardinality is the time range (~5e5 minutes
+    per year), independent of event volume, so the single ordered pass
+    is calendar-sized.  The peak-minute argmax rides the same
+    aggregate via a max-of-struct, no second pass over events."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", _epoch_s("ts").alias("ts_s")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts_s")
+    gap = F.col("ts_s") - F.lag("ts_s").over(wu)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    cum = wu.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        e.withColumn("session_no", F.sum(is_new).over(cum))
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts_s").alias("start_s"), F.max("ts_s").alias("end_s"))
+    )
+    deltas = sess.select(
+        F.expr("start_s div 60").alias("m"), F.lit(1).alias("d")
+    ).unionAll(
+        sess.select(F.expr("end_s div 60 + 1").alias("m"), F.lit(-1).alias("d"))
+    )
+    per_min = deltas.groupBy("m").agg(
+        F.sum("d").alias("d_net"),
+        F.count_if(F.col("d") == 1).alias("plus_cnt"),
+    )
+    run = per_min.withColumn(
+        "running",
+        F.sum("d_net").over(
+            Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # max-of-struct: (running DESC, -m DESC) == earliest minute at the peak
+    peak = F.max(F.struct(F.col("running"), (-F.col("m")).alias("neg_m")))
+    return run.agg(
+        F.sum("plus_cnt").cast("long").alias("n_sessions"),
+        peak.alias("pk"),
+    ).select(
+        "n_sessions",
+        F.col("pk.running").cast("long").alias("max_concurrency"),
+        (-F.col("pk.neg_m")).cast("long").alias("peak_minute"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup ladder: blocked edit-distance tier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_levenshtein_block",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, n_chars, left(text, 24) AS pfx FROM documents
+    ), ok AS (
+      SELECT pfx FROM d GROUP BY pfx HAVING count(*) BETWEEN 2 AND 32
+    ), pairs AS (
+      SELECT levenshtein(a.text, b.text) AS dist,
+             GREATEST(a.n_chars, b.n_chars) AS mx
+      FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+               AND ABS(a.n_chars - b.n_chars) <= 48
+      WHERE a.pfx IN (SELECT pfx FROM ok)
+    )
+    SELECT count(*) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN dist * 10 <= mx THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_near,
+           CAST(COALESCE(MIN(dist), -1) AS BIGINT) AS min_dist,
+           CAST(COALESCE(SUM(dist), 0) AS BIGINT) AS sum_dist
+    FROM pairs
+    """,
+)
+def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup tier — the rung between
+    [[dedup_prefix_exact]] (byte prefix) and [[dedup_ngram_jaccard]]
+    (bag-of-shingles): candidates share a 24-char prefix AND are
+    within 48 chars in length, then true Levenshtein distance decides
+    (near-dup = distance ≤ 10% of the longer doc).  Catches the
+    small-edit duplicates Jaccard under-scores (single-word
+    substitutions in short docs) at a cost shingling can't beat for
+    prefix-clustered corpora (crawl re-fetches, versioned pages).
+
+    Scale: candidate generation is an EQUI self-join on the prefix —
+    one hash shuffle, never all-pairs; blocks above 32 members are
+    excluded (the [[dedup_ngram_jaccard]] frequency-cap discipline:
+    a boilerplate prefix shared by 1e6 docs must not quadratically
+    explode — those fall through to the shingle tiers).  The length
+    pre-filter prunes before the O(len²) distance evaluates; both
+    engines run their native levenshtein."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars", F.substring("text", 1, 24).alias("pfx")
+    )
+    ok = d.groupBy("pfx").count().filter(
+        (F.col("count") >= 2) & (F.col("count") <= 32)
+    ).select("pfx")
+    dd = d.join(ok, "pfx")
+    a = dd.select(
+        F.col("pfx"),
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("t_a"),
+        F.col("n_chars").alias("len_a"),
+    )
+    b = dd.select(
+        F.col("pfx"),
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("t_b"),
+        F.col("n_chars").alias("len_b"),
+    )
+    pairs = a.join(b, "pfx").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= 48)
+    ).select(
+        F.levenshtein("t_a", "t_b").alias("dist"),
+        F.greatest("len_a", "len_b").alias("mx"),
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.coalesce(F.count_if(F.col("dist") * 10 <= F.col("mx")), F.lit(0))
+        .cast("long")
+        .alias("n_near"),
+        F.coalesce(F.min("dist"), F.lit(-1)).cast("long").alias("min_dist"),
+        F.coalesce(F.sum("dist"), F.lit(0)).cast("long").alias("sum_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token concentration + cluster quality
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_gini_concentration",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ), freq AS (
+      SELECT t, count(*) AS f FROM tok GROUP BY t
+    ), by_f AS (
+      SELECT f, count(*) AS m FROM freq GROUP BY f
+    ), cum AS (
+      SELECT f, m,
+             COALESCE(SUM(m) OVER (ORDER BY f
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM by_f
+    ), s AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM(f * m) AS BIGINT) AS b,
+             CAST(SUM(f * m * (2 * c + m)) AS BIGINT) AS a
+      FROM cum
+    )
+    SELECT n AS n_tokens, b AS total_occ,
+           CAST(a - n * b AS BIGINT) AS gini_num,
+           CAST((a - n * b) * 1000 // (n * b) AS BIGINT) AS gini_milli
+    FROM s
+    """,
+)
+def token_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of the token frequency distribution —
+    the corpus-concentration number behind "does a handful of
+    boilerplate tokens dominate the training mix" (companion to
+    [[token_heavy_hitters]], which names the tokens; this scores the
+    whole distribution).  Uses the rank identity G = Σ(2i−n−1)f_i /
+    (n·Σf) with ranks ascending by frequency; tie runs collapse
+    algebraically to m·(2C+m) per distinct frequency, so nothing ever
+    ranks individual tokens.  gini_num ≥ 0 always (sorted ranks), so
+    the milli division truncates identically everywhere.
+
+    Scale (value-bucketed rank statistics, module docstring): shuffle
+    1 counts tokens (map-side combined); shuffle 2 regroups BY
+    FREQUENCY — the ordered prefix pass then touches only distinct
+    frequency values (~1e4 even for web-scale corpora, Zipf
+    guarantees the collapse).  Overflow bound: A ≤ 2·n·B needs
+    n·Σf < 2^62 — at ~1e12 tokens move the two sums to DECIMAL(38,0);
+    the graded SFs sit far inside BIGINT."""
+    ensure_deterministic_session(spark)
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        F.explode(words("text")).alias("t")
+    )
+    freq = d.groupBy("t").agg(F.count("*").alias("f"))
+    by_f = freq.groupBy("f").agg(F.count("*").alias("m"))
+    c = F.coalesce(
+        F.sum("m").over(
+            Window.orderBy("f").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    cum = by_f.withColumn("c", c)
+    s = cum.agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("f") * F.col("m")).cast("long").alias("b"),
+        F.sum(F.col("f") * F.col("m") * (2 * F.col("c") + F.col("m")))
+        .cast("long")
+        .alias("a"),
+    )
+    return s.select(
+        F.col("n").alias("n_tokens"),
+        F.col("b").alias("total_occ"),
+        (F.col("a") - F.col("n") * F.col("b")).cast("long").alias("gini_num"),
+        F.expr("(a - n * b) * 1000 div (n * b)").cast("long").alias("gini_milli"),
+    )
+
+
+@query(
+    "embed_silhouette",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nsq
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS seed_id, embedding AS s_vec, nsq AS s_nsq
+      FROM v WHERE vec_id < 8
+    ), scored AS (
+      SELECT v.vec_id, s.seed_id,
+             list_sum(list_transform(range(1, 65),
+                      i -> CAST(v.embedding[i] AS DOUBLE) * CAST(s.s_vec[i] AS DOUBLE)))
+               / (sqrt(v.nsq) * sqrt(s.s_nsq)) AS cos
+      FROM v CROSS JOIN seeds s
+    ), ranked AS (
+      SELECT vec_id, seed_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, seed_id) AS rn
+      FROM scored
+    ), per_vec AS (
+      SELECT vec_id,
+             MAX(CASE WHEN rn = 1 THEN seed_id END) AS cluster_id,
+             CAST(FLOOR((MAX(CASE WHEN rn = 1 THEN cos END)
+                         - MAX(CASE WHEN rn = 2 THEN cos END)) * 1e6)
+                  AS BIGINT) AS margin_micro
+      FROM ranked WHERE rn <= 2 GROUP BY vec_id
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           count(*) AS n_members,
+           CAST(SUM(margin_micro) AS BIGINT) AS sum_margin_micro,
+           CAST(SUM(CASE WHEN margin_micro < 50000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ambiguous
+    FROM per_vec GROUP BY cluster_id
+    """,
+)
+def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality margin for the [[dedup_semantic_cluster]]
+    assignment: each vector's silhouette-style separation is the gap
+    between its best and second-best seed cosine (micro fixed-point);
+    per cluster we report membership, total margin mass, and how many
+    members sit within 0.05 of a rival seed — the ambiguity count
+    that tells a curator which semantic clusters are real before
+    collapsing near-dups inside them.
+
+    Scale: identical shape to the assignment pass — K=8 seeds
+    broadcast, one narrow O(n·K·d) scoring pass, a per-vector window
+    on vec_id (same shuffle as the final per-cluster agg would need
+    anyway).  The margin is a single subtraction of two cosines each
+    computed in index order on both engines ([[dedup_embed_cosine]]
+    fold-order precedent), so the floor() quantization agrees
+    bit-for-bit."""
+    ensure_deterministic_session(spark)
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", norm_sq("embedding").alias("nsq")
+    )
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("s_vec"),
+        F.col("nsq").alias("s_nsq"),
+    )
+    cos = dot("embedding", "s_vec") / (F.sqrt("nsq") * F.sqrt("s_nsq"))
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "seed_id", cos.alias("cos")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("seed_id"))
+    )
+    per_vec = (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("seed_id"))).alias("cluster_id"),
+            F.floor(
+                (
+                    F.max(F.when(F.col("rn") == 1, F.col("cos")))
+                    - F.max(F.when(F.col("rn") == 2, F.col("cos")))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("margin_micro"),
+        )
+    )
+    return per_vec.groupBy(F.col("cluster_id").cast("long").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.sum("margin_micro").cast("long").alias("sum_margin_micro"),
+        F.count_if(F.col("margin_micro") < 50000).cast("long").alias("n_ambiguous"),
+    )

@@ -198,6 +198,9 @@ BNLJ_ALLOWED = {
     "mix_temperature_weights",  # single-row sqrt-mass total
     "source_token_tv_drift",  # single-row corpus token total
     "lang_balance_resample",  # single-row min-language target
+    # round-7b metrics keys — scalar/bounded broadcasts:
+    "calibration_bins",  # single-row min/max score limits broadcast
+    "embed_silhouette",  # K=8-row seed-centroid broadcast (O(n·K))
 }
 
 
