@@ -177,6 +177,10 @@ HEADLINE = [
     "dedup_levenshtein_block",
     "token_gini_concentration",
     "embed_silhouette",
+    "cumulative_distinct_users",
+    "split_leakage_check",
+    "graph_degree_assortativity",
+    "event_ab_test_lift",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

@@ -752,3 +752,283 @@ def embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("margin_micro").cast("long").alias("sum_margin_micro"),
         F.count_if(F.col("margin_micro") < 50000).cast("long").alias("n_ambiguous"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth, integrity, graph mixing, experimentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS first_day
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT first_day AS day_idx, count(*) AS n_new
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day_idx
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distinct-user growth curve: per day, how many users
+    were seen for the FIRST time and the running total of distinct
+    users ever seen — the standard growth/adoption series.
+
+    Scale: the naive formulation (COUNT(DISTINCT user) OVER a growing
+    window) rescans every prior day per day — O(days · users).  This
+    plan inverts it: first-seen day per user (one hash shuffle,
+    map-side combined), re-agg by day, then a prefix sum over the
+    CALENDAR frame — the [[quality_score_auc]] value-bucketed trick
+    applied to time.  Cost is two bounded shuffles regardless of how
+    many years the series spans."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", _epoch_s("ts").alias("ts_s")
+    ).select("user_id", F.expr("ts_s div 86400").alias("day_idx"))
+    first_seen = e.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
+    daily = first_seen.groupBy(F.col("first_day").alias("day_idx")).agg(
+        F.count("*").alias("n_new")
+    )
+    return daily.select(
+        "day_idx",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.sum("n_new")
+        .over(Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_users"),
+    )
+
+
+@query(
+    "split_leakage_check",
+    oracle="""
+    WITH tagged AS (
+      SELECT md5(text) AS fp,
+             CASE WHEN left(md5(CAST(doc_id AS VARCHAR)), 2) < 'f0'
+                  THEN 1 ELSE 0 END AS is_train
+      FROM documents
+    ), per_fp AS (
+      SELECT fp, SUM(is_train) AS n_train, SUM(1 - is_train) AS n_eval
+      FROM tagged GROUP BY fp
+    )
+    SELECT CAST(SUM(n_train) AS BIGINT) AS n_train_docs,
+           CAST(SUM(n_eval) AS BIGINT) AS n_eval_docs,
+           CAST(SUM(CASE WHEN n_train > 0 AND n_eval > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared_fp,
+           CAST(SUM(CASE WHEN n_train > 0 THEN n_eval ELSE 0 END)
+                AS BIGINT) AS n_leaked_eval_docs
+    FROM per_fp
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval leakage audit for the [[split_train_eval]] split:
+    count exact-content fingerprints (md5 of text) that appear on BOTH
+    sides of the split, and the eval documents they compromise — the
+    release gate run before any benchmark number is trusted.  The
+    id-hash split guarantees a *document* never moves across splits;
+    it cannot guarantee two *byte-identical documents* with different
+    ids landed on the same side — that is precisely what this key
+    measures ([[decontaminate_overlap]] covers the fuzzier n-gram
+    variant against an external benchmark).
+
+    Scale: one hash shuffle on the content fingerprint with map-side
+    combine; both verdict columns fold in the same aggregate.  No
+    join — the train/eval sides never materialize separately."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+            < "f0",
+            1,
+        )
+        .otherwise(0)
+        .alias("is_train"),
+    )
+    per_fp = d.groupBy("fp").agg(
+        F.sum("is_train").alias("n_train"),
+        F.sum(F.lit(1) - F.col("is_train")).alias("n_eval"),
+    )
+    return per_fp.agg(
+        F.sum("n_train").cast("long").alias("n_train_docs"),
+        F.sum("n_eval").cast("long").alias("n_eval_docs"),
+        F.count_if((F.col("n_train") > 0) & (F.col("n_eval") > 0))
+        .cast("long")
+        .alias("n_shared_fp"),
+        F.sum(F.when(F.col("n_train") > 0, F.col("n_eval")).otherwise(0))
+        .cast("long")
+        .alias("n_leaked_eval_docs"),
+    )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS (
+      SELECT u, v FROM base UNION SELECT v AS u, u AS v FROM base
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY u
+    ), xy AS (
+      SELECT du.c AS x, dv.c AS y
+      FROM e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM xy
+    )
+    SELECT m AS n_directed_edges,
+           CAST(m * sxy - sx * sy AS BIGINT) AS cov_num,
+           CAST(m * sxx - sx * sx AS BIGINT) AS var_x_num,
+           CAST(m * syy - sy * sy AS BIGINT) AS var_y_num,
+           CAST(FLOOR(CAST(m * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                      / sqrt(CAST(m * syy - sy * sy AS DOUBLE))
+                      * 1000000) AS BIGINT) AS assort_micro
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer↔supplier trade graph (the
+    [[graph_pagerank]] edge set): the Pearson correlation of endpoint
+    degrees over directed edges — negative means hubs attach to
+    leaves (the expected shape for a bipartite trade graph), the
+    structural diagnostic run before trusting degree-based sampling
+    or partitioning strategies.  The three n-scaled moment numerators
+    are exact BIGINT; the final correlation divides by two sqrt's —
+    each a single IEEE op on identical integer-valued operands, then
+    one floor quantization (micro).
+
+    Scale: degrees via one groupBy; each directed edge picks up its
+    two endpoint degrees through two hash joins on node id (the
+    second reuses the first's shuffle partitioning); one global
+    aggregate.  Never materializes anything bigger than |E|.
+    Overflow note: m·Σx² needs |E|·deg_max² < 2^63 — beyond ~1e9
+    edges promote the moment sums to DECIMAL(38,0)."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    e = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    xy = (
+        e.join(deg.select(F.col("u"), F.col("c").alias("x")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("c").alias("y")), "v")
+        .select("x", "y")
+    )
+    s = xy.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return s.select(
+        F.col("m").alias("n_directed_edges"),
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("cov_num"),
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("var_x_num"),
+        (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("long")
+        .alias("var_y_num"),
+        F.floor(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            )
+            / F.sqrt(
+                (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("assort_micro"),
+    )
+
+
+@query(
+    "event_ab_test_lift",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b,
+           CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) * 1000
+                // SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rate_a_milli,
+           CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) * 1000
+                // SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rate_b_milli,
+           CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                  * SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                - SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                  * SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS lift_num
+    FROM per_user
+    """,
+)
+def event_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion lift with exact arithmetic: users hash into two
+    arms (parity of user_id — the deterministic stand-in for an
+    assignment column), conversion is "ever purchased", and the lift
+    numerator conv_b·n_a − conv_a·n_b carries the exact sign and
+    cross-multiplied magnitude of rate_b − rate_a without a single
+    division — the experiment readout that cannot disagree between
+    engines.  Per-arm exact-milli rates ride along for display.
+
+    Scale: one shuffle to collapse events per user (map-side
+    combined max), one single-row aggregate.  The same shape holds
+    for billions of users; nothing is per-event after the first
+    combine."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p")
+    )
+    per_user = e.groupBy("user_id").agg(F.max("p").alias("conv")).select(
+        (F.col("user_id") % 2).alias("arm"), "conv"
+    )
+    return per_user.agg(
+        F.count_if(F.col("arm") == 0).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.count_if(F.col("arm") == 1).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    ).select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("conv_a * 1000 div n_a").cast("long").alias("rate_a_milli"),
+        F.expr("conv_b * 1000 div n_b").cast("long").alias("rate_b_milli"),
+        F.expr("conv_b * n_a - conv_a * n_b").cast("long").alias("lift_num"),
+    )
