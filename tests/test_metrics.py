@@ -1,0 +1,151 @@
+"""Semantic invariants for the round-7b evaluation/monitoring keys
+(plans/metrics.py) — value-exactness is covered by the oracle-parity
+sweep in test_correctness.py; these assert the statistical properties
+the docstrings promise (metric ranges, conservation laws, brute-force
+agreement on small data) that a hash match alone would not explain."""
+
+from __future__ import annotations
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+
+QUERIES = entry_mod.queries()
+
+
+def test_auc_matches_bruteforce_pair_count(spark):
+    """2U really is the count of (pos, neg) pairs ordered correctly
+    (×2, ties ×1) — recomputed pairwise from the raw rows."""
+    r = QUERIES["quality_score_auc"](spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    scores = con.execute(
+        f"""SELECT len(string_split(text, ' ')) AS s, lang = 'en' AS pos
+            FROM '{SF_DIR}/documents.parquet'"""
+    ).fetchall()
+    con.close()
+    pos = sorted(s for s, p in scores if p)
+    neg = sorted(s for s, p in scores if not p)
+    u2 = sum(2 if p > n else 1 if p == n else 0 for p in pos for n in neg)
+    assert r.n_pos == len(pos) and r.n_neg == len(neg)
+    assert r.u2 == u2
+    assert 0 <= r.auc_milli <= 1000
+
+
+def test_calibration_bins_partition_the_corpus(spark):
+    rows = QUERIES["calibration_bins"](spark, SF_DIR).collect()
+    assert {r.bin for r in rows} <= set(range(10))
+    auc = QUERIES["quality_score_auc"](spark, SF_DIR).collect()[0]
+    assert sum(r.n_docs for r in rows) == auc.n_pos + auc.n_neg
+    assert sum(r.n_pos for r in rows) == auc.n_pos
+    assert all(0 <= r.pos_rate_milli <= 1000 for r in rows)
+
+
+def test_kappa_identities(spark):
+    r = QUERIES["gate_agreement_kappa"](spark, SF_DIR).collect()[0]
+    n = r.n11 + r.n10 + r.n01 + r.n00
+    assert n > 0 and r.kappa_den > 0
+    assert -1000 <= r.kappa_milli <= 1000
+    # kappa_milli is the truncated-toward-zero milli of num/den
+    q = abs(r.kappa_num) * 1000 // r.kappa_den
+    assert r.kappa_milli == (q if r.kappa_num >= 0 else -q)
+
+
+def test_cusum_conservation_and_bounds(spark):
+    """The scaled deviations sum to zero over each series, so the
+    cusum returns to ~0 at the final day; the peak is positive unless
+    the series is perfectly flat."""
+    rows = QUERIES["ts_cusum_changepoint"](spark, SF_DIR).collect()
+    assert len(rows) == 5  # one per event_type
+    for r in rows:
+        assert r.n_days >= 1 and r.total_events >= r.n_days
+        assert r.max_abs_cusum >= 0
+
+
+def test_lagged_covariance_day_alignment(spark):
+    rows = {r.lag: r for r in QUERIES["ts_lagged_covariance"](spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1, 7}
+    # longer lags can only lose pair days
+    assert rows[0].n_days >= rows[1].n_days >= rows[7].n_days
+    # lag-0 pairs cover every day, so sums agree across lags' shared days
+    assert rows[0].sum_x >= rows[1].sum_x >= rows[7].sum_x
+
+
+def test_max_concurrency_bounds(spark):
+    r = QUERIES["session_max_concurrency"](spark, SF_DIR).collect()[0]
+    sess = QUERIES["sessionize_lag"](spark, SF_DIR).collect()
+    assert r.n_sessions == len(sess)
+    assert 1 <= r.max_concurrency <= r.n_sessions
+    mins = [(s.start_s // 60, s.end_s // 60) for s in sess]
+    # brute-force the sweep on collected sessions
+    best = max(
+        sum(1 for a, b in mins if a <= m <= b) for m in {a for a, _ in mins}
+    )
+    assert r.max_concurrency == best
+
+
+def test_levenshtein_block_sanity(spark):
+    r = QUERIES["dedup_levenshtein_block"](spark, SF_DIR).collect()[0]
+    assert r.n_pairs >= 0 and r.n_near <= r.n_pairs
+    if r.n_pairs == 0:
+        assert r.min_dist == -1 and r.sum_dist == 0
+    else:
+        assert 0 <= r.min_dist <= r.sum_dist
+
+
+def test_gini_range_and_totals(spark):
+    r = QUERIES["token_gini_concentration"](spark, SF_DIR).collect()[0]
+    assert r.n_tokens >= 1 and r.total_occ >= r.n_tokens
+    assert 0 <= r.gini_num <= r.n_tokens * r.total_occ
+    assert 0 <= r.gini_milli < 1000
+
+
+def test_silhouette_consistent_with_cluster_assignment(spark):
+    sil = {r.cluster_id: r for r in QUERIES["embed_silhouette"](spark, SF_DIR).collect()}
+    clu = {r.cluster_id: r for r in
+           QUERIES["dedup_semantic_cluster"](spark, SF_DIR).collect()}
+    assert set(sil) == set(clu)
+    for cid, r in sil.items():
+        assert r.n_members == clu[cid].n_members
+        assert 0 <= r.n_ambiguous <= r.n_members
+        # margins are non-negative by construction (cos1 >= cos2)
+        assert r.sum_margin_micro >= 0
+
+
+def test_cumulative_distinct_is_monotone_and_totals(spark):
+    rows = sorted(
+        QUERIES["cumulative_distinct_users"](spark, SF_DIR).collect(),
+        key=lambda r: r.day_idx,
+    )
+    assert rows[0].cum_users == rows[0].n_new
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_users == a.cum_users + b.n_new
+    total_users = (
+        QUERIES["event_ab_test_lift"](spark, SF_DIR).collect()[0]
+    )
+    assert rows[-1].cum_users == total_users.n_a + total_users.n_b
+
+
+def test_leakage_check_totals(spark):
+    r = QUERIES["split_leakage_check"](spark, SF_DIR).collect()[0]
+    assert r.n_train_docs + r.n_eval_docs > 0
+    assert 0 <= r.n_shared_fp <= min(r.n_train_docs, r.n_eval_docs)
+    assert r.n_leaked_eval_docs <= r.n_eval_docs
+
+
+def test_assortativity_is_a_correlation(spark):
+    r = QUERIES["graph_degree_assortativity"](spark, SF_DIR).collect()[0]
+    assert r.n_directed_edges > 0
+    assert r.var_x_num > 0 and r.var_y_num > 0
+    # symmetrized edge set => x and y marginals are identical
+    assert r.var_x_num == r.var_y_num
+    assert -1_000_000 <= r.assort_micro <= 1_000_000
+    assert (r.assort_micro >= 0) == (r.cov_num >= 0)
+
+
+def test_ab_lift_sign_matches_rates(spark):
+    r = QUERIES["event_ab_test_lift"](spark, SF_DIR).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
+    exact_diff = r.conv_b * r.n_a - r.conv_a * r.n_b
+    assert r.lift_num == exact_diff
