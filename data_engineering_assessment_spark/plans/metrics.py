@@ -912,12 +912,17 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     each a single IEEE op on identical integer-valued operands, then
     one floor quantization (micro).
 
-    Scale: degrees via one groupBy; each directed edge picks up its
-    two endpoint degrees through two hash joins on node id (the
-    second reuses the first's shuffle partitioning); one global
-    aggregate.  Never materializes anything bigger than |E|.
-    Overflow note: m·Σx² needs |E|·deg_max² < 2^63 — beyond ~1e9
-    edges promote the moment sums to DECIMAL(38,0)."""
+    Scale: the graph is bipartite (customers even, suppliers odd), so
+    the plan never materializes the symmetrized directed edge set the
+    DEFINITION speaks of — it computes the undirected moments on the
+    (cust, supp) pair set and symmetrizes ALGEBRAICALLY (m_dir =
+    2·m_und, Σx_dir = Σ_und(x+y), Σxy_dir = 2·Σ_und x·y, Σx²_dir =
+    Σ_und(x²+y²)): half the shuffle volume, one distinct instead of
+    two, and the per-side degree groupBys reuse the pair set's
+    partitioning.  One global aggregate ends it.  Never materializes
+    anything bigger than |E_und|.  Overflow note: m·Σx² needs
+    |E|·deg_max² < 2^63 — beyond ~1e9 edges promote the moment sums
+    to DECIMAL(38,0)."""
     ensure_deterministic_session(spark)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -929,20 +934,20 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    xy = (
-        e.join(deg.select(F.col("u"), F.col("c").alias("x")), "u")
-        .join(deg.select(F.col("u").alias("v"), F.col("c").alias("y")), "v")
-        .select("x", "y")
-    )
+    deg_u = base.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    deg_v = base.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    xy = base.join(deg_u, "u").join(deg_v, "v").select("x", "y")
     s = xy.agg(
-        F.count("*").cast("long").alias("m"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        (F.count("*") * 2).cast("long").alias("m"),
+        F.sum(F.col("x") + F.col("y")).cast("long").alias("sx"),
+        F.sum(F.col("x") + F.col("y")).cast("long").alias("sy"),
+        (F.sum(F.col("x") * F.col("y")) * 2).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y"))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y"))
+        .cast("long")
+        .alias("syy"),
     )
     return s.select(
         F.col("m").alias("n_directed_edges"),

@@ -222,8 +222,14 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: stage 1 and 2 are hash-groupBys; stage 3 reuses the
     inverted shingle index ([[dedup_ngram_jaccard]]) on the already-
     shrunk survivor set — never all-pairs (the O(n²) join lives only
-    in this oracle).  The four counts are single-row aggregates
-    combined with broadcast scalar joins."""
+    in this oracle).  The posting index is persisted before the
+    self-join (the `_materialized` discipline from operators/dedup.py
+    — without it BOTH join sides re-run the whole exact+prefix funnel
+    upstream; measured ~2× end-to-end), and the join predicate
+    carries the size-compatibility bound (Jaccard ≥ 0.5 forces
+    |A|/2 ≤ |B| ≤ 2|A|), which provably cannot change the result but
+    prunes the pair stream before the aggregate.  The four counts are
+    single-row aggregates combined with broadcast scalar joins."""
     ensure_deterministic_session(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ex = (
@@ -241,14 +247,23 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = docs.join(pf, "doc_id")
     ws = surv.select("doc_id", words("text").alias("ws")).filter(F.size("ws") >= 3)
     sh = ws.select("doc_id", shingles_of(F.col("ws")).alias("shingles"))
-    ex2 = sh.select(
-        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+    from ..operators.dedup import _materialized
+
+    ex2 = _materialized(
+        sh.select(
+            "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+        )
     )
     a, b = ex2.alias("a"), ex2.alias("b")
+    size_ok = (F.col("a.n_sh") * 2 >= F.col("b.n_sh")) & (
+        F.col("b.n_sh") * 2 >= F.col("a.n_sh")
+    )
     pairs = (
         a.join(
             b.hint("shuffle_hash"),
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
