@@ -48,6 +48,15 @@ KEYS = [
     "cogroup_order_reconcile",
     "token_heavy_hitters",
     "text_boilerplate_cov",
+    # round-7b additions: value-bucketed rank statistics (global
+    # ordered window over distinct values), sweep-line running sum,
+    # blocked self-join with native levenshtein, double-subtraction
+    # margin quantization over a broadcast seed join
+    "quality_score_auc",
+    "token_gini_concentration",
+    "session_max_concurrency",
+    "dedup_levenshtein_block",
+    "embed_silhouette",
 ]
 
 
