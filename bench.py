@@ -181,6 +181,7 @@ HEADLINE = [
     "split_leakage_check",
     "graph_degree_assortativity",
     "event_ab_test_lift",
+    "scan_fixed_width",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

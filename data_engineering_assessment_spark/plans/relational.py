@@ -126,6 +126,38 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5"))
 
 
+@query("scan_fixed_width", oracle=_ROUNDTRIP_ORACLE)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width flat-file source/sink round-trip (mainframe/COBOL
+    ingest): documents render as space-padded fixed-offset lines
+    (free text travels as its fixed-32-hex md5 digest — fixed-width
+    layouts carry codes and measures, not prose), are read back by
+    offset slicing, and project the same digest row as the other
+    round-trip keys, so the oracle reading the original parquet
+    catches any loss.
+
+    Both directions are pure native expressions (rpad/concat out,
+    substring/rtrim/cast in) — zero UDFs, full codegen, splittable
+    text in both directions.  The writer raise_error's on overflow
+    instead of truncating: a too-narrow field is silent data loss at
+    100 TB, so it is a job failure here."""
+    ensure_deterministic_session(spark)
+    from ..sources.formats import read_fixed_width, write_fixed_width
+
+    spec = [
+        ("doc_id", 12, "long"),
+        ("lang", 8, "string"),
+        ("n_chars", 12, "long"),
+        ("text_md5", 32, "string"),
+    ]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    )
+    path = f"/root/repo/.scratch/roundtrip_fw_{_scratch_tag(sf_dir)}"
+    write_fixed_width(docs, path, spec)
+    return read_fixed_width(spark, path, spec)
+
+
 @query(
     "agg_group",
     oracle="""
