@@ -182,6 +182,8 @@ HEADLINE = [
     "graph_degree_assortativity",
     "event_ab_test_lift",
     "scan_fixed_width",
+    "fk_violation_audit",
+    "supplier_hhi_by_nation",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

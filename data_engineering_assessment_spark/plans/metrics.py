@@ -1037,3 +1037,171 @@ def event_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("conv_b * 1000 div n_b").cast("long").alias("rate_b_milli"),
         F.expr("conv_b * n_a - conv_a * n_b").cast("long").alias("lift_num"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse integrity + market structure
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fk_violation_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS edge,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey))
+    """,
+)
+def fk_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep over every FK edge of the star
+    schema in ONE result: child row count and orphan count per edge —
+    the nightly data-quality audit a warehouse runs before marking a
+    snapshot consumable ([[constraint_suite]] covers domain/null
+    rules; this covers the JOIN-ABILITY rules those can't see).
+
+    Scale: each edge is a left-anti join counted to a single row; the
+    parent side is the (always smaller) key set and broadcasts for
+    the dim edges, while the two big-parent edges (orders, part)
+    shuffle-hash on the key.  Each child table is scanned once per
+    edge with only the FK column read (pruned scan).  The 7
+    single-row results union into one frame — no data movement."""
+    ensure_deterministic_session(spark)
+
+    def edge(child, ckey, parent, pkey, label):
+        c = load_table(spark, sf_dir, child).select(F.col(ckey))
+        p = load_table(spark, sf_dir, parent).select(F.col(pkey).alias(ckey))
+        n_child = c.agg(F.count("*").alias("n_child"))
+        orphans = c.join(p, ckey, "left_anti").agg(F.count("*").alias("n_orphans"))
+        return (
+            n_child.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(label).alias("edge"),
+                F.col("n_child").cast("long").alias("n_child"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+            )
+        )
+
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem.l_orderkey->orders"),
+        ("lineitem", "l_partkey", "part", "p_partkey", "lineitem.l_partkey->part"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey", "lineitem.l_suppkey->supplier"),
+        ("orders", "o_custkey", "customer", "c_custkey", "orders.o_custkey->customer"),
+        ("customer", "c_nationkey", "nation", "n_nationkey", "customer.c_nationkey->nation"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey", "supplier.s_nationkey->nation"),
+        ("nation", "n_regionkey", "region", "r_regionkey", "nation.n_regionkey->region"),
+    ]
+    out = None
+    for child, ckey, parent, pkey, label in edges:
+        df = edge(child, ckey, parent, pkey, label)
+        out = df if out is None else out.unionAll(df)
+    return out
+
+
+@query(
+    "supplier_hhi_by_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                  AS BIGINT) // 100000 AS q
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT nationkey,
+             count(*) AS n_suppliers,
+             CAST(SUM(q) AS BIGINT) AS total_q,
+             CAST(SUM(q * q) AS BIGINT) AS sum_q_sq
+      FROM rev GROUP BY nationkey
+    )
+    SELECT n.n_name AS nation,
+           n_suppliers,
+           total_q,
+           CAST(sum_q_sq * 1000000 // (total_q * total_q) AS BIGINT) AS hhi_ppm
+    FROM agg JOIN nation n ON n.n_nationkey = agg.nationkey
+    WHERE total_q > 0
+    """,
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index of supplier
+    revenue within each nation: HHI = Σ shareᵢ², emitted as exact ppm
+    — the antitrust-style diagnostic that tells a planner whether a
+    nation's supply is monopolized (ppm → 1e6) or fragmented (→
+    1e6/n).  Revenue quantizes cents → 1e3-dollar units BEFORE
+    squaring (exact decimal-cent sums first), keeping every square
+    inside BIGINT at any realistic scale while both engines quantize
+    identically; the share division cancels into the single ppm
+    integer division at the end.
+
+    Scale: revenue per (nation, supplier) is one hash shuffle with
+    map-side combine after a broadcast supplier join; the HHI re-agg
+    shuffles the (nation, supplier) frame — dim-sized, not fact-sized.
+    Overflow: Σq² ≤ n_suppliers · (total_rev/1e3)² — at 100 TB
+    (Σrev ~ 1e13 cents → q ~ 1e8) promote q to DECIMAL(38,0) sums."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) div 100000"
+            ).alias("q")
+        )
+    )
+    agg = rev.groupBy("nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("q").cast("long").alias("total_q"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sum_q_sq"),
+    )
+    return (
+        agg.filter(F.col("total_q") > 0)
+        .join(F.broadcast(n), agg.nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            "total_q",
+            F.expr("sum_q_sq * 1000000 div (total_q * total_q)")
+            .cast("long")
+            .alias("hhi_ppm"),
+        )
+    )

@@ -201,6 +201,7 @@ BNLJ_ALLOWED = {
     # round-7b metrics keys — scalar/bounded broadcasts:
     "calibration_bins",  # single-row min/max score limits broadcast
     "embed_silhouette",  # K=8-row seed-centroid broadcast (O(n·K))
+    "fk_violation_audit",  # 7 single-row count⨯count scalar joins
 }
 
 
