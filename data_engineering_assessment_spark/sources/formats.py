@@ -113,7 +113,13 @@ def read_fixed_width(spark: SparkSession, path: str, spec: FixedWidthSpec) -> Da
     the spec's offsets, trim the pad, cast to the declared type.  All
     native expressions (no UDF) — at 100 TB this parses at scan speed
     with full codegen, and column pruning drops unreferenced
-    substrings before they are ever sliced."""
+    substrings before they are ever sliced.
+
+    Format limitation (inherent to space-padded fixed-width, not this
+    reader): a string value's own TRAILING spaces are indistinguishable
+    from pad and are stripped on read.  Use a digest/escaped encoding
+    for trailing-space-significant data (the round-trip key ships text
+    as its fixed-32-hex md5 for exactly this reason)."""
     from pyspark.sql import functions as F
 
     cols, off = [], 1

@@ -62,3 +62,60 @@ def test_short_rows_quarantined_in_lenient_mode(spark, fields):
     path = _write_csv([line])
     got = clean_lines(spark, path, fail_fast=False).collect()
     assert got == []
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width round trip (sources/formats.py)
+# ---------------------------------------------------------------------------
+
+# Fixed-width value: printable ASCII without leading/trailing-space
+# ambiguity (trailing pad spaces are stripped on read — documented
+# format limitation) and without newlines (line-oriented format).
+fw_value = st.text(
+    alphabet=st.characters(codec="ascii", min_codepoint=33, max_codepoint=126),
+    max_size=10,
+)
+
+
+def test_fixed_width_roundtrip_property(spark):
+    """For arbitrary in-width ASCII strings and longs, write→read is
+    the identity; the hypothesis loop drives the dataset through the
+    real Spark writer/reader once per example batch."""
+    from hypothesis import HealthCheck, given, settings
+
+    from data_engineering_assessment_spark.sources.formats import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    spec = [("id", 12, "long"), ("s", 12, "string"), ("n", 12, "long")]
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10**10),
+                fw_value,
+                st.integers(min_value=-(10**10), max_value=10**10),
+            ),
+            min_size=1,
+            max_size=8,
+            unique_by=lambda t: t[0],
+        )
+    )
+    def run(rows):
+        d = tempfile.mkdtemp(prefix="dea_fw_prop_")
+        df = spark.createDataFrame(rows, schema="id long, s string, n long")
+        write_fixed_width(df, d, spec)
+        back = read_fixed_width(spark, d, spec)
+        got = {(r.id, r.s, r.n) for r in back.collect()}
+        # even the empty string round-trips (rtrim of an all-pad
+        # field yields '', not null)
+        want = set(rows)
+        assert got == want
+
+    run()
