@@ -184,6 +184,7 @@ HEADLINE = [
     "scan_fixed_width",
     "fk_violation_audit",
     "supplier_hhi_by_nation",
+    "events_control_chart",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

@@ -1205,3 +1205,61 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hhi_ppm"),
         )
     )
+
+
+@query(
+    "events_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+             count(*) AS n_d,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e_d
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_d) AS BIGINT) AS big_n, CAST(SUM(e_d) AS BIGINT) AS big_e
+      FROM daily
+    )
+    SELECT CAST(d.day_idx AS BIGINT) AS day_idx,
+           CAST(d.n_d AS BIGINT) AS n_d,
+           CAST(d.e_d AS BIGINT) AS e_d,
+           (d.e_d * t.big_n - d.n_d * t.big_e)
+             * (d.e_d * t.big_n - d.n_d * t.big_e)
+             > 9 * d.n_d * t.big_e * (t.big_n - t.big_e) AS out_of_control
+    FROM daily d CROSS JOIN tot t
+    """,
+)
+def events_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart over the daily error proportion — statistical
+    process control for an event stream: a day is out-of-control when
+    its error rate sits more than 3σ from the corpus rate.  The σ
+    bound |p_d − p̄| > 3·√(p̄(1−p̄)/n_d) cross-multiplies to the pure
+    integer inequality (e_d·N − n_d·E)² > 9·n_d·E·(N−E) — zero
+    floats, zero square roots, so the flag bit is engine-exact
+    (companion to [[ts_cusum_changepoint]]: CUSUM finds sustained
+    drift, the control chart flags single-day excursions).
+
+    Scale: one hash shuffle onto the daily frame, one single-row
+    total broadcast (the sanctioned scalar BNLJ), one scan-speed
+    comparison per day.  Overflow: (e_d·N)² needs e_d·N < 3e9·3e9 —
+    beyond ~1e9 daily errors promote the two products to
+    DECIMAL(38,0)."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        _epoch_s("ts").alias("ts_s"), "event_type"
+    ).select(F.expr("ts_s div 86400").alias("day_idx"), "event_type")
+    daily = e.groupBy("day_idx").agg(
+        F.count("*").alias("n_d"),
+        F.count_if(F.col("event_type") == "error").alias("e_d"),
+    )
+    tot = daily.agg(
+        F.sum("n_d").cast("long").alias("big_n"),
+        F.sum("e_d").cast("long").alias("big_e"),
+    )
+    dev = F.col("e_d") * F.col("big_n") - F.col("n_d") * F.col("big_e")
+    return daily.crossJoin(F.broadcast(tot)).select(
+        F.col("day_idx").cast("long").alias("day_idx"),
+        F.col("n_d").cast("long").alias("n_d"),
+        F.col("e_d").cast("long").alias("e_d"),
+        (dev * dev > 9 * F.col("n_d") * F.col("big_e") * (F.col("big_n") - F.col("big_e")))
+        .alias("out_of_control"),
+    )

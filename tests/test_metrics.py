@@ -149,3 +149,24 @@ def test_ab_lift_sign_matches_rates(spark):
     assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
     exact_diff = r.conv_b * r.n_a - r.conv_a * r.n_b
     assert r.lift_num == exact_diff
+
+
+def test_control_chart_integer_bound_equals_float_formula(spark):
+    """The cross-multiplied integer inequality must agree with the
+    textbook float 3-sigma bound day-by-day (the synthetic stream is
+    in-control everywhere, so this proves the LOGIC, not just the
+    all-false outcome), and the totals must reconcile."""
+    rows = QUERIES["events_control_chart"](spark, SF_DIR).collect()
+    assert len(rows) >= 28
+    big_n = sum(r.n_d for r in rows)
+    big_e = sum(r.e_d for r in rows)
+    assert 0 < big_e < big_n
+    p_bar = big_e / big_n
+    for r in rows:
+        float_flag = (
+            abs(r.e_d / r.n_d - p_bar) > 3 * (p_bar * (1 - p_bar) / r.n_d) ** 0.5
+        )
+        assert r.out_of_control == float_flag, r
+        # and the raw integer inequality itself
+        dev = r.e_d * big_n - r.n_d * big_e
+        assert r.out_of_control == (dev * dev > 9 * r.n_d * big_e * (big_n - big_e))
