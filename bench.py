@@ -182,6 +182,7 @@ HEADLINE = [
     "graph_degree_assortativity",
     "event_ab_test_lift",
     "scan_fixed_width",
+    "scan_csv_multiline",
     "fk_violation_audit",
     "supplier_hhi_by_nation",
     "events_control_chart",

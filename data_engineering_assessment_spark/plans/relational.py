@@ -126,6 +126,50 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5"))
 
 
+@query(
+    "scan_csv_multiline",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           md5(replace(text, ' of ', chr(10))) AS text_md5
+    FROM documents
+    """,
+)
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-CSV round trip with EMBEDDED NEWLINES: documents get
+    deterministic line breaks injected into their text (' of ' → \\n,
+    same rewrite in the oracle), travel through the RFC-4180 writer,
+    and come back via Spark's multiLine CSV parser — the code path
+    where a record spans physical lines and quote-state must carry
+    across them.  [[scan_csv_roundtrip]] proves the splittable parser;
+    this proves the stateful one.
+
+    Scale trade-off stated honestly: multiLine=true makes each CSV
+    FILE single-split (the parser cannot start mid-record because
+    quote state is unknown at an arbitrary offset), so parallelism
+    comes from file count, not block splits — exactly why the writer
+    side keeps many part files and why newline-bearing exports should
+    prefer JSONL/parquet when they can choose."""
+    ensure_deterministic_session(spark)
+    from ..sources.formats import write_csv
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", " of ", "\n")
+    )
+    path = f"/root/repo/.scratch/roundtrip_csvml_{_scratch_tag(sf_dir)}"
+    write_csv(docs, path)
+    back = (
+        spark.read.schema(docs.schema)
+        .option("header", True)
+        .option("escape", '"')
+        .option("emptyValue", '""')
+        .option("multiLine", True)
+        .csv(path)
+    )
+    return back.select(
+        "doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    )
+
+
 @query("scan_fixed_width", oracle=_ROUNDTRIP_ORACLE)
 def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width flat-file source/sink round-trip (mainframe/COBOL
