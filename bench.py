@@ -186,6 +186,9 @@ HEADLINE = [
     "fk_violation_audit",
     "supplier_hhi_by_nation",
     "events_control_chart",
+    "join_asof_forward",
+    "window_cume_dist",
+    "events_fano_factor",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

@@ -1263,3 +1263,54 @@ def events_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dev * dev > 9 * F.col("n_d") * F.col("big_e") * (F.col("big_n") - F.col("big_e")))
         .alias("out_of_control"),
     )
+
+
+@query(
+    "events_fano_factor",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(c) AS BIGINT) AS total,
+           CAST(COUNT(*) * SUM(c * c) - SUM(c) * SUM(c) AS BIGINT) AS var_num,
+           CAST((COUNT(*) * SUM(c * c) - SUM(c) * SUM(c)) * 1000
+                // (COUNT(*) * SUM(c)) AS BIGINT) AS fano_milli
+    FROM daily GROUP BY event_type
+    """,
+)
+def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean dispersion) of daily counts per
+    event type — the burstiness index: ≈1000 milli for a Poisson-like
+    stream, ≫1000 for bursty arrivals, <1000 for regular ones.  The
+    D-scaled identity Var·D² = D·Σc² − (Σc)² keeps the numerator an
+    exact BIGINT; fano = Var/mean then cross-multiplies to
+    var_num/(D·total), one integer milli division.  Completes the
+    dispersion family: [[events_control_chart]] flags single-day
+    excursions, [[ts_cusum_changepoint]] sustained drift, this scores
+    the stream's overall regularity.
+
+    Scale: one hash shuffle onto the (type × day) frame with map-side
+    combine, then a per-type single-row aggregate — calendar-sized
+    work after the first combine."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", _epoch_s("ts").alias("ts_s")
+    ).select("event_type", F.expr("ts_s div 86400").alias("day_idx"))
+    daily = e.groupBy("event_type", "day_idx").agg(F.count("*").alias("c"))
+    return daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("total"),
+        (F.count("*") * F.sum(F.col("c") * F.col("c")) - F.sum("c") * F.sum("c"))
+        .cast("long")
+        .alias("var_num"),
+        F.expr(
+            "(COUNT(*) * SUM(c * c) - SUM(c) * SUM(c)) * 1000 div (COUNT(*) * SUM(c))"
+        )
+        .cast("long")
+        .alias("fano_milli"),
+    )

@@ -552,9 +552,102 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ), w AS (
+      SELECT event_id, user_id, event_type, ts_s,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts_s END) OVER (
+               PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_purchase_ts
+      FROM e
+    )
+    SELECT event_id, user_id, ts_s, next_purchase_ts,
+           CASE WHEN next_purchase_ts IS NOT NULL
+                THEN next_purchase_ts - ts_s END AS wait_s
+    FROM w WHERE event_type = 'click'
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each click, the user's next purchase
+    at-or-after it (plus the wait) — [[join_asof]] looks backward
+    ("most recent prior"), this looks ahead ("soonest following"),
+    the time-to-conversion primitive behind attribution-window and
+    abandonment analyses.
+
+    Same scalable formulation as the backward twin: a single window
+    over the unioned event stream with a FOLLOWING frame — one
+    shuffle on user_id, no row explosion, where a naive inequality
+    join is quadratic per user."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", _epoch_s("ts").alias("ts_s")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(F.when(F.col("event_type") == "purchase", F.col("ts_s"))).over(w)
+    return (
+        e.withColumn("next_purchase_ts", nxt)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_s",
+            "next_purchase_ts",
+            (F.col("next_purchase_ts") - F.col("ts_s")).alias("wait_s"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows / sort / top-k
 # ---------------------------------------------------------------------------
+
+
+@query(
+    "window_cume_dist",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(FLOOR(cume_dist() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice, o_orderkey)
+                      * 1000) AS BIGINT) AS cume_milli,
+           CAST(FLOOR(percent_rank() OVER (PARTITION BY o_orderpriority
+                                           ORDER BY o_totalprice, o_orderkey)
+                      * 1000) AS BIGINT) AS pct_rank_milli
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — cume_dist (rows ≤ current /
+    partition size) and percent_rank ((rank−1)/(n−1)) — the two
+    rank-normalizers the window family was still missing
+    ([[window_ntile]] buckets, these give the continuous position).
+    The unique (price, orderkey) ordering makes both single-valued,
+    and both are small-integer ratios quantized by one FLOOR — exact
+    on any engine.
+
+    Scale: one shuffle on the partition key; the pre-filter thins the
+    input at the scan (pushed down) so the demo stays cheap without
+    changing the plan shape."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 20 == 0
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.floor(F.cume_dist().over(w) * 1000).cast("long").alias("cume_milli"),
+        F.floor(F.percent_rank().over(w) * 1000).cast("long").alias("pct_rank_milli"),
+    )
 
 
 @query(
