@@ -1097,26 +1097,40 @@ def fk_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot consumable ([[constraint_suite]] covers domain/null
     rules; this covers the JOIN-ABILITY rules those can't see).
 
-    Scale: each edge is a left-anti join counted to a single row; the
-    parent side is the (always smaller) key set and broadcasts for
-    the dim edges, while the two big-parent edges (orders, part)
-    shuffle-hash on the key.  Each child table is scanned once per
-    edge with only the FK column read (pruned scan).  The 7
-    single-row results union into one frame — no data movement."""
+    Scale: each edge is ONE pass over the child — the FK column
+    (pruned scan) pre-aggregates to (key, count) with map-side
+    combine, then a left-outer join against the deduplicated parent
+    key set folds total and orphan counts into one aggregate
+    (Σn, Σn-where-unmatched).  After the pre-agg everything
+    downstream is KEY-SET-sized, not fact-sized — at 100 TB the join
+    moves distinct FK values, never rows; the dim-edge parents
+    broadcast.  No child is scanned twice and no scalar crossJoin is
+    needed (the three local formulations — two-pass anti-join,
+    row-level outer join, and this — time identically at test SFs;
+    this one is kept because its shuffle volume is the smallest at
+    scale).  The 7 single-row results union into one frame."""
     ensure_deterministic_session(spark)
 
     def edge(child, ckey, parent, pkey, label):
-        c = load_table(spark, sf_dir, child).select(F.col(ckey))
-        p = load_table(spark, sf_dir, parent).select(F.col(pkey).alias(ckey))
-        n_child = c.agg(F.count("*").alias("n_child"))
-        orphans = c.join(p, ckey, "left_anti").agg(F.count("*").alias("n_orphans"))
-        return (
-            n_child.crossJoin(F.broadcast(orphans))
-            .select(
-                F.lit(label).alias("edge"),
-                F.col("n_child").cast("long").alias("n_child"),
-                F.col("n_orphans").cast("long").alias("n_orphans"),
+        c = (
+            load_table(spark, sf_dir, child)
+            .groupBy(F.col(ckey))
+            .agg(F.count("*").alias("n"))
+        )
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias(ckey))
+            .distinct()
+            .withColumn("pk_hit", F.lit(1))
+        )
+        return c.join(p, ckey, "left_outer").agg(
+            F.lit(label).alias("edge"),
+            F.sum("n").cast("long").alias("n_child"),
+            F.coalesce(
+                F.sum(F.when(F.col("pk_hit").isNull(), F.col("n"))), F.lit(0)
             )
+            .cast("long")
+            .alias("n_orphans"),
         )
 
     edges = [

@@ -201,7 +201,6 @@ BNLJ_ALLOWED = {
     # round-7b metrics keys — scalar/bounded broadcasts:
     "calibration_bins",  # single-row min/max score limits broadcast
     "embed_silhouette",  # K=8-row seed-centroid broadcast (O(n·K))
-    "fk_violation_audit",  # 7 single-row count⨯count scalar joins
     "events_control_chart",  # single-row corpus-total broadcast
 }
 
