@@ -189,6 +189,10 @@ HEADLINE = [
     "join_asof_forward",
     "window_cume_dist",
     "events_fano_factor",
+    "skyline_pareto_frontier",
+    "interval_coverage_union",
+    "graph_triangle_count",
+    "table_checksum_groups",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

@@ -1328,3 +1328,331 @@ def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fano_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7c: skyline, interval union, triangles, content checksum
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skyline_pareto_frontier",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+      FROM part
+    )
+    SELECT x.p_partkey, x.size, x.price_cents
+    FROM p x
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p y
+      WHERE y.size >= x.size AND y.price_cents <= x.price_cents
+        AND (y.size > x.size OR y.price_cents < x.price_cents)
+    )
+    """,
+)
+def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over parts — every part not
+    dominated by another that is at least as big AND at least as
+    cheap (strictly better in one dimension): the classic "best
+    price/size trade-offs" query that product search and procurement
+    run.  Prices quantize to exact cents so dominance ties are
+    engine-identical.
+
+    Scale: the textbook skyline is an O(n²) dominance self-join —
+    that lives ONLY in the DuckDB oracle.  The engine exploits the
+    discretized dimension: one map-side-combined groupBy collapses
+    the corpus to min-price-per-size (domain-sized, ~50 rows at any
+    corpus scale), a cummin window over that tiny frame derives
+    best-at-least / best-strictly-larger thresholds, and one
+    broadcast join + scan-speed filter marks frontier rows.  100 TB
+    of parts costs one aggregate pass + one broadcast probe; nothing
+    n² ever runs.  Frontier membership per row:
+    price == min(price | size' >= size) AND (no larger size OR
+    min(price | size' > size) > price)."""
+    ensure_deterministic_session(spark)
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("size"),
+        F.expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "price_cents"
+        ),
+    )
+    per_size = p.groupBy("size").agg(F.min("price_cents").alias("msize"))
+    # domain-sized frame (~50 rows): the global window is bounded by
+    # the size domain, never the corpus — same sanctioned shape as
+    # the value-bucketed rank statistics in this module's docstring.
+    w = Window.orderBy(F.col("size").desc())
+    thresholds = per_size.select(
+        "size",
+        F.min("msize")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("best_geq"),
+        F.min("msize")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("best_gt"),
+    )
+    return (
+        p.join(F.broadcast(thresholds), "size")
+        .filter(
+            (F.col("price_cents") == F.col("best_geq"))
+            & (F.col("best_gt").isNull() | (F.col("best_gt") > F.col("price_cents")))
+        )
+        .select("p_partkey", "size", "price_cents")
+    )
+
+
+@query(
+    "interval_coverage_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events
+    ), m AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM iv
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN pmax IS NULL OR pmax < s THEN e - s
+                         WHEN pmax >= e THEN 0
+                         ELSE e - pmax END) AS BIGINT) AS covered_sec,
+           CAST(SUM(CASE WHEN pmax IS NULL OR pmax < s THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_islands
+    FROM m GROUP BY user_id
+    """,
+)
+def interval_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage per user — each event opens a 5-minute
+    activity interval; overlapping intervals union into islands and
+    the key reports total covered seconds plus the island count (the
+    gaps-and-islands union, the complement of [[ts_gap_detect]]'s gap
+    scan and the interval algebra behind billable-time, uptime and
+    co-viewing metrics).  The sweep identity: an interval contributes
+    e − max(s, running-max-of-previous-ends), clamped at 0 — summing
+    those contributions IS the measure of the union, no materialized
+    merge needed.
+
+    Scale: one hash shuffle onto user_id, then a sort WITHIN each
+    user's partition feeds the running-max lag window — per-user
+    sequential work, all users in parallel, the same shape as
+    [[sessionize_lag]].  No self-join on overlap (the O(n²) interval
+    intersection the naive formulation would do) and no global sort;
+    (ts, event_id) ordering makes tie rows deterministic in both
+    engines."""
+    ensure_deterministic_session(spark)
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        _epoch_s("ts").alias("s"),
+        (_epoch_s("ts") + F.lit(300)).alias("e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.withColumn("pmax", F.max("e").over(w))
+    new_island = F.col("pmax").isNull() | (F.col("pmax") < F.col("s"))
+    contrib = (
+        F.when(new_island, F.col("e") - F.col("s"))
+        .when(F.col("pmax") >= F.col("e"), F.lit(0))
+        .otherwise(F.col("e") - F.col("pmax"))
+    )
+    return m.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(contrib).cast("long").alias("covered_sec"),
+        F.sum(new_island.cast("long")).cast("long").alias("n_islands"),
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), pairs AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ), deg AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS k FROM pairs UNION ALL SELECT v AS k FROM pairs
+      ) GROUP BY k
+    ), tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles,
+           (SELECT CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM deg) > 0
+                   THEN CAST(3 * (SELECT t FROM tri) * 1000000
+                        // (SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT)
+                   ELSE 0 END) AS gcc_ppm
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph (parts are adjacent when some order contains
+    both) — the graph statistic behind community detection, spam/bot
+    detection and recommendation diversity, and a deliberately
+    UNIPARTITE companion to the bipartite (triangle-free)
+    [[graph_pagerank]] trade graph.  gcc = 3·triangles / wedges,
+    emitted as exact ppm.
+
+    Scale: the engine counts with the degree-ordered orientation
+    (Schank–Wagner / Latapy): rank nodes by (degree, id), orient
+    every edge low→high rank, enumerate wedges from each pivot's
+    out-edges only, then close them with one equi-join against the
+    canonical edge set.  Orientation bounds every out-degree by
+    O(√|E|) regardless of hubs, so the wedge join is skew-proof —
+    the plain e1⋈e2 wedge join (which the DuckDB oracle runs) would
+    square the hottest hub's degree.  Everything is distinct/groupBy/
+    equi-join: three shuffles over edge-sized frames, no driver
+    collect, no iteration."""
+    ensure_deterministic_session(spark)
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("k"))
+        .unionAll(pairs.select(F.col("v").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    # Orient each edge from the (degree, id)-smaller endpoint to the
+    # larger: out-degrees are then O(sqrt(|E|)) (Schank-Wagner), so
+    # the wedge self-join below cannot blow up on hub nodes.
+    du = deg.select(F.col("k").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("k").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.col("u"),
+            )
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.col("v"),
+            )
+            .otherwise(F.col("u"))
+            .alias("dst"),
+        )
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dst") < F.col("e2.dst")),
+    ).select(
+        F.least("e1.dst", "e2.dst").alias("u"),
+        F.greatest("e1.dst", "e2.dst").alias("v"),
+    )
+    tri = wedges.join(pairs, ["u", "v"]).agg(F.count("*").cast("long").alias("t"))
+    summary = (
+        deg.agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+        )
+        .crossJoin(F.broadcast(pairs.agg(F.count("*").cast("long").alias("n_edges"))))
+        .crossJoin(F.broadcast(tri))
+    )
+    return summary.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        F.col("t").alias("n_triangles"),
+        F.when(
+            F.col("n_wedges") > 0,
+            F.expr("3 * t * 1000000 div n_wedges"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("gcc_ppm"),
+    )
+
+
+@query(
+    "table_checksum_groups",
+    oracle="""
+    WITH canon AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST('0x' || substr(md5(concat_ws('|',
+               l_orderkey, l_linenumber,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT),
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT),
+               l_returnflag, l_linestatus,
+               CAST(FLOOR(epoch(l_shipdate)) AS BIGINT))), 1, 12)
+             AS BIGINT) AS fp
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(fp) AS BIGINT) AS xor_sig,
+           CAST(SUM(fp % 1000003) AS BIGINT) AS sum_sig
+    FROM canon GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def table_checksum_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum of lineitem per
+    (returnflag, linestatus) group — the cross-system data-validation
+    primitive: after a migration/backfill, two engines (here Spark
+    and DuckDB, by construction of the oracle) agree the data is
+    byte-identical iff every group's (n_rows, xor_sig, sum_sig)
+    triple matches, with no sorting and no row-by-row diff.  Each row
+    canonicalizes to a '|'-joined string of engine-exact fields
+    (BIGINTs, cents-quantized money, epoch dates), fingerprints via
+    the first 48 bits of its md5, and folds with XOR (commutative,
+    associative → partition-order-free).  XOR alone is blind to
+    duplicated-row pairs, so the count and a mod-prime sum ride
+    along; the three together make silent corruption vanishingly
+    unlikely.  Companion to [[fk_violation_audit]] (join-ability) and
+    [[constraint_suite]] (domain rules): this one certifies CONTENT.
+
+    Scale: pure map-side work per row, then a combinable aggregate
+    onto a handful of groups — the cheapest possible full-table scan
+    shape; at 100 TB the checksum costs exactly one read pass and a
+    6-row shuffle.  48-bit fingerprints keep XOR inside BIGINT;
+    sum_sig < 1e6 · n_rows stays in range to ~9e12 rows."""
+    ensure_deterministic_session(spark)
+    canon = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr(
+            "CAST(CONV(SUBSTRING(md5(CAST(concat_ws('|', "
+            "l_orderkey, l_linenumber, "
+            "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT), "
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT), "
+            "l_returnflag, l_linestatus, "
+            "CAST(FLOOR(CAST(CAST(l_shipdate AS TIMESTAMP) AS DOUBLE)) AS BIGINT)"
+            ") AS BINARY)), 1, 12), 16, 10) AS BIGINT)"
+        ).alias("fp"),
+    )
+    return canon.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr("bit_xor(fp)").cast("long").alias("xor_sig"),
+        F.sum(F.col("fp") % F.lit(1000003)).cast("long").alias("sum_sig"),
+    )

@@ -202,6 +202,8 @@ BNLJ_ALLOWED = {
     "calibration_bins",  # single-row min/max score limits broadcast
     "embed_silhouette",  # K=8-row seed-centroid broadcast (O(n·K))
     "events_control_chart",  # single-row corpus-total broadcast
+    # round-7c:
+    "graph_triangle_count",  # two single-row count broadcasts into the summary row
 }
 
 
