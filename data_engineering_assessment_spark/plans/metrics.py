@@ -1656,3 +1656,226 @@ def table_checksum_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(fp)").cast("long").alias("xor_sig"),
         F.sum(F.col("fp") % F.lit(1000003)).cast("long").alias("sum_sig"),
     )
+
+
+@query(
+    "money_proration_lrm",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p
+      FROM lineitem
+    ), o AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               * 2 // 100 AS pool
+      FROM orders
+    ), j AS (
+      SELECT li.*, o.pool,
+             SUM(p) OVER (PARTITION BY l_orderkey) AS s
+      FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+    ), b AS (
+      SELECT *, pool * p // s AS base, pool * p % s AS rem FROM j
+    ), r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+               ORDER BY rem DESC, l_linenumber, l_partkey, l_suppkey) AS rk,
+             pool - SUM(base) OVER (PARTITION BY l_orderkey) AS leftover
+      FROM b
+    )
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_partkey, l_suppkey,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_cents
+    FROM r
+    """,
+)
+def money_proration_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proration: distribute a 2%-of-order rebate
+    pool (floored cents) across the order's lineitems proportional to
+    their price, so that per-line allocations are whole cents AND sum
+    EXACTLY to the pool — the financial-allocation primitive (invoice
+    discounts, tax apportionment, revenue splits) where naive
+    rounding leaks cents.  Hamilton's method: floor every
+    proportional share, then hand the leftover cents to the largest
+    remainders, ties broken by the (linenumber, partkey, suppkey)
+    natural key so the split is engine-deterministic.
+
+    Scale: one equi-join (orders side is key+pool only) and three
+    window passes ALL partitioned by l_orderkey with one ordering —
+    Catalyst plans a single hash exchange + per-order sort; no global
+    sort, no iteration, overflow bounded by per-ORDER magnitudes
+    (pool·p < 1e13) which do not grow with corpus size."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "p"
+        ),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 2 div 100"
+        ).alias("pool"),
+    )
+    worder = Window.partitionBy("l_orderkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "s", F.sum("p").over(worder)
+    )
+    b = j.withColumn("base", F.expr("pool * p div s")).withColumn(
+        "rem", F.expr("pool * p % s")
+    )
+    r = b.withColumn(
+        "rk",
+        F.row_number().over(
+            worder.orderBy(
+                F.col("rem").desc(), "l_linenumber", "l_partkey", "l_suppkey"
+            )
+        ),
+    ).withColumn("leftover", F.col("pool") - F.sum("base").over(worder))
+    return r.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_partkey",
+        "l_suppkey",
+        (F.col("base") + (F.col("rk") <= F.col("leftover")).cast("long"))
+        .cast("long")
+        .alias("alloc_cents"),
+    )
+
+
+@query(
+    "sequence_gap_audit",
+    oracle="""
+    WITH k AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'O'
+    ), l AS (
+      SELECT k, lag(k) OVER (ORDER BY k) AS pk FROM k
+    )
+    SELECT pk + 1 AS gap_start, k - 1 AS gap_end, k - pk - 1 AS gap_len
+    FROM l WHERE pk IS NOT NULL AND k - pk > 1
+    """,
+)
+def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-ID ranges in a key sequence (here: orderkeys of
+    open-status orders) as [gap_start, gap_end] islands — the
+    completeness audit that catches dropped partitions, lost batches
+    and sequence-generator skips, complementing
+    [[fk_violation_audit]] (orphans) and [[table_checksum_groups]]
+    (content): this one certifies the KEY SPACE has no holes.
+
+    Scale: the oracle's single global lag() would single-task at
+    corpus scale, so the engine two-levels it: keys bucket by
+    k div 1024 → intra-bucket gaps come from a lag window PARTITIONED
+    by bucket (all buckets in parallel), inter-bucket gaps from a
+    lag over the bucket min/max summary — a frame 1024× smaller than
+    the key set (recurse the same trick if even that is too wide; at
+    1e12 keys the summary is 1e9 rows, one more level makes it 1e6).
+    Exactly one shuffle of the distinct-key set plus one domain-sized
+    pass; results are identical to the flat formulation because a
+    gap either lies inside one bucket or spans consecutive non-empty
+    bucket summaries."""
+    ensure_deterministic_session(spark)
+    k = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .withColumn("b", F.expr("k div 1024"))
+    )
+    intra = (
+        k.withColumn(
+            "pk", F.lag("k").over(Window.partitionBy("b").orderBy("k"))
+        )
+        .filter(F.col("pk").isNotNull() & (F.col("k") - F.col("pk") > 1))
+        .select(
+            (F.col("pk") + 1).alias("gap_start"),
+            (F.col("k") - 1).alias("gap_end"),
+            (F.col("k") - F.col("pk") - 1).alias("gap_len"),
+        )
+    )
+    summary = k.groupBy("b").agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+    # bucket-summary frame: 1024x smaller than the key set — the
+    # sanctioned domain-sized global window (module docstring).
+    inter = (
+        summary.withColumn("phi", F.lag("hi").over(Window.orderBy("b")))
+        .filter(F.col("phi").isNotNull() & (F.col("lo") - F.col("phi") > 1))
+        .select(
+            (F.col("phi") + 1).alias("gap_start"),
+            (F.col("lo") - 1).alias("gap_end"),
+            (F.col("lo") - F.col("phi") - 1).alias("gap_len"),
+        )
+    )
+    return intra.unionAll(inter)
+
+
+@query(
+    "window_reset_running",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+      FROM events
+    ), seg AS (
+      SELECT *,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS UNBOUNDED PRECEDING) AS seg_idx
+      FROM e
+    )
+    SELECT event_id, user_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id, seg_idx
+                ORDER BY s, event_id) AS BIGINT) AS run_pos,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id, seg_idx ORDER BY s, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS purchases_since_reset
+    FROM seg
+    """,
+)
+def window_reset_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates that RESET at a marker event — every
+    'error' starts a new segment per user, and within each segment
+    the key emits the running position and running purchase count:
+    the segmented-window ("counter reset") pattern behind
+    streaks-since-failure, spend-since-login and attempts-since-
+    CAPTCHA metrics, which plain frames cannot express.  The
+    two-level trick: a running SUM of reset markers IS the segment
+    id; any running aggregate then re-windows on (user, segment).
+
+    Scale: both window layers share the user_id hash partitioning
+    and the (ts, event_id) sort order, so Catalyst plans ONE
+    exchange + ONE sort and evaluates the second window on the
+    already-sorted runs ((user, seg_idx) is a refinement of the
+    first ordering).  Per-user sequential, all users parallel — the
+    same shape as [[sessionize_lag]] and [[interval_coverage_union]];
+    the deterministic (ts, event_id) tiebreak makes ordinals
+    engine-exact."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", _epoch_s("ts").alias("s")
+    )
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = e.withColumn(
+        "seg_idx",
+        F.sum((F.col("event_type") == "error").cast("long")).over(w1),
+    )
+    w2 = Window.partitionBy("user_id", "seg_idx").orderBy("s", "event_id")
+    return seg.select(
+        "event_id",
+        "user_id",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.row_number().over(w2).cast("long").alias("run_pos"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .over(w2.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("purchases_since_reset"),
+    )

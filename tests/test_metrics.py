@@ -412,3 +412,97 @@ def test_checksum_detects_any_single_field_change(spark):
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_proration_conserves_pool_and_matches_hamilton(spark):
+    """Per-order allocations sum exactly to the pool, each line gets
+    floor-share or floor-share+1, and the +1s go to the largest
+    remainders — recomputed with a literal Hamilton's method."""
+    rows = QUERIES["money_proration_lrm"](spark, SF_DIR).collect()
+    got = {
+        (r.l_orderkey, r.l_linenumber, r.l_partkey, r.l_suppkey): r.alloc_cents
+        for r in rows
+    }
+    con = duckdb.connect()
+    li = con.execute(
+        f"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT), l_partkey, l_suppkey,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            FROM '{SF_DIR}/lineitem.parquet'"""
+    ).fetchall()
+    pools = dict(
+        con.execute(
+            f"""SELECT o_orderkey,
+                       CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                         * 2 // 100
+                FROM '{SF_DIR}/orders.parquet'"""
+        ).fetchall()
+    )
+    con.close()
+    by_order: dict = {}
+    for ok, ln, pk, sk, p in li:
+        by_order.setdefault(ok, []).append((ln, pk, sk, p))
+    for ok, lines in by_order.items():
+        pool, s = pools[ok], sum(p for *_, p in lines)
+        base = {(ln, pk, sk): pool * p // s for ln, pk, sk, p in lines}
+        rem = sorted(
+            ((-(pool * p % s), ln, pk, sk) for ln, pk, sk, p in lines),
+        )
+        leftover = pool - sum(base.values())
+        want = dict(base)
+        for _, ln, pk, sk in rem[:leftover]:
+            want[(ln, pk, sk)] += 1
+        for (ln, pk, sk), v in want.items():
+            assert got[(ok, ln, pk, sk)] == v, (ok, ln, pk, sk)
+        assert sum(want.values()) == pool
+    assert len(got) == len(li)
+
+
+def test_gap_audit_two_level_equals_flat_lag(spark):
+    """Bucketed intra+inter gaps equal the flat global-lag answer,
+    and the gaps exactly tile the complement of the key set."""
+    rows = QUERIES["sequence_gap_audit"](spark, SF_DIR).collect()
+    got = sorted((r.gap_start, r.gap_end, r.gap_len) for r in rows)
+    con = duckdb.connect()
+    keys = sorted(
+        k
+        for (k,) in con.execute(
+            f"""SELECT DISTINCT o_orderkey FROM '{SF_DIR}/orders.parquet'
+                WHERE o_orderstatus = 'O'"""
+        ).fetchall()
+    )
+    con.close()
+    want = [
+        (a + 1, b - 1, b - a - 1)
+        for a, b in zip(keys, keys[1:])
+        if b - a > 1
+    ]
+    assert got == want and got
+    covered = sum(g for _, _, g in got)
+    assert covered == (keys[-1] - keys[0] + 1) - len(keys)
+
+
+def test_reset_running_matches_per_user_replay(spark):
+    """seg_idx/run_pos/purchases_since_reset equal a literal per-user
+    replay with a counter that resets on every 'error'."""
+    rows = QUERIES["window_reset_running"](spark, SF_DIR).collect()
+    got = {r.event_id: (r.seg_idx, r.run_pos, r.purchases_since_reset) for r in rows}
+    con = duckdb.connect()
+    evs = con.execute(
+        f"""SELECT event_id, user_id, event_type,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT)
+            FROM '{SF_DIR}/events.parquet'"""
+    ).fetchall()
+    con.close()
+    by_user: dict = {}
+    for eid, uid, typ, s in evs:
+        by_user.setdefault(uid, []).append((s, eid, typ))
+    for uid, seq in by_user.items():
+        seq.sort()
+        seg = pos = pur = 0
+        for s, eid, typ in seq:
+            if typ == "error":
+                seg, pos, pur = seg + 1, 0, 0
+            pos += 1
+            pur += typ == "purchase"
+            assert got[eid] == (seg, pos, pur), eid
+    assert len(got) == len(evs)
