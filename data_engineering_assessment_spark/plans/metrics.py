@@ -1679,7 +1679,7 @@ def table_checksum_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), r AS (
       SELECT *,
              ROW_NUMBER() OVER (PARTITION BY l_orderkey
-               ORDER BY rem DESC, l_linenumber, l_partkey, l_suppkey) AS rk,
+               ORDER BY rem DESC, l_linenumber, l_partkey, l_suppkey, p) AS rk,
              pool - SUM(base) OVER (PARTITION BY l_orderkey) AS leftover
       FROM b
     )
@@ -1698,8 +1698,10 @@ def money_proration_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
     discounts, tax apportionment, revenue splits) where naive
     rounding leaks cents.  Hamilton's method: floor every
     proportional share, then hand the leftover cents to the largest
-    remainders, ties broken by the (linenumber, partkey, suppkey)
-    natural key so the split is engine-deterministic.
+    remainders, ties broken by the (linenumber, partkey, suppkey,
+    price) tuple — price included because the fixture holds duplicate
+    natural-key triples within an order, so the key alone is not a
+    total order — making the split engine-deterministic.
 
     Scale: one equi-join (orders side is key+pool only) and three
     window passes ALL partitioned by l_orderkey with one ordering —
@@ -1733,7 +1735,7 @@ def money_proration_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
         F.row_number().over(
             worder.orderBy(
-                F.col("rem").desc(), "l_linenumber", "l_partkey", "l_suppkey"
+                F.col("rem").desc(), "l_linenumber", "l_partkey", "l_suppkey", "p"
             )
         ),
     ).withColumn("leftover", F.col("pool") - F.sum("base").over(worder))

@@ -417,12 +417,18 @@ def test_checksum_detects_any_single_field_change(spark):
 def test_proration_conserves_pool_and_matches_hamilton(spark):
     """Per-order allocations sum exactly to the pool, each line gets
     floor-share or floor-share+1, and the +1s go to the largest
-    remainders — recomputed with a literal Hamilton's method."""
+    remainders — recomputed with a literal Hamilton's method.
+
+    Compared as per-order sorted MULTISETS, not dicts: the sf0.001
+    fixture contains duplicate (linenumber, partkey, suppkey) triples
+    within an order (e.g. order 1294), so a dict keyed on the triple
+    silently collapses rows and corrupts the expected leftover."""
     rows = QUERIES["money_proration_lrm"](spark, SF_DIR).collect()
-    got = {
-        (r.l_orderkey, r.l_linenumber, r.l_partkey, r.l_suppkey): r.alloc_cents
-        for r in rows
-    }
+    got_by_order: dict = {}
+    for r in rows:
+        got_by_order.setdefault(r.l_orderkey, []).append(
+            (r.l_linenumber, r.l_partkey, r.l_suppkey, r.alloc_cents)
+        )
     con = duckdb.connect()
     li = con.execute(
         f"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT), l_partkey, l_suppkey,
@@ -441,20 +447,22 @@ def test_proration_conserves_pool_and_matches_hamilton(spark):
     by_order: dict = {}
     for ok, ln, pk, sk, p in li:
         by_order.setdefault(ok, []).append((ln, pk, sk, p))
+    n_rows = 0
     for ok, lines in by_order.items():
         pool, s = pools[ok], sum(p for *_, p in lines)
-        base = {(ln, pk, sk): pool * p // s for ln, pk, sk, p in lines}
-        rem = sorted(
-            ((-(pool * p % s), ln, pk, sk) for ln, pk, sk, p in lines),
+        # engine tie-break: rem DESC, then (ln, pk, sk, p) ASC — total
+        ranked = sorted(
+            ((-(pool * p % s), ln, pk, sk, p) for ln, pk, sk, p in lines),
         )
-        leftover = pool - sum(base.values())
-        want = dict(base)
-        for _, ln, pk, sk in rem[:leftover]:
-            want[(ln, pk, sk)] += 1
-        for (ln, pk, sk), v in want.items():
-            assert got[(ok, ln, pk, sk)] == v, (ok, ln, pk, sk)
-        assert sum(want.values()) == pool
-    assert len(got) == len(li)
+        leftover = pool - sum(pool * p // s for *_, p in lines)
+        want = [
+            (ln, pk, sk, pool * p // s + (i < leftover))
+            for i, (_, ln, pk, sk, p) in enumerate(ranked)
+        ]
+        assert sum(a for *_, a in want) == pool
+        assert sorted(got_by_order[ok]) == sorted(want), ok
+        n_rows += len(lines)
+    assert sum(len(v) for v in got_by_order.values()) == n_rows
 
 
 def test_gap_audit_two_level_equals_flat_lag(spark):
