@@ -18,6 +18,8 @@ touches the driver except the 1-line header check.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -180,13 +182,35 @@ def green_taxi_pipeline(
 
     ``single_file=True`` reproduces the reference's coalesce(1) +
     part-file promotion (``02.py:131-138``); at scale leave it off and
-    the write keeps AQE-sized parallel output files."""
+    the write keeps AQE-sized parallel output files.
+
+    When the staged output is one file, stage 2 re-reads it with a
+    split size of about one row group per task (the merged file keeps
+    one row group per original part, see ``parquet_io._merge_parts``)
+    — otherwise a small-but-dense single file falls under the default
+    128 MB ``maxPartitionBytes`` and the whole derived-column stage
+    collapses into one task.  The conf is scoped and restored."""
     from ..functions.taxi import taxi_derived_columns
     from .parquet_io import write_parquet
 
     typed = read_green_taxi_csv(spark, csv_path, fail_fast=fail_fast)
     write_parquet(typed, staged_parquet, single_file=single_file)
-    staged = spark.read.parquet(staged_parquet)
-    derived = staged.select("*", *taxi_derived_columns())
-    write_parquet(derived, out_parquet, single_file=single_file)
+    if single_file:
+        import pyarrow.parquet as pq
+
+        n_groups = max(1, pq.ParquetFile(staged_parquet).metadata.num_row_groups)
+        split = str(max(4096, os.path.getsize(staged_parquet) // n_groups + 1))
+        key = "spark.sql.files.maxPartitionBytes"
+        old = spark.conf.get(key)
+        spark.conf.set(key, split)
+        try:
+            staged = spark.read.parquet(staged_parquet)
+            derived = staged.select("*", *taxi_derived_columns())
+            write_parquet(derived, out_parquet, single_file=True)
+        finally:
+            spark.conf.set(key, old)
+    else:
+        staged = spark.read.parquet(staged_parquet)
+        derived = staged.select("*", *taxi_derived_columns())
+        write_parquet(derived, out_parquet, single_file=False)
     return spark.read.parquet(out_parquet)
