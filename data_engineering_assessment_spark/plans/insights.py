@@ -486,3 +486,507 @@ def join_key_skew_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("join_rows").desc(), "k")
         .limit(10)
     )
+
+
+@query(
+    "customer_pareto_coverage",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS r
+      FROM orders GROUP BY o_custkey
+    ), buck AS (
+      SELECT r, COUNT(*) AS cnt FROM rev GROUP BY r
+    ), cum AS (
+      SELECT r, cnt,
+             SUM(r * cnt) OVER (ORDER BY r DESC
+               ROWS UNBOUNDED PRECEDING) AS cumrev,
+             SUM(r * cnt) OVER () AS total
+      FROM buck
+    ), need AS (
+      SELECT r, cnt, total,
+             CASE WHEN cumrev - r * cnt >= (total * 800 + 999) // 1000 THEN 0
+                  ELSE LEAST(cnt,
+                    ((total * 800 + 999) // 1000 - (cumrev - r * cnt) + r - 1)
+                      // r)
+             END AS needed
+      FROM cum
+    )
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_customers,
+           CAST(MAX(total) AS BIGINT) AS total_cents,
+           CAST(SUM(needed) AS BIGINT) AS covering_customers,
+           CAST(SUM(needed * r) AS BIGINT) AS covered_cents,
+           CAST(SUM(needed * r) * 1000 // MAX(total) AS BIGINT)
+             AS coverage_milli
+    FROM need
+    """,
+)
+def customer_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto revenue concentration: the MINIMAL number of customers
+    whose combined revenue reaches 80% of the total — the "how 80/20
+    is this business" statistic, made exact and deterministic by the
+    greedy-by-revenue definition (customers with equal cents are
+    interchangeable, so the greedy count is unique).
+
+    Scale (value-bucketed rank statistics, plans/metrics.py module
+    device): per-customer revenue is one map-side-combined groupBy;
+    the ordered pass then runs over DISTINCT revenue values — a
+    value-domain frame, not a customer-count frame — computing for
+    each bucket how many of its customers the greedy needs:
+    min(cnt, ceil((threshold − cum_before) / r)).  Nothing sorts raw
+    orders; the threshold is exact-integer ceil(0.8·total)."""
+    ensure_deterministic_session(spark)
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).alias("r"))
+    )
+    buck = rev.groupBy("r").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy(F.col("r").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = buck.select(
+        "r",
+        "cnt",
+        F.sum(F.col("r") * F.col("cnt")).over(wcum).alias("cumrev"),
+        F.sum(F.col("r") * F.col("cnt")).over(Window.partitionBy()).alias("total"),
+    )
+    need = cum.withColumn(
+        "needed",
+        F.expr(
+            """CASE WHEN cumrev - r * cnt >= (total * 800 + 999) div 1000 THEN 0
+               ELSE LEAST(cnt,
+                 ((total * 800 + 999) div 1000 - (cumrev - r * cnt) + r - 1)
+                   div r)
+               END"""
+        ),
+    )
+    return need.agg(
+        F.sum("cnt").cast("long").alias("n_customers"),
+        F.max("total").cast("long").alias("total_cents"),
+        F.sum("needed").cast("long").alias("covering_customers"),
+        F.sum(F.col("needed") * F.col("r")).cast("long").alias("covered_cents"),
+    ).select(
+        "n_customers",
+        "total_cents",
+        "covering_customers",
+        "covered_cents",
+        F.expr("covered_cents * 1000 div total_cents")
+        .cast("long")
+        .alias("coverage_milli"),
+    )
+
+
+@query(
+    "discount_quantity_slope",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM d
+    )
+    SELECT n, sx, sy, sxx, sxy,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                WHEN n * sxy - sx * sy >= 0
+                THEN (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx)
+                ELSE -((sx * sy - n * sxy) * 1000 // (n * sxx - sx * sx))
+                END AS BIGINT) AS slope_milli
+    FROM s
+    """,
+)
+def discount_quantity_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount elasticity of quantity: the exact least-squares slope
+    of quantity (whole units) on discount (permille), from the five
+    integer moment sums — does a deeper discount actually move more
+    units?  slope = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²), emitted as
+    numerator/denominator plus signed milli (truncate-abs-toward-zero
+    idiom, plans/metrics.py).
+
+    Scale: one full-scan aggregate, five map-side-combined integer
+    sums, no shuffle beyond the single-row combine.  Overflow bound:
+    |num|·1000 stays in BIGINT through sf0.1 (≈2e18); at larger
+    scales rescale x to centi-discount — documented, not silent."""
+    ensure_deterministic_session(spark)
+    d = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_discount") * 1000 + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("y"),
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("slope_den"),
+        F.expr(
+            """CASE WHEN n * sxx - sx * sx = 0 THEN 0
+               WHEN n * sxy - sx * sy >= 0
+               THEN (n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx)
+               ELSE -((sx * sy - n * sxy) * 1000 div (n * sxx - sx * sx))
+               END"""
+        )
+        .cast("long")
+        .alias("slope_milli"),
+    )
+
+
+@query(
+    "ship_lag_bands",
+    oracle="""
+    WITH j AS (
+      SELECT (CAST(FLOOR(epoch(l.l_shipdate)) AS BIGINT)
+              - CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT)) // 86400 AS lag_d,
+             l.l_returnflag AS rf,
+             CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT) AS units
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), b AS (
+      SELECT CASE WHEN lag_d <= 7 THEN '00-07'
+                  WHEN lag_d <= 30 THEN '08-30'
+                  WHEN lag_d <= 90 THEN '31-90'
+                  ELSE '90+' END AS band,
+             rf, units
+      FROM j
+    )
+    SELECT band, rf AS returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(units) AS BIGINT) AS total_units
+    FROM b GROUP BY band, rf
+    ORDER BY band, returnflag
+    """,
+)
+def ship_lag_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag banded into fulfillment SLO tiers (≤1 week,
+    ≤1 month, ≤1 quarter, beyond) crossed with return flag — the
+    logistics view of whether slow fulfillment correlates with
+    returns.
+
+    Scale: one equi-join on the order key (both sides pruned to key +
+    two columns at scan, pushdown-visible in the plan) and a
+    band×flag rollup — a dozen output groups, map-side combined."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        _epoch_s("l_shipdate").alias("ship_s"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("units"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _epoch_s("o_orderdate").alias("order_s")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.expr("(ship_s - order_s) div 86400").alias("lag_d"),
+        F.col("l_returnflag").alias("rf"),
+        "units",
+    )
+    b = j.withColumn(
+        "band",
+        F.when(F.col("lag_d") <= 7, "00-07")
+        .when(F.col("lag_d") <= 30, "08-30")
+        .when(F.col("lag_d") <= 90, "31-90")
+        .otherwise("90+"),
+    )
+    return (
+        b.groupBy("band", F.col("rf").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("units").cast("long").alias("total_units"),
+        )
+        .orderBy("band", "returnflag")
+    )
+
+
+@query(
+    "orders_monthly_momentum",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+      FROM orders GROUP BY month
+    ), lagged AS (
+      SELECT month, rev, LAG(rev) OVER (ORDER BY month) AS prev
+      FROM m
+    )
+    SELECT month,
+           CAST(rev AS BIGINT) AS rev_cents,
+           CAST(prev AS BIGINT) AS prev_cents,
+           CAST(CASE WHEN rev >= prev
+                THEN (rev - prev) * 1000 // prev
+                ELSE -((prev - rev) * 1000 // prev) END AS BIGINT)
+             AS delta_milli
+    FROM lagged
+    WHERE prev IS NOT NULL
+    ORDER BY month
+    """,
+)
+def orders_monthly_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue momentum: per calendar month, revenue
+    in exact cents, the previous month, and the signed milli delta —
+    the trend line every revenue dashboard opens with, with the
+    signed ratio in the truncate-abs-toward-zero idiom.
+
+    Scale: one month-keyed hash aggregate (map-side combined; month
+    count is calendar-bounded), then a LAG over the month domain — an
+    unpartitioned window over ~tens of rows, never over orders."""
+    ensure_deterministic_session(spark)
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.sum(_cents("o_totalprice")).alias("rev"))
+    )
+    lagged = m.withColumn("prev", F.lag("rev").over(Window.orderBy("month")))
+    return (
+        lagged.filter(F.col("prev").isNotNull())
+        .select(
+            "month",
+            F.col("rev").cast("long").alias("rev_cents"),
+            F.col("prev").cast("long").alias("prev_cents"),
+            F.expr(
+                """CASE WHEN rev >= prev
+                   THEN (rev - prev) * 1000 div prev
+                   ELSE -((prev - rev) * 1000 div prev) END"""
+            )
+            .cast("long")
+            .alias("delta_milli"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT s_suppkey AS n FROM supplier
+    ), su AS (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+    ), pe AS (
+      SELECT DISTINCT a.s AS x, b.s AS y
+      FROM su a JOIN su b ON a.o = b.o AND a.s <> b.s
+    ), reach(n, l) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT pe.y, reach.l FROM reach JOIN pe ON reach.n = pe.x
+      WHERE reach.l < pe.y
+    ), comp AS (
+      SELECT n, MIN(l) AS c FROM reach GROUP BY n
+    ), sizes AS (
+      SELECT c, COUNT(*) AS sz FROM comp GROUP BY c
+    )
+    SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM pe WHERE x < y) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(MAX(sz) AS BIGINT) AS largest_component,
+           CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS singleton_components
+    FROM sizes
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the supplier co-supply graph (suppliers
+    adjacent when they ship lines of the same order) by distributed
+    min-label propagation — the clustering primitive under entity
+    resolution and [[dedup_clusters]], here summarized as component
+    count / largest size / singleton count.
+
+    Engine: labels start as the node id; each round every node takes
+    min(own label, neighbors' labels) until a round changes nothing —
+    the textbook hash-join form of label propagation.  Each round is
+    one |E|-proportional equi-join plus a node-keyed min-aggregate,
+    with ``localCheckpoint`` truncating lineage and ONE scalar action
+    (the changed-count) per round, exactly the [[graph_pagerank_converged]]
+    loop discipline.  Round count is the graph diameter, not a guess.
+    The oracle's recursive CTE enumerates decreasing-label paths —
+    fine on the DuckDB side's small frame, never what the engine does.
+
+    Scale: edge building fans out per order (bounded by lines/order,
+    ≤7 here) then dedups — never an all-pairs over suppliers; the
+    label frame is node-sized; the two count scalars join back as
+    broadcast single rows (sanctioned BNLJ)."""
+    ensure_deterministic_session(spark)
+    su = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    sb = su.select(F.col("o"), F.col("s").alias("s2"))
+    edges = (
+        su.join(sb, "o")
+        .filter(F.col("s") != F.col("s2"))
+        .select(F.col("s").alias("x"), F.col("s2").alias("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("n")
+    )
+    lab = nodes.select("n", F.col("n").alias("l")).localCheckpoint(eager=True)
+    while True:
+        nb = (
+            edges.join(lab, edges.x == lab.n)
+            .groupBy("y")
+            .agg(F.min("l").alias("nl"))
+        )
+        nxt = (
+            lab.join(nb, lab.n == nb.y, "left")
+            .select(
+                "n",
+                "l",
+                F.least(F.col("l"), F.coalesce(F.col("nl"), F.col("l"))).alias("l2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.filter(F.col("l2") < F.col("l")).count()  # one scalar/round
+        lab = nxt.select("n", F.col("l2").alias("l"))
+        if changed == 0:
+            break
+    sizes = lab.groupBy("l").agg(F.count(F.lit(1)).alias("sz"))
+    summary = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.max("sz").cast("long").alias("largest_component"),
+        F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("singleton_components"),
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = (
+        edges.filter(F.col("x") < F.col("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    return (
+        summary.crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_components",
+            "largest_component",
+            "singleton_components",
+        )
+    )
+
+
+@query(
+    "embed_slice_drift",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id // 16 AS slice,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+               AS BIGINT) AS qv
+      FROM embeddings
+    ), cent AS (
+      SELECT slice, dim,
+             CASE WHEN SUM(qv) >= 0 THEN SUM(qv) // COUNT(*)
+                  ELSE -((-SUM(qv)) // COUNT(*)) END AS c
+      FROM q GROUP BY slice, dim
+    ), pair AS (
+      SELECT a.slice AS slice_a, b.slice AS slice_b,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS dot,
+             CAST(SUM(a.c * a.c) AS BIGINT) AS na,
+             CAST(SUM(b.c * b.c) AS BIGINT) AS nb
+      FROM cent a JOIN cent b
+        ON a.slice + 1 = b.slice AND a.dim = b.dim
+      GROUP BY a.slice, b.slice
+    )
+    SELECT CAST(slice_a AS BIGINT) AS slice_a,
+           CAST(slice_b AS BIGINT) AS slice_b,
+           dot, na, nb,
+           CAST(CASE WHEN na = 0 OR nb = 0 THEN 0
+                WHEN dot >= 0 THEN dot * dot * 1000 // (na * nb)
+                ELSE -(dot * dot * 1000 // (na * nb)) END AS BIGINT)
+             AS cos_sq_milli
+    FROM pair
+    ORDER BY slice_a
+    """,
+)
+def embed_slice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between adjacent corpus slices: quantize
+    embeddings to exact milli integers, average per slice and
+    dimension (integer centroid, truncate-abs idiom), then score each
+    adjacent slice pair by signed squared cosine of the centroids —
+    cos² in milli with the dot's sign, the log/sqrt-free similarity
+    the repo's bit-portability rules require.  The drift-over-slices
+    twin of [[token_drift_slices]] (vocabulary drift) for the vector
+    column; cos_sq_milli near 1000 = stable embedding distribution,
+    a dip marks the slice where the feed changed.
+
+    Overflow bound: |centroid| ≤ 1000·max|e| ≈ 580, so dot ≤ 64·580²
+    ≈ 2e7 and dot²·1000 ≈ 5e17 — inside BIGINT with 10× headroom.
+
+    Scale: one slice×dim hash aggregate (map-side combined), then an
+    equi-join of the centroid frame to itself on (slice+1, dim) —
+    the frame is slice-count × 64 rows, domain-sized when slices are
+    calendar buckets (here vec_id//16 stands in for ingest time)."""
+    ensure_deterministic_session(spark)
+    q = load_table(spark, sf_dir, "embeddings").select(
+        F.expr("vec_id div 16").alias("slice"),
+        F.posexplode("embedding").alias("dim0", "e"),
+    )
+    cent = (
+        q.select(
+            "slice",
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("e").cast("double") * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("qv"),
+        )
+        .groupBy("slice", "dim")
+        .agg(
+            F.expr(
+                """CASE WHEN SUM(qv) >= 0 THEN SUM(qv) div COUNT(*)
+                   ELSE -((-SUM(qv)) div COUNT(*)) END"""
+            ).alias("c")
+        )
+    )
+    b = cent.select(
+        F.col("slice").alias("slice_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("c").alias("cb"),
+    )
+    pair = (
+        cent.join(
+            b,
+            (F.col("slice") + 1 == F.col("slice_b")) & (F.col("dim") == F.col("dim_b")),
+        )
+        .groupBy(F.col("slice").alias("slice_a"), "slice_b")
+        .agg(
+            F.sum(F.col("c") * F.col("cb")).cast("long").alias("dot"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("na"),
+            F.sum(F.col("cb") * F.col("cb")).cast("long").alias("nb"),
+        )
+    )
+    return pair.select(
+        F.col("slice_a").cast("long").alias("slice_a"),
+        F.col("slice_b").cast("long").alias("slice_b"),
+        "dot",
+        "na",
+        "nb",
+        F.expr(
+            """CASE WHEN na = 0 OR nb = 0 THEN 0
+               WHEN dot >= 0 THEN dot * dot * 1000 div (na * nb)
+               ELSE -(dot * dot * 1000 div (na * nb)) END"""
+        )
+        .cast("long")
+        .alias("cos_sq_milli"),
+    ).orderBy("slice_a")

@@ -1,0 +1,206 @@
+"""Semantic invariants for the round-8 insight keys
+(plans/insights.py) — value-exactness is covered by the oracle-parity
+sweep in test_correctness.py; these assert the conservation laws and
+brute-force agreements the docstrings promise."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+
+QUERIES = entry_mod.queries()
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def test_attribution_conserves_events_and_value(spark):
+    """Every event lands in exactly one session; attributed value is
+    the sum of ALL event cents."""
+    rows = QUERIES["event_first_touch_attribution"](spark, SF_DIR).collect()
+    (n_ev, cents) = _duck(
+        f"""SELECT COUNT(*), SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+            FROM '{SF_DIR}/events.parquet'"""
+    )[0]
+    assert sum(r.n_events for r in rows) == n_ev
+    assert sum(r.total_value_cents for r in rows) == cents
+    assert all(r.n_sessions <= r.n_events for r in rows)
+
+
+def test_bounce_consistent_with_attribution(spark):
+    att = {r.entry_type: r for r in QUERIES["event_first_touch_attribution"](spark, SF_DIR).collect()}
+    for r in QUERIES["session_bounce_rate"](spark, SF_DIR).collect():
+        assert r.n_sessions == att[r.entry_type].n_sessions
+        assert 0 <= r.n_bounce <= r.n_sessions
+        assert 0 <= r.bounce_milli <= 1000
+
+
+def test_seasonality_partitions_the_stream(spark):
+    rows = QUERIES["event_hour_seasonality"](spark, SF_DIR).collect()
+    (n_ev,) = _duck(f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'")[0]
+    assert {r.hour_utc for r in rows} <= set(range(24))
+    assert sum(r.n_events for r in rows) == n_ev
+    # floor-truncated shares can undershoot by at most one per bucket
+    assert 1_000_000 - len(rows) < sum(r.share_ppm for r in rows) <= 1_000_000
+
+
+def test_dedup_rate_survivors_count_distinct_texts(spark):
+    rows = QUERIES["dedup_rate_by_source"](spark, SF_DIR).collect()
+    (n_docs, n_texts) = _duck(
+        f"SELECT COUNT(*), COUNT(DISTINCT text) FROM '{SF_DIR}/documents.parquet'"
+    )[0]
+    assert sum(r.n_docs for r in rows) == n_docs
+    # each distinct text has exactly one survivor, attributed to one source
+    assert sum(r.n_survivors for r in rows) == n_texts
+    for r in rows:
+        assert r.n_survivors <= r.n_distinct_texts <= r.n_docs
+        assert 0 <= r.dup_rate_milli <= 1000
+
+
+def test_cluster_hist_is_a_partition_of_docs(spark):
+    rows = QUERIES["dup_cluster_size_hist"](spark, SF_DIR).collect()
+    (n_docs, n_texts) = _duck(
+        f"SELECT COUNT(*), COUNT(DISTINCT text) FROM '{SF_DIR}/documents.parquet'"
+    )[0]
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.n_clusters for r in rows) == n_texts
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+
+
+def test_join_cardinality_estimate_is_exact(spark):
+    """The histogram product really equals the materialized join."""
+    r = QUERIES["join_cardinality_estimate"](spark, SF_DIR).collect()[0]
+    (actual,) = _duck(
+        f"""SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet' o
+            JOIN '{SF_DIR}/lineitem.parquet' l ON o.o_orderkey = l.l_orderkey"""
+    )[0]
+    assert r.join_rows == actual
+    assert r.n_matched_keys <= min(r.n_keys_orders, r.n_keys_lineitem)
+    assert 0 <= r.containment_milli <= 1000
+
+
+def test_skew_topn_descending_and_bounded(spark):
+    rows = QUERIES["join_key_skew_topn"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    contribs = [r.join_rows for r in rows]
+    assert contribs == sorted(contribs, reverse=True)
+    for r in rows:
+        assert r.join_rows == r.c_orders * r.c_lineitem
+        assert 0 <= r.share_ppm <= 1_000_000
+
+
+def test_pareto_coverage_is_minimal(spark):
+    """The reported count reaches >= 80%, and one customer fewer
+    (greedy order) does not — recomputed literally."""
+    r = QUERIES["customer_pareto_coverage"](spark, SF_DIR).collect()[0]
+    revs = sorted(
+        (
+            v
+            for (v,) in _duck(
+                f"""SELECT SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    FROM '{SF_DIR}/orders.parquet' GROUP BY o_custkey"""
+            )
+        ),
+        reverse=True,
+    )
+    total = sum(revs)
+    thr = -(-total * 800 // 1000)  # ceil
+    assert r.n_customers == len(revs) and r.total_cents == total
+    greedy = revs[: r.covering_customers]
+    assert sum(greedy) >= thr
+    assert r.covering_customers == 0 or sum(greedy[:-1]) < thr
+    assert sum(greedy) == r.covered_cents
+    assert r.coverage_milli >= 800
+
+
+def test_slope_matches_float_least_squares(spark):
+    r = QUERIES["discount_quantity_slope"](spark, SF_DIR).collect()[0]
+    xy = _duck(
+        f"""SELECT CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT),
+                   CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+            FROM '{SF_DIR}/lineitem.parquet'"""
+    )
+    x = np.array([a for a, _ in xy], dtype=np.float64)
+    y = np.array([b for _, b in xy], dtype=np.float64)
+    slope = np.polyfit(x, y, 1)[0]
+    assert abs(r.slope_milli - slope * 1000) <= 1.0
+    assert r.slope_den > 0
+
+
+def test_lag_bands_partition_lineitem(spark):
+    rows = QUERIES["ship_lag_bands"](spark, SF_DIR).collect()
+    (n_lines,) = _duck(f"SELECT COUNT(*) FROM '{SF_DIR}/lineitem.parquet'")[0]
+    assert sum(r.n_lines for r in rows) == n_lines
+    assert {r.band for r in rows} <= {"00-07", "08-30", "31-90", "90+"}
+
+
+def test_momentum_sign_matches_direction(spark):
+    rows = QUERIES["orders_monthly_momentum"](spark, SF_DIR).collect()
+    for r in rows:
+        if r.rev_cents > r.prev_cents:
+            assert r.delta_milli >= 0
+        elif r.rev_cents < r.prev_cents:
+            assert r.delta_milli <= 0
+        else:
+            assert r.delta_milli == 0
+
+
+def test_connected_components_match_union_find(spark):
+    """Distributed label propagation agrees with a literal driver-side
+    union-find on the same co-supply edges."""
+    r = QUERIES["graph_connected_components"](spark, SF_DIR).collect()[0]
+    sups = [s for (s,) in _duck(f"SELECT s_suppkey FROM '{SF_DIR}/supplier.parquet'")]
+    edges = _duck(
+        f"""WITH su AS (SELECT DISTINCT l_orderkey o, l_suppkey s
+                        FROM '{SF_DIR}/lineitem.parquet')
+            SELECT DISTINCT a.s, b.s FROM su a JOIN su b
+            ON a.o = b.o AND a.s < b.s"""
+    )
+    parent = {s: s for s in sups}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    sizes: dict = {}
+    for s in sups:
+        sizes[find(s)] = sizes.get(find(s), 0) + 1
+    assert r.n_nodes == len(sups)
+    assert r.n_edges == len(edges)
+    assert r.n_components == len(sizes)
+    assert r.largest_component == max(sizes.values())
+    assert r.singleton_components == sum(1 for v in sizes.values() if v == 1)
+
+
+def test_slice_drift_matches_numpy_quantized_cosine(spark):
+    rows = QUERIES["embed_slice_drift"](spark, SF_DIR).collect()
+    embs = _duck(f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet'")
+    by_slice: dict = {}
+    for vid, e in embs:
+        q = np.floor(np.asarray(e, dtype=np.float64) * 1000 + 0.5).astype(np.int64)
+        by_slice.setdefault(vid // 16, []).append(q)
+    cents = {}
+    for s, qs in by_slice.items():
+        tot = np.sum(qs, axis=0)
+        n = len(qs)
+        cents[s] = np.where(tot >= 0, tot // n, -((-tot) // n))
+    for r in rows:
+        a, b = cents[r.slice_a], cents[r.slice_b]
+        assert r.dot == int(np.dot(a, b))
+        assert r.na == int(np.dot(a, a)) and r.nb == int(np.dot(b, b))
+        assert -1000 <= r.cos_sq_milli <= 1000

@@ -204,6 +204,9 @@ BNLJ_ALLOWED = {
     "events_control_chart",  # single-row corpus-total broadcast
     # round-7c:
     "graph_triangle_count",  # two single-row count broadcasts into the summary row
+    # round-8 insights keys — scalar/bounded broadcasts:
+    "join_key_skew_topn",  # single-row join-total broadcast (ppm share)
+    "graph_connected_components",  # two single-row count broadcasts into the summary row
 }
 
 
