@@ -198,3 +198,111 @@ def pq_ann_topk(
             _micro("cosine").alias("cosine_micro"),
         )
     )
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ksub: int = 16,
+    n_iter: int = 5,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composition — the FAISS ``IVFx,PQy`` index as relational
+    ops: the coarse quantizer (operators/ivf.py k-means) prunes the
+    corpus to ``nprobe`` probed cells per query, the ADC scan scores
+    only THOSE candidates from their PQ codes, and the top
+    ``refine``·k short list is rescored exactly.  Completes the ANN
+    ladder: LSH (data-independent), IVF (prune, exact scan), PQ
+    (full scan, compressed scores), IVF-PQ (prune + compressed).
+
+    Scale: the two trainers collect bounded samples only; corpus-side
+    work is one Arrow-batched assign+encode pass; the probed-cell
+    candidate set is |corpus|·nprobe/n_clusters in expectation — the
+    scan cost drops with the cell count while the code table is
+    already m bytes per vector, the memory shape that survives
+    100 TB.  Deterministic: both trainers are hash-seeded, ADC ties
+    break on neighbor id."""
+    from .ivf import _assign_udf, train_kmeans
+
+    centroids = train_kmeans(corpus, n_clusters, n_iter, id_col, vec_col)
+    books = train_pq_codebooks(corpus, m, ksub, n_iter, id_col, vec_col)
+    assign = _assign_udf(centroids)
+    enc = _encode_udf(books)
+
+    c = spread(corpus).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    codes = c.select(
+        "c_id", assign("c_vec").alias("cell"), enc("c_vec").alias("codes")
+    )
+
+    q_rows = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).collect()  # bounded query batch, same contract as pq_ann_topk
+    q_ids = np.array([r.q_id for r in q_rows])
+    q_index = {int(qid): i for i, qid in enumerate(q_ids)}
+    Q = np.array([list(r.q_vec) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+
+    # coarse probes, computed driver-side over the bounded batch
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    probe_order = np.argsort(-(Qn @ Cn.T), axis=1)[:, :nprobe]
+    spark = corpus.sparkSession
+    qcells = spark.createDataFrame(
+        [
+            (int(q_ids[i]), int(cell))
+            for i in range(len(q_ids))
+            for cell in probe_order[i]
+        ],
+        "q_id long, cell int",
+    )
+
+    cand = codes.join(F.broadcast(qcells), "cell").filter(
+        F.col("q_id") != F.col("c_id")
+    )
+
+    mm, kk, dsub = books.shape
+    tables = np.einsum("qsd,skd->qsk", Qn.reshape(len(Qn), mm, dsub), books)
+
+    @pandas_udf("double")
+    def _adc_one(qid_s: pd.Series, code_arr: pd.Series) -> pd.Series:
+        C = np.stack(code_arr.values).astype(np.int64)  # (n, m)
+        qi = np.array([q_index[int(q)] for q in qid_s.values])
+        recon = books[np.arange(mm)[None, :], C]
+        norms = np.maximum(np.linalg.norm(recon.reshape(len(C), -1), axis=1), 1e-12)
+        dots = tables[qi[:, None], np.arange(mm)[None, :], C].sum(axis=1)
+        return pd.Series(dots / norms)
+
+    scored = cand.select("q_id", "c_id", _adc_one("q_id", "codes").alias("adc"))
+    w_adc = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("c_id"))
+    short = (
+        scored.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= refine * k)
+        .select("q_id", "c_id")
+    )
+
+    qdf = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    exact = (
+        short.join(c, "c_id")
+        .join(F.broadcast(qdf), "q_id")
+        .select("q_id", "c_id", pd_cosine("q_vec", "c_vec").alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("c_id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            _micro("cosine").alias("cosine_micro"),
+        )
+    )

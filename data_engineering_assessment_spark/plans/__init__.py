@@ -27,8 +27,15 @@ from .registry import oracles, queries, set_priority  # noqa: F401
 #      finally lands,
 #   2. the 29 round-7b/7c keys registered behind the r07 window
 #      (metrics/eval layer, scan variants, window/graph additions),
-#   3. round-8 additions appended behind them (~20 spare slots).
-# Rows-only-by-design keys stay out of the prefix permanently.
+#   3. the 15 round-8 insight keys (plans/insights.py: sessionized
+#      attribution + bounce, seasonality, dedup dashboards, join
+#      planning statistics, Pareto/slope/lag/momentum, connected
+#      components, embedding drift, IVF-PQ, streaming attribution)
+#      appended behind them — 45 of the ~50 slots.
+# Rows-only-by-design keys enter the prefix ONCE to land their
+# no_oracle verdict (ivfpq + stream attribution here, like
+# graph_pagerank_converged and embed_ann_pq before them), then stay
+# out permanently.
 set_priority(
     [
         "embed_pca_project",
@@ -61,5 +68,21 @@ set_priority(
         "join_asof_forward",
         "window_cume_dist",
         "graph_pagerank_converged",
+        # --- round-8 insight keys (plans/insights.py), behind the tail ---
+        "event_first_touch_attribution",
+        "session_bounce_rate",
+        "event_hour_seasonality",
+        "dedup_rate_by_source",
+        "dup_cluster_size_hist",
+        "join_cardinality_estimate",
+        "join_key_skew_topn",
+        "customer_pareto_coverage",
+        "discount_quantity_slope",
+        "ship_lag_bands",
+        "orders_monthly_momentum",
+        "graph_connected_components",
+        "embed_slice_drift",
+        "embed_ann_ivfpq",
+        "stream_session_attribution",
     ]
 )

@@ -990,3 +990,99 @@ def embed_slice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cos_sq_milli"),
     ).orderBy("slice_a")
+
+
+def _scratch_tag(sf_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+@query("embed_ann_ivfpq")  # coarse-prune + code-scan ANN — rows-only
+def embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors (operators/pq.py:
+    ivfpq_ann_topk): the coarse k-means quantizer prunes the corpus
+    to the probed cells, the ADC scan scores only those candidates
+    from their PQ codes, and the short list is rescored exactly —
+    FAISS's workhorse index expressed as DataFrame ops.  Completes
+    the ANN ladder after [[embed_ann_lsh]], [[embed_ann_ivf]], and
+    [[embed_ann_pq]].  No SQL oracle — quantizer training is not
+    SQL-expressible — so the driver records rows-only; pytest asserts
+    recall against brute force and the exact-rescore property."""
+    ensure_deterministic_session(spark)
+    from ..operators.pq import ivfpq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_ann_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=3,
+        n_clusters=16,
+        nprobe=6,
+        m=16,
+        ksub=32,
+        n_iter=3,
+        refine=16,
+    )
+
+
+@query("stream_session_attribution")  # streaming twin — rows-only
+def stream_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-touch attribution: the
+    [[event_first_touch_attribution]] dashboard as a live query —
+    native ``session_window`` sessions (30-minute gap) with a
+    2-hour watermark, per-session entry type via ``min_by`` over the
+    total (ts, event_id) order, run under Trigger.AvailableNow and
+    rolled up to the same (entry_type, n_sessions, n_events,
+    total_value_cents) shape.  Boundary semantics follow
+    ``session_window`` (microsecond timestamps, a gap of EXACTLY the
+    threshold starts a new session), so the pytest twin recomputes
+    the batch expectation under those rules rather than the graded
+    batch key's floored-seconds contract.
+
+    Scale: session state shards by user across the state store;
+    the watermark evicts closed sessions; the final rollup is a tiny
+    entry-type aggregate over the emitted sessions."""
+    ensure_deterministic_session(spark)
+    from ..streaming.windows import read_event_stream
+
+    path = f"/root/repo/.scratch/stream_attr_{_scratch_tag(sf_dir)}"
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(
+        path
+    )
+    name = f"stream_attr_{_scratch_tag(sf_dir)}"
+    per_session = (
+        read_event_stream(spark, path)
+        .withWatermark("ts", "2 hours")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            _cents("value").alias("cents"),
+        )
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.expr("min_by(event_type, struct(ts, event_id))").alias("entry_type"),
+            F.sum("cents").alias("scents"),
+            F.count(F.lit(1)).alias("nev"),
+        )
+    )
+    q = (
+        per_session.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("nev").cast("long").alias("n_events"),
+            F.sum("scents").cast("long").alias("total_value_cents"),
+        )
+        .orderBy("entry_type")
+    )

@@ -204,3 +204,80 @@ def test_slice_drift_matches_numpy_quantized_cosine(spark):
         assert r.dot == int(np.dot(a, b))
         assert r.na == int(np.dot(a, a)) and r.nb == int(np.dot(b, b))
         assert -1000 <= r.cos_sq_milli <= 1000
+
+
+def test_ivfpq_recall_and_exact_rescore(spark):
+    """IVF-PQ: the pruned+compressed scan still recovers most true
+    neighbors, and every returned neighbor carries its TRUE cosine
+    (exact-rescore property — pruning and ADC error can cost recall,
+    never score accuracy)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.operators.pq import ivfpq_ann_topk
+    from data_engineering_assessment_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = cosine_topk(emb, q, k=3).collect()
+    bs: dict = {}
+    for r in brute:
+        bs.setdefault(r.q_id, set()).add(r.neighbor_id)
+    got = ivfpq_ann_topk(
+        emb, q, k=3, n_clusters=16, nprobe=6, m=16, ksub=32, n_iter=3, refine=16
+    ).collect()
+    ps: dict = {}
+    for r in got:
+        ps.setdefault(r.q_id, set()).add(r.neighbor_id)
+    recall = [len(bs[k] & ps.get(k, set())) / len(bs[k]) for k in bs]
+    assert sum(recall) / len(recall) >= 0.7
+
+    truth = {
+        (r.q_id, r.neighbor_id): r.cosine_micro
+        for r in cosine_topk(emb, q, k=49).collect()
+    }
+    for r in got:
+        if (r.q_id, r.neighbor_id) in truth:
+            assert abs(r.cosine_micro - truth[(r.q_id, r.neighbor_id)]) <= 2
+
+
+def test_stream_attribution_matches_batch_recompute(spark):
+    """The streaming rollup equals a literal driver recompute under
+    session_window semantics (microsecond gaps, a gap of exactly the
+    threshold starts a new session, min-(ts, event_id) entry)."""
+    rows = {
+        r.entry_type: r
+        for r in QUERIES["stream_session_attribution"](spark, SF_DIR).collect()
+    }
+    ev = _duck(
+        f"""SELECT user_id, event_id, event_type,
+                   CAST(epoch_us(ts) AS BIGINT),
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+            FROM '{SF_DIR}/events.parquet'"""
+    )
+    by_user: dict = {}
+    for uid, eid, et, tus, cents in ev:
+        by_user.setdefault(uid, []).append((tus, eid, et, cents))
+    gap_us = 1800 * 1_000_000
+    expect: dict = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        sess: list = []
+        for e in evs:
+            if sess and e[0] - sess[-1][0] >= gap_us:
+                entry = min(sess)[2]
+                agg = expect.setdefault(entry, [0, 0, 0])
+                agg[0] += 1
+                agg[1] += len(sess)
+                agg[2] += sum(x[3] for x in sess)
+                sess = []
+            sess.append(e)
+        if sess:
+            entry = min(sess)[2]
+            agg = expect.setdefault(entry, [0, 0, 0])
+            agg[0] += 1
+            agg[1] += len(sess)
+            agg[2] += sum(x[3] for x in sess)
+    assert set(rows) == set(expect)
+    for et, (ns, nev, cents) in expect.items():
+        r = rows[et]
+        assert (r.n_sessions, r.n_events, r.total_value_cents) == (ns, nev, cents), et

@@ -28,6 +28,7 @@ PY_ALLOWED = {k for k in QUERIES if k.startswith("multimodal_")} | {
     "embed_pca_project",  # Gram partials + broadcast matmul — sanctioned Arrow hop
     "seq_lis_per_user",  # order-dependent DP — the sanctioned applyInPandas hop
     "embed_ann_pq",  # PQ codebook encode/ADC scan — sanctioned Arrow hops
+    "embed_ann_ivfpq",  # IVF coarse assign + PQ ADC — same sanctioned Arrow hops
     "embed_knn_classify",  # votes over the Arrow-scored topk — same hop as embed_cosine_topk
     "scan_tablelog_datasource",  # Python DataSource scan — the integration under test
     "cogroup_order_reconcile",  # cogroup().applyInPandas — the integration under test
