@@ -84,5 +84,10 @@ set_priority(
         "embed_slice_drift",
         "embed_ann_ivfpq",
         "stream_session_attribution",
+        "events_user_mode_type",
+        "orders_priority_mix_shift",
+        "interarrival_gap_p90",
+        "events_dau_wau_stickiness",
+        "returns_by_brand",
     ]
 )

@@ -1086,3 +1086,303 @@ def stream_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+@query(
+    "events_user_mode_type",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ), best AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY c DESC, event_type) AS rk
+      FROM per
+    )
+    SELECT event_type AS mode_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM best WHERE rk = 1
+    GROUP BY event_type
+    ORDER BY mode_type
+    """,
+)
+def events_user_mode_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (deterministic: count desc, then
+    lexicographic type) rolled up to "how many users are primarily
+    viewers / clickers / buyers" — the behavioral-segment headcount.
+
+    Scale: one (user, type) hash aggregate shrinks the stream to at
+    most |users|·|types| rows, then a per-user window picks the mode
+    — frames are type-count sized (~5 rows); the final rollup is
+    type-domain sized.  No raw-event window anywhere."""
+    ensure_deterministic_session(spark)
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
+    best = per.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.groupBy(F.col("event_type").alias("mode_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("mode_type")
+    )
+
+
+@query(
+    "orders_priority_mix_shift",
+    oracle="""
+    WITH half AS (
+      SELECT o_orderpriority AS pri,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+               THEN 0 ELSE 1 END AS h
+      FROM orders
+    ), per AS (
+      SELECT pri,
+             SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS n2
+      FROM half GROUP BY pri
+    ), tot AS (
+      SELECT pri, n1, n2,
+             SUM(n1) OVER () AS t1, SUM(n2) OVER () AS t2
+      FROM per
+    )
+    SELECT pri,
+           CAST(n1 AS BIGINT) AS n_before,
+           CAST(n2 AS BIGINT) AS n_after,
+           CAST(n1 * 1000000 // t1 AS BIGINT) AS share_before_ppm,
+           CAST(n2 * 1000000 // t2 AS BIGINT) AS share_after_ppm,
+           CAST(CASE WHEN n2 * t1 >= n1 * t2
+                THEN (n2 * t1 - n1 * t2) * 1000000 // (t1 * t2)
+                ELSE -((n1 * t2 - n2 * t1) * 1000000 // (t1 * t2))
+                END AS BIGINT) AS shift_ppm
+    FROM tot
+    ORDER BY pri
+    """,
+)
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix shift between eras (orders before vs since
+    1998): per-priority counts, exact ppm shares of each era, and the
+    signed ppm share shift — computed division-light as
+    (n2·t1 − n1·t2)/(t1·t2) so the sign is decided by exact integer
+    cross-multiplication (the [[event_ab_test_lift]] device) and only
+    ONE floor division happens per row.  Half the total-variation
+    distance of the mix is Σ|shift|/2 — recoverable from the rows.
+
+    Scale: one priority-keyed aggregate with two conditional sums;
+    the share window runs over the 5-row priority domain."""
+    ensure_deterministic_session(spark)
+    half = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("h"),
+    )
+    per = half.groupBy("pri").agg(
+        F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).alias("n2"),
+    )
+    w = Window.partitionBy()
+    tot = per.select(
+        "pri",
+        "n1",
+        "n2",
+        F.sum("n1").over(w).alias("t1"),
+        F.sum("n2").over(w).alias("t2"),
+    )
+    return tot.select(
+        "pri",
+        F.col("n1").cast("long").alias("n_before"),
+        F.col("n2").cast("long").alias("n_after"),
+        F.expr("n1 * 1000000 div t1").cast("long").alias("share_before_ppm"),
+        F.expr("n2 * 1000000 div t2").cast("long").alias("share_after_ppm"),
+        F.expr(
+            """CASE WHEN n2 * t1 >= n1 * t2
+               THEN (n2 * t1 - n1 * t2) * 1000000 div (t1 * t2)
+               ELSE -((n1 * t2 - n2 * t1) * 1000000 div (t1 * t2))
+               END"""
+        )
+        .cast("long")
+        .alias("shift_ppm"),
+    ).orderBy("pri")
+
+
+@query(
+    "interarrival_gap_p90",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             (CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)
+              - LAG(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)) // 86400 AS gap_d
+      FROM orders
+    ), gaps AS (
+      SELECT gap_d FROM g WHERE gap_d IS NOT NULL
+    ), buck AS (
+      SELECT gap_d, COUNT(*) AS cnt FROM gaps GROUP BY gap_d
+    ), cum AS (
+      SELECT gap_d, cnt,
+             SUM(cnt) OVER (ORDER BY gap_d ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM buck
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(CASE WHEN cum * 10 >= n * 5 THEN gap_d END) AS BIGINT)
+             AS p50_days,
+           CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN gap_d END) AS BIGINT)
+             AS p90_days,
+           CAST(MAX(gap_d) AS BIGINT) AS max_days
+    FROM cum
+    """,
+)
+def interarrival_gap_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 of customer inter-order gaps (days) — the
+    repurchase-cadence statistic a retention model calibrates
+    against.  Percentile definition: smallest gap value whose
+    cumulative count reaches the rank threshold (cum·10 ≥ n·k,
+    cross-multiplied — no division at all).
+
+    Scale (value-bucketed rank statistics): per-customer LAG runs in
+    customer-partitioned frames; the percentile pass then groups BY
+    GAP VALUE and prefix-sums over distinct day counts — a domain of
+    at most a few thousand values regardless of order count.  The
+    full gap list is never sorted globally."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", _epoch_s("o_orderdate").alias("t")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("t", "o_orderkey")
+    gaps = (
+        o.withColumn("prev", F.lag("t").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.expr("(t - prev) div 86400").alias("gap_d"))
+    )
+    buck = gaps.groupBy("gap_d").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("gap_d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buck.select(
+        "gap_d",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    return cum.agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("n") * 5, F.col("gap_d")))
+        .cast("long")
+        .alias("p50_days"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("gap_d")))
+        .cast("long")
+        .alias("p90_days"),
+        F.max("gap_d").cast("long").alias("max_days"),
+    )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d,
+             user_id
+      FROM events
+    ), dau AS (
+      SELECT d, COUNT(*) AS dau FROM du GROUP BY d
+    ), contrib AS (
+      SELECT DISTINCT du.d + o.o AS wd, du.user_id
+      FROM du CROSS JOIN (SELECT UNNEST(range(7)) AS o) o
+    ), wau AS (
+      SELECT wd AS d, COUNT(*) AS wau FROM contrib GROUP BY wd
+    )
+    SELECT CAST(dau.d AS BIGINT) AS epoch_day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(dau.dau * 1000 // wau.wau AS BIGINT) AS stickiness_milli
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY epoch_day
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU stickiness per day — the engagement
+    ratio product dashboards headline.  WAU is EXACT: each active
+    (day, user) pair contributes the user to the WAU of days
+    d..d+6 (a bounded 7-row fan-out), then one distinct collapses
+    multi-day actives — no rolling COUNT(DISTINCT) window, which is
+    either approximate or a per-day rescan at scale.  Days where the
+    7-day lookback starts before the corpus begin still report (their
+    WAU covers the observed prefix), matching the SQL twin exactly.
+
+    Scale: distinct (day, user) is one shuffle; the ×7 explode is
+    constant fan-out; both rollups are day-domain sized.  The
+    stickiness ratio is exact milli with DAU ≤ WAU ≤ 7·DAU bounds."""
+    ensure_deterministic_session(spark)
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select(_epoch_s("ts").alias("t"), "user_id")
+        .select(F.expr("t div 86400").alias("d"), "user_id")
+        .distinct()
+    )
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        du.select(
+            F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("wd"), "user_id"
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy(F.col("wd").alias("d")).agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").cast("long").alias("epoch_day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.expr("dau * 1000 div wau").cast("long").alias("stickiness_milli"),
+        )
+        .orderBy("epoch_day")
+    )
+
+
+@query(
+    "returns_by_brand",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS return_milli
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY brand
+    """,
+)
+def returns_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate per part brand — the product-quality league table
+    (which brands come back).  Completes the returns analyses
+    ([[ship_lag_bands]] asks WHEN returns correlate, this asks WHAT).
+
+    Scale: fact ⋈ broadcast part dim (key + brand only, pruned at
+    scan), then a brand-domain rollup with one conditional sum."""
+    ensure_deterministic_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (
+        j.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returned"),
+        )
+        .select(
+            "brand",
+            "n_lines",
+            "n_returned",
+            F.expr("n_returned * 1000 div n_lines").cast("long").alias("return_milli"),
+        )
+        .orderBy("brand")
+    )

@@ -281,3 +281,94 @@ def test_stream_attribution_matches_batch_recompute(spark):
     for et, (ns, nev, cents) in expect.items():
         r = rows[et]
         assert (r.n_sessions, r.n_events, r.total_value_cents) == (ns, nev, cents), et
+
+
+def test_user_mode_counts_all_users(spark):
+    rows = QUERIES["events_user_mode_type"](spark, SF_DIR).collect()
+    (n_users,) = _duck(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{SF_DIR}/events.parquet'"
+    )[0]
+    assert sum(r.n_users for r in rows) == n_users
+    # brute-force mode for every user
+    per = _duck(
+        f"""SELECT user_id, event_type, COUNT(*) FROM '{SF_DIR}/events.parquet'
+            GROUP BY user_id, event_type"""
+    )
+    by_user: dict = {}
+    for uid, et, c in per:
+        by_user.setdefault(uid, []).append((-c, et))
+    expect: dict = {}
+    for uid, lst in by_user.items():
+        mode = min(lst)[1]
+        expect[mode] = expect.get(mode, 0) + 1
+    assert {r.mode_type: r.n_users for r in rows} == expect
+
+
+def test_priority_mix_shift_shares_and_sign(spark):
+    rows = QUERIES["orders_priority_mix_shift"](spark, SF_DIR).collect()
+    (n_orders,) = _duck(f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'")[0]
+    assert sum(r.n_before + r.n_after for r in rows) == n_orders
+    assert 1_000_000 - len(rows) < sum(r.share_before_ppm for r in rows) <= 1_000_000
+    assert 1_000_000 - len(rows) < sum(r.share_after_ppm for r in rows) <= 1_000_000
+    for r in rows:
+        raw = r.share_after_ppm - r.share_before_ppm
+        # shift is the exact cross-multiplied form; floor-truncated
+        # shares can disagree by at most 1 ppm either side
+        assert abs(r.shift_ppm - raw) <= 2
+
+
+def test_gap_p90_matches_bruteforce_percentile(spark):
+    r = QUERIES["interarrival_gap_p90"](spark, SF_DIR).collect()[0]
+    gaps = sorted(
+        g
+        for (g,) in _duck(
+            f"""WITH o AS (
+                  SELECT o_custkey,
+                         CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS t,
+                         o_orderkey
+                  FROM '{SF_DIR}/orders.parquet')
+                SELECT (t - LAG(t) OVER (PARTITION BY o_custkey
+                  ORDER BY t, o_orderkey)) // 86400
+                FROM o"""
+        )
+        if g is not None
+    )
+    assert r.n_gaps == len(gaps)
+    # smallest value whose cumulative count reaches ceil(k/10 * n)
+    def pct(k):
+        need = -(-len(gaps) * k // 10)
+        return gaps[need - 1]
+
+    assert r.p50_days == pct(5)
+    assert r.p90_days == pct(9)
+    assert r.max_days == gaps[-1]
+
+
+def test_dau_wau_bounds_and_bruteforce(spark):
+    rows = QUERIES["events_dau_wau_stickiness"](spark, SF_DIR).collect()
+    du = set(
+        _duck(
+            f"""SELECT DISTINCT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400,
+                       user_id FROM '{SF_DIR}/events.parquet'"""
+        )
+    )
+    days = {d for d, _ in du}
+    for r in rows:
+        assert r.epoch_day in days
+        dau = sum(1 for d, _ in du if d == r.epoch_day)
+        wau = len({u for d, u in du if r.epoch_day - 6 <= d <= r.epoch_day})
+        assert (r.dau, r.wau) == (dau, wau)
+        assert r.dau <= r.wau
+        assert 0 < r.stickiness_milli <= 1000
+
+
+def test_returns_by_brand_partitions_lineitem(spark):
+    rows = QUERIES["returns_by_brand"](spark, SF_DIR).collect()
+    (n_lines, n_ret) = _duck(
+        f"""SELECT COUNT(*), SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            FROM '{SF_DIR}/lineitem.parquet'"""
+    )[0]
+    assert sum(r.n_lines for r in rows) == n_lines
+    assert sum(r.n_returned for r in rows) == n_ret
+    for r in rows:
+        assert 0 <= r.return_milli <= 1000
