@@ -94,9 +94,15 @@ _SESSION_CTE = """
 
 def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of ``_SESSION_CTE``: one row per session with
-    (user_id, sid, entry_type, scents, nev).  All three window passes
-    share the same (user_id)/(t, event_id) partitioning+ordering, so
-    Catalyst plans ONE sort per user partition and reuses it."""
+    (user_id, sid, entry_type, scents, nev).  All three window
+    functions (lag, running sum, last-non-null) share ONE
+    (user_id)/(t, event_id) partitioning+ordering, so the plan sorts
+    each user partition exactly once.  The entry type rides the same
+    frame: the last row at-or-before the current one with new_s = 1
+    IS the session opener, so ``last(when(new_s=1, type), ignorenulls)``
+    replaces the second (user, sid)-partitioned window the oracle's
+    FIRST_VALUE formulation would need (equivalent by construction,
+    one sort cheaper)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -105,19 +111,21 @@ def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents("value").alias("cents"),
     )
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
     lag_t = F.lag("t").over(w)
     g = ev.withColumn(
         "new_s",
         F.when(lag_t.isNull() | (F.col("t") - lag_t > 1800), 1).otherwise(0),
     )
-    s = g.withColumn(
-        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    f = s.withColumn(
-        "entry_type",
-        F.first("event_type").over(
-            Window.partitionBy("user_id", "sid").orderBy("t", "event_id")
-        ),
+    f = g.select(
+        "user_id",
+        "cents",
+        F.sum("new_s").over(run).alias("sid"),
+        F.last(
+            F.when(F.col("new_s") == 1, F.col("event_type")), ignorenulls=True
+        )
+        .over(run)
+        .alias("entry_type"),
     )
     return f.groupBy("user_id", "sid", "entry_type").agg(
         F.sum("cents").alias("scents"), F.count(F.lit(1)).alias("nev")
