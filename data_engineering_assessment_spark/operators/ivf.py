@@ -133,3 +133,51 @@ def ivf_ann_topk(
             _micro("cosine").alias("cosine_micro"),
         )
     )
+
+
+def train_kmeans_sampled(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int = 4096,
+) -> np.ndarray:
+    """Sample-trained twin of ``train_kmeans``: same spherical
+    Lloyd's, same smallest-xxhash seeding, but the iterations run in
+    vectorized NumPy over a deterministic hash-sample of ≤
+    ``train_cap`` vectors (the pq.py training regime — FAISS
+    practice: quantizers need a representative sample, not the
+    corpus).  One bounded Spark job total instead of two jobs per
+    round; used by the IVF-PQ composition, where BOTH quantizers
+    train this way.  ``train_kmeans`` above stays the
+    distributed-update variant for the plain IVF index (each design
+    is the right one somewhere: distributed updates when the index is
+    rebuilt rarely and drift matters, sample training when the build
+    itself must be cheap)."""
+    v = spread(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    n_total = v.count()
+    if n_total > train_cap:
+        frac_bits = max(1, (n_total + train_cap - 1) // train_cap)
+        v = v.filter(F.pmod(F.xxhash64("id"), F.lit(frac_bits)) == 0)
+    rows = sorted(
+        v.withColumn("h", F.xxhash64("id")).select("h", "id", "vec").collect(),
+        key=lambda r: (r.h, r.id),
+    )[:train_cap]
+    if len(rows) < n_clusters:
+        raise ValueError(f"sample {len(rows)} smaller than n_clusters={n_clusters}")
+    X = np.array([list(r.vec) for r in rows], dtype=np.float64)
+    centroids = X[:n_clusters].copy()
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    for _ in range(n_iter):
+        Cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+        cells = np.argmax(Xn @ Cn.T, axis=1)
+        new = centroids.copy()
+        for c in np.unique(cells):
+            new[c] = X[cells == c].mean(axis=0)
+        if np.allclose(new, centroids, atol=1e-9):
+            break
+        centroids = new
+    return centroids

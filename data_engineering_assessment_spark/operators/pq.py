@@ -228,9 +228,9 @@ def ivfpq_ann_topk(
     already m bytes per vector, the memory shape that survives
     100 TB.  Deterministic: both trainers are hash-seeded, ADC ties
     break on neighbor id."""
-    from .ivf import _assign_udf, train_kmeans
+    from .ivf import _assign_udf, train_kmeans_sampled
 
-    centroids = train_kmeans(corpus, n_clusters, n_iter, id_col, vec_col)
+    centroids = train_kmeans_sampled(corpus, n_clusters, n_iter, id_col, vec_col)
     books = train_pq_codebooks(corpus, m, ksub, n_iter, id_col, vec_col)
     assign = _assign_udf(centroids)
     enc = _encode_udf(books)

@@ -4,9 +4,12 @@ what are they worth (first-touch attribution, bounce rate,
 seasonality), how much duplication does each source contribute
 (per-source dedup dashboard, cluster-size spectrum), what will a join
 cost before running it (the AQE planning statistics: cardinality
-estimate, key-skew top-N), and macro health series (monthly momentum,
+estimate, key-skew top-N), macro health series (monthly momentum,
 Pareto revenue coverage, discount elasticity, ship-lag bands,
-supplier co-supply connectivity).
+supplier co-supply connectivity, priority mix shift, inter-order gap
+percentiles, DAU/WAU stickiness, returns by brand, per-user modal
+behavior), embedding-space drift, and the IVF-PQ / streaming
+completions of the ANN and attribution ladders.
 
 Output contract (README round-3, plans/metrics.py module docstring):
 graded columns are BIGINT / STRING fixed-point; money is exact cents
