@@ -222,6 +222,11 @@ HEADLINE = [
     "interarrival_gap_p90",
     "events_dau_wau_stickiness",
     "returns_by_brand",
+    # round-8b additions (queued for the r9 grading rotation)
+    "scan_xml_roundtrip",
+    "events_anomaly_mad",
+    "session_duration_hist",
+    "customer_churn_by_segment",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

@@ -1397,3 +1397,227 @@ def returns_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d,
+             COUNT(*) AS n
+      FROM events GROUP BY d
+    ), med AS (
+      SELECT n, COUNT(*) AS cnt FROM daily GROUP BY n
+    ), medc AS (
+      SELECT n, cnt,
+             SUM(cnt) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS tot
+      FROM med
+    ), m AS (
+      SELECT MIN(CASE WHEN cum * 2 >= tot THEN n END) AS median FROM medc
+    ), dev AS (
+      SELECT ABS(daily.n - m.median) AS ad FROM daily, m
+    ), devb AS (
+      SELECT ad, COUNT(*) AS cnt FROM dev GROUP BY ad
+    ), devc AS (
+      SELECT ad, cnt,
+             SUM(cnt) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS tot
+      FROM devb
+    ), mad AS (
+      SELECT MIN(CASE WHEN cum * 2 >= tot THEN ad END) AS mad FROM devc
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(m.median AS BIGINT) AS median_daily,
+           CAST(mad.mad AS BIGINT) AS mad_daily,
+           CAST((SELECT COUNT(*) FROM daily
+                 WHERE ABS(daily.n - m.median) > 3 * mad.mad) AS BIGINT)
+             AS n_anomalous_days
+    FROM m, mad
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly count via median absolute
+    deviation: days whose event count sits more than 3 MAD from the
+    median — the outlier rule that (unlike 3σ, [[events_control_chart]])
+    a single crazy day cannot drag.  Lower-median convention
+    (smallest value whose cumulative count reaches half, cum·2 ≥ n) —
+    exact, division-free, identical in both engines.
+
+    Scale: daily counts are calendar-domain sized; BOTH medians run
+    as value-bucketed prefix sums over distinct values (the
+    plans/metrics.py rank-statistic device) — nothing sorts raw
+    events; the two scalar statistics broadcast back as single-row
+    joins (sanctioned BNLJ)."""
+    ensure_deterministic_session(spark)
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(_epoch_s("ts").alias("t"))
+        .select(F.expr("t div 86400").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def lower_median(df: DataFrame, col: str) -> DataFrame:
+        b = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        wc = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        c = b.select(
+            col,
+            F.sum("cnt").over(wc).alias("cum"),
+            F.sum("cnt").over(Window.partitionBy()).alias("tot"),
+        )
+        return c.agg(
+            F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col(col))).alias("m")
+        )
+
+    med = lower_median(daily, "n").select(F.col("m").alias("median"))
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "d", "n", "median", F.abs(F.col("n") - F.col("median")).alias("ad")
+    )
+    mad = lower_median(dev.select("ad"), "ad").select(F.col("m").alias("mad"))
+    flagged = dev.crossJoin(F.broadcast(mad))
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("median").cast("long").alias("median_daily"),
+        F.max("mad").cast("long").alias("mad_daily"),
+        F.sum(F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_anomalous_days"),
+    )
+
+
+@query(
+    "session_duration_hist",
+    oracle=f"""
+    WITH {_SESSION_CTE}, dur AS (
+      SELECT user_id, sid, MAX(t) - MIN(t) AS secs
+      FROM f GROUP BY user_id, sid
+    ), b AS (
+      SELECT CASE WHEN secs = 0 THEN 0
+                  ELSE CAST(FLOOR(LOG2(secs + 1)) AS BIGINT) + 1
+             END AS bucket_log2,
+             secs
+      FROM dur
+    )
+    SELECT bucket_log2,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MIN(secs) AS BIGINT) AS min_secs,
+           CAST(MAX(secs) AS BIGINT) AS max_secs
+    FROM b GROUP BY bucket_log2
+    ORDER BY bucket_log2
+    """,
+)
+def session_duration_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration spectrum on a log2 scale (bucket k ≥ 1 holds
+    sessions lasting [2^(k−1)−1, 2^k−2] seconds; bucket 0 = single-
+    instant).  The engagement-depth histogram that pairs with
+    [[session_bounce_rate]]'s event-count view.  LOG2 at integer
+    inputs is bit-exact in both engines only away from power-of-two
+    boundaries, so the bucket is floor(log2(secs+1))+1 — the +1 shift
+    keeps every boundary input (2^k−1 → exact power) on the safe
+    side, same trick as [[agg_histogram_log2]]'s bit-length form.
+
+    Scale: the sessionizer's per-user windows, then one
+    (user, sid) rollup and a ~35-bucket histogram."""
+    ensure_deterministic_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", _epoch_s("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    lag_t = F.lag("t").over(w)
+    g = ev.withColumn(
+        "new_s",
+        F.when(lag_t.isNull() | (F.col("t") - lag_t > 1800), 1).otherwise(0),
+    ).withColumn("sid", F.sum("new_s").over(run))
+    dur = g.groupBy("user_id", "sid").agg(
+        (F.max("t") - F.min("t")).alias("secs")
+    )
+    b = dur.withColumn(
+        "bucket_log2",
+        F.when(F.col("secs") == 0, F.lit(0)).otherwise(
+            F.floor(F.log2(F.col("secs") + 1)).cast("long") + 1
+        ),
+    )
+    return (
+        b.groupBy("bucket_log2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.min("secs").cast("long").alias("min_secs"),
+            F.max("secs").cast("long").alias("max_secs"),
+        )
+        .orderBy("bucket_log2")
+    )
+
+
+@query(
+    "customer_churn_by_segment",
+    oracle="""
+    WITH last AS (
+      SELECT o_custkey,
+             MAX(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)) AS last_t
+      FROM orders GROUP BY o_custkey
+    ), frontier AS (
+      SELECT MAX(last_t) AS now_t FROM last
+    ), flagged AS (
+      SELECT c.c_mktsegment AS segment,
+             CASE WHEN (f.now_t - l.last_t) // 86400 > 365
+               THEN 1 ELSE 0 END AS churned
+      FROM last l
+      JOIN customer c ON l.o_custkey = c.c_custkey
+      CROSS JOIN frontier f
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(churned) AS BIGINT) AS n_churned,
+           CAST(SUM(churned) * 1000 // COUNT(*) AS BIGINT) AS churn_milli
+    FROM flagged
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def customer_churn_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn rate by market segment: customers whose LAST order is
+    more than a year behind the corpus frontier (the newest order
+    anywhere), per segment — the dashboard behind win-back targeting.
+    Frontier-relative cutoffs keep the key deterministic on a static
+    corpus (the [[orders_backlog_aging]] device) where wall-clock
+    "today" would not be.
+
+    Scale: last-order epoch is one map-side groupBy(MAX); the
+    frontier is its single-row re-aggregate broadcast back
+    (sanctioned scalar BNLJ); the segment join is dim-keyed."""
+    ensure_deterministic_session(spark)
+    last = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max(_epoch_s("o_orderdate")).alias("last_t"))
+    )
+    frontier = last.agg(F.max("last_t").alias("now_t"))
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    flagged = (
+        last.join(c, last.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(frontier))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.expr("(now_t - last_t) div 86400") > 365, 1)
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    return (
+        flagged.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("churned").cast("long").alias("n_churned"),
+        )
+        .select(
+            "segment",
+            "n_customers",
+            "n_churned",
+            F.expr("n_churned * 1000 div n_customers")
+            .cast("long")
+            .alias("churn_milli"),
+        )
+        .orderBy("segment")
+    )

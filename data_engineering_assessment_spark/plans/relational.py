@@ -4574,3 +4574,34 @@ def probe_hugeint_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic_session(spark)
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 30)
     return li.agg(F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"))
+
+
+@query("scan_xml_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round-trip — Spark 4's native XML data source
+    (the spark-xml package folded into core): one <row> element per
+    record, writer-escaped content, explicit schema on read (XML
+    inference is even less stable than JSON's).  Completes the
+    file-format family next to [[scan_jsonl]], [[scan_orc]],
+    [[scan_csv_roundtrip]], and [[multi_format_union]]; the digest
+    oracle proves byte parity of the text payload through the
+    escape/unescape cycle.
+
+    Scale: same shape as every file source here — parallel part
+    files out, splittable scan back, schema pushdown.  XML pays a
+    parse tax over columnar formats; the point of the key is
+    interop (the format legacy feeds actually arrive in), not
+    preference."""
+    ensure_deterministic_session(spark)
+    from ..sources.formats import read_xml, write_xml
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = f"/root/repo/.scratch/roundtrip_xml_{_scratch_tag(sf_dir)}"
+    write_xml(docs, path)
+    back = read_xml(spark, path, docs.schema)
+    return back.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )

@@ -129,3 +129,22 @@ def read_fixed_width(spark: SparkSession, path: str, spec: FixedWidthSpec) -> Da
         )
         off += width
     return spark.read.text(path).select(*cols)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> str:
+    """Write as XML (Spark 4 native source — the spark-xml package
+    folded into core).  One element per row under ``row_tag``; field
+    values are XML-escaped by the writer and unescaped by the reader,
+    so content round-trips byte-exactly for any XML-1.0-legal text."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+    return path
+
+
+def read_xml(spark: SparkSession, path: str, schema, row_tag: str = "row") -> DataFrame:
+    """Read XML with an EXPLICIT schema (inference on XML is even less
+    stable than on JSON — attributes vs elements, numeric widening)."""
+    return (
+        spark.read.format("xml").option("rowTag", row_tag).schema(schema).load(path)
+    )

@@ -372,3 +372,55 @@ def test_returns_by_brand_partitions_lineitem(spark):
     assert sum(r.n_returned for r in rows) == n_ret
     for r in rows:
         assert 0 <= r.return_milli <= 1000
+
+
+def test_anomaly_mad_matches_literal_recompute(spark):
+    r = QUERIES["events_anomaly_mad"](spark, SF_DIR).collect()[0]
+    daily = sorted(
+        n
+        for (n,) in _duck(
+            f"""SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'
+                GROUP BY CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400"""
+        )
+    )
+    lower_median = lambda xs: sorted(xs)[-(-len(xs) // 2) - 1]
+    med = lower_median(daily)
+    mad = lower_median([abs(n - med) for n in daily])
+    assert (r.n_days, r.median_daily, r.mad_daily) == (len(daily), med, mad)
+    assert r.n_anomalous_days == sum(1 for n in daily if abs(n - med) > 3 * mad)
+
+
+def test_session_duration_hist_conserves_sessions(spark):
+    rows = QUERIES["session_duration_hist"](spark, SF_DIR).collect()
+    att = QUERIES["event_first_touch_attribution"](spark, SF_DIR).collect()
+    assert sum(r.n_sessions for r in rows) == sum(a.n_sessions for a in att)
+    for r in rows:
+        if r.bucket_log2 == 0:
+            assert r.min_secs == r.max_secs == 0
+        else:
+            lo, hi = 2 ** (r.bucket_log2 - 1) - 1, 2**r.bucket_log2 - 2
+            assert lo <= r.min_secs <= r.max_secs <= hi
+
+
+def test_churn_by_segment_covers_ordering_customers(spark):
+    rows = QUERIES["customer_churn_by_segment"](spark, SF_DIR).collect()
+    (n_cust,) = _duck(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF_DIR}/orders.parquet'"
+    )[0]
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 0 <= r.n_churned <= r.n_customers
+        assert 0 <= r.churn_milli <= 1000
+
+
+def test_xml_roundtrip_is_byte_exact(spark):
+    """The digest column equals the digest of the ORIGINAL parquet
+    text — the escape/unescape cycle loses nothing."""
+    rows = {
+        r.doc_id: r.text_md5
+        for r in QUERIES["scan_xml_roundtrip"](spark, SF_DIR).collect()
+    }
+    orig = dict(
+        _duck(f"SELECT doc_id, md5(text) FROM '{SF_DIR}/documents.parquet'")
+    )
+    assert rows == orig

@@ -208,6 +208,8 @@ BNLJ_ALLOWED = {
     # round-8 insights keys — scalar/bounded broadcasts:
     "join_key_skew_topn",  # single-row join-total broadcast (ppm share)
     "graph_connected_components",  # two single-row count broadcasts into the summary row
+    "events_anomaly_mad",  # two single-row statistics (median, MAD) broadcast back
+    "customer_churn_by_segment",  # single-row corpus-frontier timestamp broadcast
 }
 
 
