@@ -99,13 +99,25 @@ def jfk_flag(name: str = "Pickup_or_dropoff_at_JFK") -> Column:
     return F.when(pred, F.lit(1)).otherwise(F.lit(0)).alias(name)
 
 
+_TAXI_DERIVED: list[Column] | None = None
+
+
 def taxi_derived_columns() -> list[Column]:
     """The full 34-column derived set of reference part 2 (02.py:22-103):
     24 hour flags + 7 dow flags (uncorrected, golden semantics) +
-    Duration_seconds + Pickup_or_dropoff_at_JFK, appended to ``*``."""
-    return [
-        *one_hot_hour("lpep_pickup_datetime"),
-        *one_hot_dow("lpep_pickup_datetime", corrected=False),
-        duration_seconds("lpep_pickup_datetime", "lpep_dropoff_datetime"),
-        jfk_flag(),
-    ]
+    Duration_seconds + Pickup_or_dropoff_at_JFK, appended to ``*``.
+
+    Memoized: Column objects are immutable unbound expression trees,
+    and building 34 of them costs ~140 py4j round trips (~0.3 s,
+    ~15% of the whole anchor pipeline) — pure driver chatter that a
+    repeated pipeline shouldn't re-pay.  Safe process-wide: the trees
+    attach to a DataFrame only at select() time."""
+    global _TAXI_DERIVED
+    if _TAXI_DERIVED is None:
+        _TAXI_DERIVED = [
+            *one_hot_hour("lpep_pickup_datetime"),
+            *one_hot_dow("lpep_pickup_datetime", corrected=False),
+            duration_seconds("lpep_pickup_datetime", "lpep_dropoff_datetime"),
+            jfk_flag(),
+        ]
+    return list(_TAXI_DERIVED)
