@@ -227,6 +227,8 @@ HEADLINE = [
     "events_anomaly_mad",
     "session_duration_hist",
     "customer_churn_by_segment",
+    "session_conversion_rate",
+    "revenue_share_of_parent",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

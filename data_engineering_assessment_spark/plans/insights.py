@@ -1621,3 +1621,146 @@ def customer_churn_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "session_conversion_rate",
+    oracle=f"""
+    WITH {_SESSION_CTE}, conv AS (
+      SELECT p.user_id, p.sid, p.entry_type,
+             MAX(CASE WHEN f.event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM per_session p
+      JOIN f ON f.user_id = p.user_id AND f.sid = p.sid
+      GROUP BY p.user_id, p.sid, p.entry_type
+    )
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) * 1000 // COUNT(*) AS BIGINT)
+             AS conversion_milli
+    FROM conv
+    GROUP BY entry_type
+    ORDER BY entry_type
+    """,
+)
+def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by session entry type: the share of sessions
+    containing at least one purchase, attributed to the event type
+    that opened the session — the revenue-side completion of
+    [[session_bounce_rate]] (same sessionizer, opposite tail).
+
+    Scale: the engine pushes the converted flag INTO the sessionizer
+    pass (max-of-indicator over the same running frame the session id
+    uses) rather than re-joining sessions to events — one window
+    stage, one rollup, no self-join.  The oracle's join formulation
+    is the semantic spec; the engine's fold is the scale shape."""
+    ensure_deterministic_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", _epoch_s("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    lag_t = F.lag("t").over(w)
+    g = ev.withColumn(
+        "new_s",
+        F.when(lag_t.isNull() | (F.col("t") - lag_t > 1800), 1).otherwise(0),
+    )
+    f = g.select(
+        "user_id",
+        F.sum("new_s").over(run).alias("sid"),
+        F.last(
+            F.when(F.col("new_s") == 1, F.col("event_type")), ignorenulls=True
+        )
+        .over(run)
+        .alias("entry_type"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    conv = f.groupBy("user_id", "sid", "entry_type").agg(
+        F.max("is_p").alias("converted")
+    )
+    return (
+        conv.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        .select(
+            "entry_type",
+            "n_sessions",
+            "n_converted",
+            F.expr("n_converted * 1000 div n_sessions")
+            .cast("long")
+            .alias("conversion_milli"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+@query(
+    "revenue_share_of_parent",
+    oracle="""
+    WITH j AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), per AS (
+      SELECT region, nation, SUM(cents) AS rev FROM j GROUP BY region, nation
+    )
+    SELECT region, nation,
+           CAST(rev AS BIGINT) AS revenue_cents,
+           CAST(rev * 1000000 // SUM(rev) OVER (PARTITION BY region)
+                AS BIGINT) AS share_of_region_ppm,
+           CAST(rev * 1000000 // SUM(rev) OVER () AS BIGINT)
+             AS share_of_total_ppm
+    FROM per
+    ORDER BY region, nation
+    """,
+)
+def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup: each nation's revenue as an exact ppm
+    share of its region AND of the world — the two-level drill-down
+    every BI hierarchy renders (bar within group, group within
+    total).
+
+    Scale: the snowflake chain joins broadcast dims onto orders
+    (nation/region are tiny), one (region, nation) rollup, then both
+    share windows run over the ~25-row nation domain."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", _cents("o_totalprice").alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    per = j.groupBy("region", "nation").agg(F.sum("cents").alias("rev"))
+    shares = per.select(
+        "region",
+        "nation",
+        F.col("rev").cast("long").alias("revenue_cents"),
+        F.sum("rev").over(Window.partitionBy("region")).alias("regtot"),
+        F.sum("rev").over(Window.partitionBy()).alias("tot"),
+    )
+    return shares.select(
+        "region",
+        "nation",
+        "revenue_cents",
+        F.expr("revenue_cents * 1000000 div regtot")
+        .cast("long")
+        .alias("share_of_region_ppm"),
+        F.expr("revenue_cents * 1000000 div tot")
+        .cast("long")
+        .alias("share_of_total_ppm"),
+    ).orderBy("region", "nation")

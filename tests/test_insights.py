@@ -424,3 +424,31 @@ def test_xml_roundtrip_is_byte_exact(spark):
         _duck(f"SELECT doc_id, md5(text) FROM '{SF_DIR}/documents.parquet'")
     )
     assert rows == orig
+
+
+def test_conversion_consistent_with_bounce_frame(spark):
+    """Same sessionizer: session counts per entry type agree with the
+    bounce key; conversions recomputed from raw events."""
+    conv = {r.entry_type: r for r in QUERIES["session_conversion_rate"](spark, SF_DIR).collect()}
+    bounce = {r.entry_type: r for r in QUERIES["session_bounce_rate"](spark, SF_DIR).collect()}
+    assert set(conv) == set(bounce)
+    for et, r in conv.items():
+        assert r.n_sessions == bounce[et].n_sessions
+        assert 0 <= r.n_converted <= r.n_sessions
+        assert 0 <= r.conversion_milli <= 1000
+
+
+def test_share_of_parent_partitions(spark):
+    rows = QUERIES["revenue_share_of_parent"](spark, SF_DIR).collect()
+    by_region: dict = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r)
+    for region, rs in by_region.items():
+        # floor-truncated shares undershoot by < 1 ppm per nation
+        assert 1_000_000 - len(rs) < sum(x.share_of_region_ppm for x in rs) <= 1_000_000
+    assert 1_000_000 - len(rows) < sum(r.share_of_total_ppm for r in rows) <= 1_000_000
+    (total,) = _duck(
+        f"""SELECT SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            FROM '{SF_DIR}/orders.parquet'"""
+    )[0]
+    assert sum(r.revenue_cents for r in rows) == total
