@@ -229,6 +229,8 @@ HEADLINE = [
     "customer_churn_by_segment",
     "session_conversion_rate",
     "revenue_share_of_parent",
+    "ts_time_weighted_avg",
+    "funnel_time_to_convert",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

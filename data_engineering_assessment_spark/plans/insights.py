@@ -1764,3 +1764,157 @@ def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_of_total_ppm"),
     ).orderBy("region", "nation")
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+             event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), seg AS (
+      SELECT event_type, cents,
+             LEAD(t) OVER (PARTITION BY event_type ORDER BY t, event_id) - t
+               AS dur
+      FROM e
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dur) AS BIGINT) AS total_secs,
+           CAST(SUM(cents * dur) AS BIGINT) AS weighted_cent_secs,
+           CAST(SUM(cents * dur) // SUM(dur) AS BIGINT) AS twap_cents
+    FROM seg WHERE dur IS NOT NULL AND dur > 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per event type: each
+    observation holds until the next one of the same type, weighting
+    its value by that duration — the correct average for
+    irregularly-sampled series (a plain AVG over-counts bursts), the
+    finance/metering standard.  Zero-duration segments (same-second
+    observations) carry no time and are excluded, exactly as in the
+    SQL twin.
+
+    Scale: one LEAD over type-partitioned frames (the series key is
+    the partition key — no global sort), then exact integer
+    cent-second sums; the division is a single integer floor at the
+    end."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        _epoch_s("ts").alias("t"),
+        "event_id",
+        _cents("value").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "event_id")
+    seg = e.select(
+        "event_type", "cents", (F.lead("t").over(w) - F.col("t")).alias("dur")
+    ).filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("dur").cast("long").alias("total_secs"),
+            F.sum(F.col("cents") * F.col("dur"))
+            .cast("long")
+            .alias("weighted_cent_secs"),
+        )
+        .select(
+            "event_type",
+            "n_segments",
+            "total_secs",
+            "weighted_cent_secs",
+            F.expr("weighted_cent_secs div total_secs")
+            .cast("long")
+            .alias("twap_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+      FROM events
+    ), v AS (
+      SELECT user_id, MIN(t) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.t) AS t_buy
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.t >= v.t_view
+      GROUP BY e.user_id
+    ), lag_s AS (
+      SELECT p.t_buy - v.t_view AS secs
+      FROM v JOIN p ON v.user_id = p.user_id
+    ), buck AS (
+      SELECT secs, COUNT(*) AS cnt FROM lag_s GROUP BY secs
+    ), cum AS (
+      SELECT secs, cnt,
+             SUM(cnt) OVER (ORDER BY secs ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM buck
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converters,
+           CAST(MIN(CASE WHEN cum * 10 >= n * 5 THEN secs END) AS BIGINT)
+             AS p50_secs,
+           CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN secs END) AS BIGINT)
+             AS p90_secs,
+           CAST(MAX(secs) AS BIGINT) AS max_secs
+    FROM cum
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 of the first-view → first-subsequent-purchase
+    delay — the latency companion to [[event_funnel]]'s conversion
+    COUNT (how long conversion takes, not just whether it happens).
+    Percentiles use the cross-multiplied rank threshold
+    (cum·10 ≥ n·k), division-free and engine-exact.
+
+    Scale: two user-keyed min-aggregates and one user-keyed join
+    (all reuse the same user_id shuffle), then the value-bucketed
+    percentile pass over distinct delays — the plans/metrics.py
+    rank-statistic device; raw per-user rows are never sorted
+    globally."""
+    ensure_deterministic_session(spark)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch_s("ts").alias("t")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("t") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_buy"), F.min("t_view").alias("t_view0"))
+    )
+    lag_s = p.select((F.col("t_buy") - F.col("t_view0")).alias("secs"))
+    buck = lag_s.groupBy("secs").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.orderBy("secs").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buck.select(
+        "secs",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    return cum.agg(
+        F.max("n").cast("long").alias("n_converters"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("n") * 5, F.col("secs")))
+        .cast("long")
+        .alias("p50_secs"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("n") * 9, F.col("secs")))
+        .cast("long")
+        .alias("p90_secs"),
+        F.max("secs").cast("long").alias("max_secs"),
+    )

@@ -452,3 +452,50 @@ def test_share_of_parent_partitions(spark):
             FROM '{SF_DIR}/orders.parquet'"""
     )[0]
     assert sum(r.revenue_cents for r in rows) == total
+
+
+def test_twap_matches_float_recompute(spark):
+    rows = QUERIES["ts_time_weighted_avg"](spark, SF_DIR).collect()
+    ev = _duck(
+        f"""SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT),
+                   event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+            FROM '{SF_DIR}/events.parquet'"""
+    )
+    by_type: dict = {}
+    for et, t, eid, c in ev:
+        by_type.setdefault(et, []).append((t, eid, c))
+    for r in rows:
+        evs = sorted(by_type[r.event_type])
+        segs = [
+            (evs[i + 1][0] - evs[i][0], evs[i][2])
+            for i in range(len(evs) - 1)
+            if evs[i + 1][0] - evs[i][0] > 0
+        ]
+        tot = sum(d for d, _ in segs)
+        wsum = sum(d * c for d, c in segs)
+        assert (r.n_segments, r.total_secs, r.weighted_cent_secs) == (
+            len(segs),
+            tot,
+            wsum,
+        )
+        assert r.twap_cents == wsum // tot
+
+
+def test_time_to_convert_percentiles(spark):
+    r = QUERIES["funnel_time_to_convert"](spark, SF_DIR).collect()[0]
+    lags = sorted(
+        s
+        for (s,) in _duck(
+            f"""WITH e AS (SELECT user_id, event_type,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+                   FROM '{SF_DIR}/events.parquet'),
+                v AS (SELECT user_id, MIN(t) tv FROM e
+                      WHERE event_type='view' GROUP BY user_id)
+                SELECT MIN(e.t) - MIN(v.tv) FROM e JOIN v USING (user_id)
+                WHERE e.event_type='purchase' AND e.t >= v.tv
+                GROUP BY e.user_id"""
+        )
+    )
+    assert r.n_converters == len(lags)
+    pct = lambda k: lags[-(-len(lags) * k // 10) - 1]
+    assert (r.p50_secs, r.p90_secs, r.max_secs) == (pct(5), pct(9), lags[-1])
