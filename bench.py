@@ -231,6 +231,8 @@ HEADLINE = [
     "revenue_share_of_parent",
     "ts_time_weighted_avg",
     "funnel_time_to_convert",
+    # round-9 additions
+    "graph_cc_alternating",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

@@ -100,6 +100,7 @@ def jfk_flag(name: str = "Pickup_or_dropoff_at_JFK") -> Column:
 
 
 _TAXI_DERIVED: list[Column] | None = None
+_TAXI_DERIVED_CTX: int | None = None
 
 
 def taxi_derived_columns() -> list[Column]:
@@ -110,10 +111,16 @@ def taxi_derived_columns() -> list[Column]:
     Memoized: Column objects are immutable unbound expression trees,
     and building 34 of them costs ~140 py4j round trips (~0.3 s,
     ~15% of the whole anchor pipeline) — pure driver chatter that a
-    repeated pipeline shouldn't re-pay.  Safe process-wide: the trees
-    attach to a DataFrame only at select() time."""
-    global _TAXI_DERIVED
-    if _TAXI_DERIVED is None:
+    repeated pipeline shouldn't re-pay.  The cache is keyed on the
+    active SparkContext identity: the trees hold py4j references into
+    the JVM gateway, so a full stop()/restart cycle must rebuild them
+    rather than hand out dead handles."""
+    global _TAXI_DERIVED, _TAXI_DERIVED_CTX
+    from pyspark import SparkContext
+
+    ctx = id(SparkContext._active_spark_context)
+    if _TAXI_DERIVED is None or _TAXI_DERIVED_CTX != ctx:
+        _TAXI_DERIVED_CTX = ctx
         _TAXI_DERIVED = [
             *one_hot_hour("lpep_pickup_datetime"),
             *one_hot_dow("lpep_pickup_datetime", corrected=False),

@@ -75,6 +75,108 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def connected_components_alternating(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> tuple[DataFrame, int]:
+    """(node, component) via the alternating large-star/small-star
+    algorithm (Kiveris et al., *Connected Components in MapReduce and
+    Beyond*, SoCC'14): each round rewires every node toward the local
+    minimum of its neighborhood, halving component radius per pass, so
+    convergence takes O(log n) rounds instead of the O(diameter) of
+    plain min-label propagation (`connected_components`).  On a
+    100×-scaled chain-shaped graph that is the difference between ~8
+    and ~80 scalar actions / lineage truncations.
+
+    Per round: large-star (group the symmetrized adjacency by node,
+    attach every LARGER neighbor to the neighborhood minimum) then
+    small-star (orient edges high→low, attach node + smaller
+    neighbors to their minimum).  Both are one |E|-sized min-aggregate
+    plus one join — no path materialization.  Convergence is detected
+    with a per-round fingerprint (edge count + endpoint checksums),
+    ONE scalar action per round, and lineage is truncated per round
+    with localCheckpoint, same discipline as the propagation loop.
+
+    Returns (labels, rounds): labels only covers nodes present in
+    ``edges`` (join back to the full node frame for isolates, as the
+    callers do); ``rounds`` is the number of alternating passes run.
+    """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # node set BEFORE dropping self-loops: (n, n) still names node n
+    all_nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u").alias("su"),
+            F.sum("v").alias("sv"),
+            F.sum((F.xxhash64("u", "v") % F.lit(2**31)).cast("double")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.su, row.sv, row.h)
+
+    prev = _fingerprint(e)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: symmetrize, take each node's neighborhood min
+        # (incl. self), re-point every strictly-larger neighbor at it
+        bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bi.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("u"), F.col("mn")).alias("m")
+        )
+        large = (
+            bi.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient high→low, point node + smaller neighbors
+        # at the smaller-neighborhood min
+        hi = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        smins = hi.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            hi.join(smins, "u")
+            .select(
+                F.explode(F.array(F.col("u"), F.col("v"))).alias("u"),
+                F.col("m").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _fingerprint(small)  # one scalar action per round
+        e = small
+        if cur == prev:
+            break
+        prev = cur
+    final = (
+        e.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("lbl"))
+    )
+    labels = all_nodes.join(final, "node", "left").select(
+        "node",
+        F.least(
+            F.coalesce(F.col("lbl"), F.col("node")), F.col("node")
+        ).alias("component"),
+    )
+    return labels, rounds
+
+
 def dedup_cluster_assignments(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
 ) -> DataFrame:

@@ -141,6 +141,10 @@ def pq_ann_topk(
     q_rows = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     ).collect()  # bounded query batch, same contract as cosine_topk
+    if not q_rows:  # empty query batch: 1-D np arrays break axis math
+        return corpus.sparkSession.createDataFrame(
+            [], "q_id long, neighbor_id long, rank int, cosine_micro bigint"
+        )
     q_ids = np.array([r.q_id for r in q_rows])
     Q = np.array([list(r.q_vec) for r in q_rows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
@@ -245,6 +249,10 @@ def ivfpq_ann_topk(
     q_rows = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     ).collect()  # bounded query batch, same contract as pq_ann_topk
+    if not q_rows:  # empty query batch: 1-D np arrays break axis math
+        return corpus.sparkSession.createDataFrame(
+            [], "q_id long, neighbor_id long, rank int, cosine_micro bigint"
+        )
     q_ids = np.array([r.q_id for r in q_rows])
     q_index = {int(qid): i for i, qid in enumerate(q_ids)}
     Q = np.array([list(r.q_vec) for r in q_rows], dtype=np.float64)

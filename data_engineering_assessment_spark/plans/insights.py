@@ -243,9 +243,13 @@ def event_hour_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     share window runs over the 24-row hour domain — calendar-sized,
     never row-sized."""
     ensure_deterministic_session(spark)
-    e = load_table(spark, sf_dir, "events").select(
-        ((_epoch_s("ts") / 3600).cast("long") % 24).alias("hour_utc"),
-        _cents("value").alias("cents"),
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(_epoch_s("ts").alias("t"), _cents("value").alias("cents"))
+        # integer floor-division, matching the oracle's `//` exactly
+        # (float-divide + cast truncates toward zero and diverges for
+        # pre-1970 timestamps)
+        .select(F.expr("(t div 3600) % 24").alias("hour_utc"), "cents")
     )
     per = e.groupBy("hour_utc").agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
@@ -898,6 +902,99 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_cc_alternating",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT s_suppkey AS n FROM supplier
+    ), su AS (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+    ), pe AS (
+      SELECT DISTINCT a.s AS x, b.s AS y
+      FROM su a JOIN su b ON a.o = b.o AND a.s <> b.s
+    ), reach(n, l) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT pe.y, reach.l FROM reach JOIN pe ON reach.n = pe.x
+      WHERE reach.l < pe.y
+    ), comp AS (
+      SELECT n, MIN(l) AS c FROM reach GROUP BY n
+    ), sizes AS (
+      SELECT c, COUNT(*) AS sz FROM comp GROUP BY c
+    )
+    SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM pe WHERE x < y) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(MAX(sz) AS BIGINT) AS largest_component,
+           CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS singleton_components
+    FROM sizes
+    """,
+)
+def graph_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the supplier co-supply graph by the
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    SoCC'14; operators/graph.py:connected_components_alternating) —
+    the logarithmic-round variant of [[graph_connected_components]].
+    Same contract and oracle as the propagation key; a pytest asserts
+    the two engines produce identical label sets.
+
+    Scale: min-label propagation converges in O(graph diameter)
+    rounds — fine on this near-clique graph, ruinous on a 100×
+    chain-shaped one (~80 scalar actions).  Star-contraction halves
+    component radius every pass, so rounds grow as O(log n) no matter
+    the shape; each round is two |E|-sized min-aggregate+join passes
+    with per-round localCheckpoint lineage truncation and ONE scalar
+    fingerprint action."""
+    ensure_deterministic_session(spark)
+    from ..operators.graph import connected_components_alternating
+
+    su = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    sb = su.select(F.col("o"), F.col("s").alias("s2"))
+    edges = (
+        su.join(sb, "o")
+        .filter(F.col("s") != F.col("s2"))
+        .select(F.col("s").alias("x"), F.col("s2").alias("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("n")
+    )
+    lab, _rounds = connected_components_alternating(edges, src="x", dst="y")
+    # isolates: suppliers with no co-supply edge are their own component
+    full = nodes.join(lab, nodes.n == lab.node, "left").select(
+        "n", F.coalesce("component", "n").alias("l")
+    )
+    sizes = full.groupBy("l").agg(F.count(F.lit(1)).alias("sz"))
+    summary = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.max("sz").cast("long").alias("largest_component"),
+        F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("singleton_components"),
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = edges.filter(F.col("x") < F.col("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    return (
+        summary.crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_components",
+            "largest_component",
+            "singleton_components",
+        )
+    )
+
+
+@query(
     "embed_slice_drift",
     oracle="""
     WITH q AS (
@@ -1004,9 +1101,25 @@ def embed_slice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scratch_tag(sf_dir: str) -> str:
+    """Stable tag for a staged copy of an sf_dir table: the path plus
+    a fingerprint of events.parquet (total size + newest mtime), so
+    regenerating the fixture in place invalidates the staged copy
+    instead of silently replaying stale data."""
     import hashlib
+    import os
 
-    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = os.path.join(sf_dir, "events.parquet")
+    size = mtime = 0
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                size += st.st_size
+                mtime = max(mtime, int(st.st_mtime))
+    elif os.path.exists(src):
+        st = os.stat(src)
+        size, mtime = st.st_size, int(st.st_mtime)
+    return hashlib.md5(f"{sf_dir}|{size}|{mtime}".encode()).hexdigest()[:8]
 
 
 @query("embed_ann_ivfpq")  # coarse-prune + code-scan ANN — rows-only

@@ -210,6 +210,8 @@ BNLJ_ALLOWED = {
     "graph_connected_components",  # two single-row count broadcasts into the summary row
     "events_anomaly_mad",  # two single-row statistics (median, MAD) broadcast back
     "customer_churn_by_segment",  # single-row corpus-frontier timestamp broadcast
+    # round-9:
+    "graph_cc_alternating",  # two single-row count broadcasts into the summary row
 }
 
 

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Generate a 10x-scaled corpus under /root/repo/.scratch/sf1 from the
+read-only /root/testdata/sf0.1 fixtures, for the one-notch-up scaling
+audit (VERDICT r8 #7).
+
+Scale-up model: ten disjoint key-shifted copies of every FACT table,
+with every PK/FK shifted by the SAME per-entity stride so referential
+integrity holds copy-by-copy (copy 0 is the original bytes).  The
+tiny dimension tables (region, nation) do NOT scale, exactly like
+TPC-H.  Two perturbations keep similarity workloads honest:
+
+- documents: copies c>0 get a ``c<c> `` text prefix (and n_chars
+  recomputed), so fingerprint/MinHash keys don't see every document
+  turned into a 10-way exact duplicate — that would grow candidate
+  pairs 100x, not 10x, and poison the audit;
+- embeddings: copy c circularly rotates the vector by c dimensions —
+  norms and within-copy geometry preserved, cross-copy vectors not
+  identical.
+
+Timestamps are left unshifted: the corpus time RANGE stays fixed and
+per-day densities grow 10x, which is the hard direction for windowed
+keys (more rows per partition key), i.e. the audit-relevant one.
+
+Writes one parquet dir per table, 32 files each, so scans start with
+cluster-shaped parallelism.  Idempotent via _SUCCESS markers.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+OUT = "/root/repo/.scratch/sf1"
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+# per-entity key strides: power-of-ten above the sf0.1 max key so
+# shifted ids are recognizable and can never collide
+STRIDES = {
+    "orderkey": 1_000_000,
+    "custkey": 100_000,
+    "suppkey": 10_000,
+    "partkey": 100_000,
+    "event_id": 1_000_000,
+    "user_id": 100_000,
+    "doc_id": 100_000,
+    "vec_id": 100_000,
+}
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.session import get_spark
+
+    spark = get_spark()
+    os.makedirs(OUT, exist_ok=True)
+
+    def shifted(df, c: int, cols: dict[str, str]):
+        out = df
+        for col, ent in cols.items():
+            out = out.withColumn(col, F.col(col) + F.lit(c * STRIDES[ent]))
+        return out
+
+    def build(name: str, key_cols: dict[str, str], post=None) -> None:
+        dst = f"{OUT}/{name}.parquet"
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            print(f"{name}: exists, skipping")
+            return
+        base = spark.read.parquet(f"{SRC}/{name}.parquet")
+        parts = []
+        for c in range(COPIES):
+            cp = shifted(base, c, key_cols)
+            if post is not None:
+                cp = post(cp, c)
+            parts.append(cp)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionAll(p)
+        df.repartition(32).write.mode("overwrite").parquet(dst)
+        n = spark.read.parquet(dst).count()
+        print(f"{name}: {n} rows")
+
+    # dimensions: copy through unscaled (TPC-H style)
+    for name in ("region", "nation"):
+        dst = f"{OUT}/{name}.parquet"
+        if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+            spark.read.parquet(f"{SRC}/{name}.parquet").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(dst)
+            print(f"{name}: copied")
+
+    build("customer", {"c_custkey": "custkey"})
+    build("supplier", {"s_suppkey": "suppkey"})
+    build("part", {"p_partkey": "partkey"})
+    build("orders", {"o_orderkey": "orderkey", "o_custkey": "custkey"})
+    build(
+        "lineitem",
+        {
+            "l_orderkey": "orderkey",
+            "l_partkey": "partkey",
+            "l_suppkey": "suppkey",
+        },
+    )
+    build("events", {"event_id": "event_id", "user_id": "user_id"})
+
+    def doc_post(df, c):
+        if c == 0:
+            return df
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "text", F.concat(F.lit(f"c{c} "), F.col("text"))
+        ).withColumn("n_chars", F.length("text").cast("long"))
+
+    build("documents", {"doc_id": "doc_id"}, post=doc_post)
+
+    def emb_post(df, c):
+        if c == 0:
+            return df
+        from pyspark.sql import functions as F
+
+        d = len(df.select("embedding").first()[0])
+        rot = c % d
+        return df.withColumn(
+            "embedding",
+            F.concat(
+                F.slice("embedding", rot + 1, d - rot),
+                F.slice("embedding", 1, rot),
+            ),
+        )
+
+    build("embeddings", {"vec_id": "vec_id"}, post=emb_post)
+    print("done:", OUT)
+
+
+if __name__ == "__main__":
+    main()
