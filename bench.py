@@ -233,6 +233,14 @@ HEADLINE = [
     "funnel_time_to_convert",
     # round-9 additions
     "graph_cc_alternating",
+    "events_seasonal_residual_anomaly",
+    "ts_seasonal_decompose",
+    "discount_theilsen_slope",
+    "events_props_facet_topk",
+    "graph_kcore",
+    "grid_knn_join",
+    "stream_left_outer_join",
+    "events_value_halflife",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

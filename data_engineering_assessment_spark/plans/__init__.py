@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     parity,
     pipeline,
     relational,
+    robust,
     spatial,
     training,
     warehouse,
@@ -40,5 +41,13 @@ set_priority(
         "scan_xml_roundtrip",
         # --- round-9 additions appended below as they are built ---
         "graph_cc_alternating",
+        "events_seasonal_residual_anomaly",
+        "ts_seasonal_decompose",
+        "discount_theilsen_slope",
+        "events_props_facet_topk",
+        "graph_kcore",
+        "grid_knn_join",
+        "stream_left_outer_join",
+        "events_value_halflife",
     ]
 )

@@ -1050,9 +1050,13 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: filter is scan-speed and runs BEFORE the dedup shuffle
     (predicate order matters: the shuffle only carries survivors);
-    dedup is one fp-keyed shuffle reduced to min-id + a semi-join
-    back; split + report add one small agg.  End-to-end: two
-    corpus-sized shuffles, no Python, no driver hop."""
+    dedup is ONE fp-keyed shuffle — the canonical row is picked with
+    row_number() over (fp ORDER BY doc_id), which replaces the r8
+    groupBy-min + semi-join-back form (three shuffles, text carried
+    through two of them) with a single shuffle whose payload is the
+    narrow (doc_id, source, n_chars, fp) projection; the per-group
+    sort is dup-cluster-sized, i.e. tiny.  A/B at sf0.1: 0.74 s →
+    0.59 s best-of-3.  Split + report add one small agg."""
     ensure_deterministic_session(spark)
     d = load_table(spark, sf_dir, "documents")
     nw = word_count("text").cast("double")
@@ -1060,11 +1064,11 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (word_count("text") >= 10)
         & ((uniq_word_count("text").cast("double") / nw) >= 0.3)
         & (stopword_count("text").cast("double") / nw).between(0.01, 0.6)
-    ).select("doc_id", "source", "text", "n_chars")
-    canon = kept.groupBy(fingerprint_bag("text").alias("fp")).agg(
-        F.min("doc_id").alias("doc_id")
+    ).select("doc_id", "source", "n_chars", fingerprint_bag("text").alias("fp"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    final = kept.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
     )
-    final = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
     h2 = F.md5(F.col("doc_id").cast("string").cast("binary")).substr(1, 2)
     split = F.when(h2 < "f0", "train").when(h2 < "f8", "valid").otherwise("test")
     return (

@@ -213,6 +213,57 @@ def purchase_click_join(
     )
 
 
+def view_purchase_left_join(
+    events: DataFrame, within_s: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every view matched
+    to the same user's purchases in the following ``within_s``
+    seconds — unmatched views emit with NULL purchase columns, the
+    conversion-or-not record an attribution pipeline actually wants
+    (the inner `purchase_click_join` silently drops non-converters).
+
+    The outer side makes watermarks LOAD-BEARING, not just an eviction
+    hint: Spark emits a NULL-extended view row only once the purchase
+    watermark proves no match can still arrive, so both sides carry
+    watermarks and the join condition bounds purchase time in both
+    directions.  Works identically on batch DataFrames (the oracle's
+    plain LEFT JOIN).
+
+    Scale: both sides shuffle on user_id; view state is held at most
+    watermark + within_s behind the purchase watermark, so state is
+    time-bounded per user, never stream-length-bounded."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within_s} SECONDS"))
+    )
+    return v.join(p, cond, "left_outer").select(
+        "view_id",
+        F.col("v_user").alias("user_id"),
+        F.col("v_ts").cast("long").alias("view_ts_s"),
+        "purchase_id",
+        F.col("p_ts").cast("long").alias("purchase_ts_s"),
+    )
+
+
 TWS_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -212,6 +212,10 @@ BNLJ_ALLOWED = {
     "customer_churn_by_segment",  # single-row corpus-frontier timestamp broadcast
     # round-9:
     "graph_cc_alternating",  # two single-row count broadcasts into the summary row
+    "events_seasonal_residual_anomaly",  # single-row median/MAD broadcasts
+    "discount_theilsen_slope",  # O(d^2) pairwise join over the ~11-row discount domain
+    "graph_kcore",  # two single-row count broadcasts into the summary row
+    "events_value_halflife",  # single-row corpus-frontier timestamp broadcast
 }
 
 

@@ -1,0 +1,214 @@
+"""Semantic invariants for the round-9 keys (plans/robust.py) —
+value-exactness for the oracle-backed keys is covered by the
+oracle-parity sweep in test_correctness.py; these pin the claims the
+docstrings make, and give graph_kcore (rows-only: shrinking fixpoints
+aren't recursive-CTE-expressible) its exact driver-side twin."""
+
+from __future__ import annotations
+
+import duckdb
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+
+QUERIES = entry_mod.queries()
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    try:
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def test_kcore_matches_exact_peeling(spark):
+    """The distributed 3-core summary equals a literal driver-side
+    peeling of the same co-purchase graph."""
+    row = QUERIES["graph_kcore"](spark, SF_DIR).collect()[0]
+    edges = {
+        (a, b)
+        for a, b in _duck(
+            f"""WITH op AS (SELECT DISTINCT l_orderkey o, l_partkey p
+                            FROM '{SF_DIR}/lineitem.parquet')
+                SELECT DISTINCT a.p, b.p FROM op a JOIN op b
+                ON a.o = b.o AND a.p < b.p"""
+        )
+    }
+    k = 3
+    while True:
+        deg: dict = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in edges if a in keep and b in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+    nodes = {n for e in edges for n in e}
+    assert row.k == k
+    assert row.n_core_nodes == len(nodes)
+    assert row.n_core_edges == len(edges)
+    # core property: every core node has core-degree >= k (or empty)
+    if nodes:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        assert min(deg.values()) >= k
+
+
+def test_seasonal_residual_anomaly_conservation(spark):
+    """Hour rows cover every event exactly once, and the anomaly rate
+    is the advertised ppm of each hour's events."""
+    rows = QUERIES["events_seasonal_residual_anomaly"](spark, SF_DIR).collect()
+    (n_ev,) = _duck(f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'")[0]
+    assert sum(r.n_events for r in rows) == n_ev
+    assert sorted(r.hour_utc for r in rows) == list(range(24))
+    for r in rows:
+        assert 0 <= r.n_anomalies <= r.n_events
+        assert r.anomaly_ppm == r.n_anomalies * 1_000_000 // r.n_events
+
+
+def test_seasonal_decompose_indices_center_on_unity(spark):
+    """Ratio-to-moving-average seasonal indices hover around 1e6 ppm:
+    their day-weighted mean deviates < 5% (the trend is a smoothing of
+    the same series, so ratios are centered by construction)."""
+    rows = QUERIES["ts_seasonal_decompose"](spark, SF_DIR).collect()
+    assert {r.dow_idx for r in rows} <= set(range(7))
+    tot_days = sum(r.n_days for r in rows)
+    mean_ppm = sum(r.seasonal_ppm * r.n_days for r in rows) / tot_days
+    assert abs(mean_ppm - 1_000_000) < 50_000
+    for r in rows:
+        assert 0 < r.seasonal_ppm < 2_000_000
+
+
+def test_theilsen_slope_brute_force(spark):
+    """Theil–Sen summary equals the literal pairwise-median recompute
+    on the bucketed means."""
+    row = QUERIES["discount_theilsen_slope"](spark, SF_DIR).collect()[0]
+    buckets = _duck(
+        f"""SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS di,
+                   SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM '{SF_DIR}/lineitem.parquet' GROUP BY 1 ORDER BY 1"""
+    )
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    qbar = {di: tdiv(s, n) for di, s, n in buckets}
+    ds = sorted(qbar)
+    slopes = sorted(
+        tdiv((qbar[d2] - qbar[d1]) * 1000, d2 - d1)
+        for i, d1 in enumerate(ds)
+        for d2 in ds[i + 1 :]
+    )
+    # lower median: smallest value whose cumulative count reaches half
+    lower_med = slopes[(len(slopes) - 1) // 2]
+    assert row.n_buckets == len(ds)
+    assert row.n_pairs == len(slopes)
+    assert row.theilsen_slope_milli == lower_med
+
+
+def test_props_facet_topk_shape(spark):
+    """Exactly (up to) two ranked types per decile, shares consistent,
+    deterministic tiebreak."""
+    rows = QUERIES["events_props_facet_topk"](spark, SF_DIR).collect()
+    by_dec: dict = {}
+    for r in rows:
+        by_dec.setdefault(r.k_decile, []).append(r)
+    for dec, rs in by_dec.items():
+        assert [r.rnk for r in sorted(rs, key=lambda r: r.rnk)] == list(
+            range(1, len(rs) + 1)
+        )
+        assert len(rs) <= 2
+        rs = sorted(rs, key=lambda r: r.rnk)
+        if len(rs) == 2:
+            assert (rs[0].n_events, rs[1].event_type) >= (
+                rs[1].n_events,
+                rs[0].event_type,
+            )
+        for r in rs:
+            assert 0 < r.share_ppm <= 1_000_000
+
+
+def test_stream_loj_outer_rows_and_inner_agreement(spark):
+    """The streaming left-outer join emits both genuine matches and
+    NULL-extended non-converters: the non-NULL subset equals the
+    batch inner join, NULL rows exist, and no sentinel leaks."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources.tables import load_table
+
+    got = QUERIES["stream_left_outer_join"](spark, SF_DIR)
+    assert got.filter(F.col("view_id") < 0).count() == 0  # no sentinel
+    n_null = got.filter(F.col("purchase_id").isNull()).count()
+    assert n_null > 0  # non-converters actually emit
+    ev = load_table(spark, SF_DIR, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("u"),
+        F.col("ts").alias("v_ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("p_ts"))
+    inner = v.join(
+        p,
+        (F.col("u") == F.col("pu"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1800 SECONDS")),
+    )
+    matched = got.filter(F.col("purchase_id").isNotNull())
+    assert matched.count() == inner.count()
+    assert (
+        matched.select("view_id", "purchase_id")
+        .exceptAll(inner.select("view_id", F.col("pid").alias("purchase_id")))
+        .count()
+        == 0
+    )
+
+
+def test_grid_knn_is_nearest_within_neighborhood(spark):
+    """Every emitted neighbor is genuinely among the k nearest in the
+    3x3 neighborhood: brute-force recompute for a sample of points."""
+    rows = QUERIES["grid_knn_join"](spark, SF_DIR).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.vec_id, []).append((r.rnk, r.neighbor_id, r.d2))
+    pts = {
+        vid: (qx, qy)
+        for vid, qx, qy in _duck(
+            f"""SELECT vec_id,
+                       CAST(FLOOR(CAST(embedding[1] AS DOUBLE)*1000) AS BIGINT),
+                       CAST(FLOOR(CAST(embedding[2] AS DOUBLE)*1000) AS BIGINT)
+                FROM '{SF_DIR}/embeddings.parquet'"""
+        )
+    }
+    import math
+
+    cell = lambda v: math.floor(v / 64)  # noqa: E731
+    sample = sorted(by_q)[:25]
+    for q in sample:
+        qx, qy = pts[q]
+        cand = sorted(
+            ((qx - x) ** 2 + (qy - y) ** 2, nid)
+            for nid, (x, y) in pts.items()
+            if nid != q
+            and abs(cell(x) - cell(qx)) <= 1
+            and abs(cell(y) - cell(qy)) <= 1
+        )
+        want = cand[:3]
+        got = [(d2, nid) for _, nid, d2 in sorted(by_q[q])]
+        assert got == want, (q, got, want)
+
+
+def test_halflife_decay_bounds(spark):
+    """Decayed value is positive-bounded by raw value and the decay
+    actually bites (strictly less than raw for every type)."""
+    rows = QUERIES["events_value_halflife"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.decayed_cents <= r.raw_cents
+        assert r.decayed_cents < r.raw_cents
