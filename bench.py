@@ -241,6 +241,10 @@ HEADLINE = [
     "grid_knn_join",
     "stream_left_outer_join",
     "events_value_halflife",
+    "scan_csv_gzip_roundtrip",
+    "sink_dynamic_partition_overwrite",
+    "grid_dbscan_core",
+    "orders_abc_class",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

@@ -126,6 +126,31 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5"))
 
 
+@query("scan_csv_gzip_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def scan_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed CSV source/sink round-trip — the compressed
+    flat-file export/import contract ([[scan_csv_roundtrip]] through
+    the codec path): same RFC-4180 quoting, every byte must survive
+    compress → decompress → parse.
+
+    Scale trade-off stated honestly: gzip is a NON-splittable codec —
+    each .csv.gz file scans as ONE task (the reader cannot seek into
+    a DEFLATE stream), so parallelism comes from file count; the
+    writer therefore keeps the input's part files instead of
+    coalescing, and block-splittable codecs (zstd-in-parquet, bzip2)
+    or JSONL/parquet are the right choice when the producer can pick."""
+    ensure_deterministic_session(spark)
+    from ..sources.formats import read_csv, write_csv_gzip
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = f"/root/repo/.scratch/roundtrip_csvgz_{_scratch_tag(sf_dir)}"
+    write_csv_gzip(docs, path)
+    back = read_csv(spark, path, docs.schema)
+    return back.select(
+        "doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    )
+
+
 @query(
     "scan_csv_multiline",
     oracle="""
@@ -2431,6 +2456,71 @@ def sink_parquet_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_parquet(docs, path, single_file=True)
     back = spark.read.parquet(path)
     return back.select("doc_id", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("text_md5"))
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS part_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN date_trunc('month', o_orderdate)
+                              = DATE '1999-03-01'
+                    THEN CAST(ROUND(o_totalprice * 2 * 100, 0) AS BIGINT)
+                    ELSE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+               END) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite, end-to-end through the driver
+    gate: orders staged partitioned-by-month, then ONE month
+    (1999-03) rewritten with doubled prices under
+    ``partitionOverwriteMode=dynamic`` — mode("overwrite") replaces
+    only the partitions present in the incoming frame, leaving the
+    other ~80 months' files untouched (static mode would truncate the
+    whole table: the classic backfill data-loss foot-gun this mode
+    exists to prevent).  The scan back aggregates per month, so the
+    grade proves both the rewritten partition's new values and the
+    untouched partitions' originals; a pytest additionally pins the
+    other partitions' files byte-identical via mtimes.
+
+    Scale: a daily/monthly backfill on a 100 TB hive layout rewrites
+    ONLY the touched partitions' bytes; the overwrite is planned from
+    the incoming frame's partition values, no directory diffing."""
+    ensure_deterministic_session(spark)
+    base = load_table(spark, sf_dir, "orders").withColumn(
+        "part_month", F.trunc(F.col("o_orderdate").cast("date"), "month")
+    )
+    path = f"/root/repo/.scratch/dyn_overwrite_{_scratch_tag(sf_dir)}"
+    # fresh base every run: the graded operation MUTATES the layout,
+    # so reusing a prior run's output would double-apply the backfill
+    base.write.partitionBy("part_month").mode("overwrite").parquet(path)
+    upd = base.filter(F.col("part_month") == F.lit("1999-03-01").cast("date")).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        upd.write.partitionBy("part_month").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(path)
+        .groupBy("part_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .select(
+            F.date_format("part_month", "yyyy-MM").alias("part_month"),
+            "n_orders",
+            "total_cents",
+        )
+        .orderBy("part_month")
+    )
 
 
 @query("scan_url_source", oracle=_ROUNDTRIP_ORACLE)

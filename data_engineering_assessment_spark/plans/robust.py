@@ -463,15 +463,35 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             sentinel(-2, -2, "purchase")
         ).coalesce(1).write.mode("overwrite").parquet(path)
     name = f"stream_loj_{_scratch_tag(sf_dir)}"
-    q = (
-        view_purchase_left_join(read_event_stream(spark, path))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # Size the stateful shuffle to the staged volume: a stream-stream
+    # join provisions and commits FOUR state stores per shuffle
+    # partition per micro-batch (two sides × key-with/without-index),
+    # so partition count is state-store fan-out, not just parallelism.
+    # 32 partitions on a few-MB replay is pure provisioning overhead
+    # (measured 5.5 s → 2.2 s at sf0.1 going 32 → 8); the same
+    # bytes-derived rule grows the count back for real volumes — the
+    # streaming twin of the green-taxi maxPartitionBytes scoping.
+    staged = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
     )
-    q.awaitTermination()
+    parts = max(8, min(200, staged // (8 << 20) + 8))
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(parts))
+        q = (
+            view_purchase_left_join(read_event_stream(spark, path))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
     return spark.table(name).select(
         "view_id", "user_id", "view_ts_s", "purchase_id", "purchase_ts_s"
     )
@@ -534,4 +554,87 @@ def events_value_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decayed_cents"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "orders_abc_class",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT pk, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, pk
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cents) OVER () AS tot
+      FROM rev
+    ), classed AS (
+      SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                  WHEN cum * 100 <= tot * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents,
+           CAST(SUM(cents) * 1000000
+                // (SELECT SUM(cents) FROM rev) AS BIGINT) AS share_ppm
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by revenue: class A =
+    parts inside the first 80% of cumulative revenue (descending),
+    B = the next 15%, C = the tail — the Pareto bucketing that
+    procurement/warehouse slotting runs, here with an EXACT integer
+    boundary rule (cum·100 ≤ tot·80/95 — the first part straddling a
+    boundary falls to the next class, identically in both engines)
+    and a deterministic (revenue desc, partkey) tiebreak.  Completes
+    the Pareto family: [[customer_pareto_coverage]] reports coverage
+    at fixed ranks, this classifies EVERY item at fixed shares.
+
+    Scale: revenue is one lineitem hash aggregate; the ordered
+    cumulative window runs over the PART domain (|parts| rows, ~200k
+    at sf100 — never lineitem-sized); the total joins back as a
+    window over the same domain-sized frame."""
+    ensure_deterministic_session(spark)
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("pk"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("c"),
+        )
+        .groupBy("pk")
+        .agg(F.sum("c").alias("cents"))
+    )
+    wcum = Window.orderBy(F.desc("cents"), F.asc("pk")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.sum("cents").over(wtot).alias("tot"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+        "tot",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("class_cents"),
+            F.expr("sum(cents) * 1000000 div first(tot)")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("abc_class")
     )

@@ -54,6 +54,23 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     return path
 
 
+def write_csv_gzip(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """`write_csv` with gzip codec — the compressed-export contract.
+    Gzip is NOT splittable: each .csv.gz file reads back as ONE task,
+    so the writer keeps the input's many part files (parallelism from
+    file count, the standard workaround) rather than coalescing."""
+    (
+        df.write.mode(mode)
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .option("emptyValue", '""')
+        .option("compression", "gzip")
+        .csv(path)
+    )
+    return path
+
+
 def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """Read quoted CSV with an explicit schema (no inference scan);
     mirror options of :func:`write_csv` so the round trip is exact."""

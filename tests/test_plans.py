@@ -216,6 +216,7 @@ BNLJ_ALLOWED = {
     "discount_theilsen_slope",  # O(d^2) pairwise join over the ~11-row discount domain
     "graph_kcore",  # two single-row count broadcasts into the summary row
     "events_value_halflife",  # single-row corpus-frontier timestamp broadcast
+    "grid_dbscan_core",  # two single-row count broadcasts into the summary row
 }
 
 

@@ -212,3 +212,116 @@ def test_halflife_decay_bounds(spark):
     for r in rows:
         assert 0 <= r.decayed_cents <= r.raw_cents
         assert r.decayed_cents < r.raw_cents
+
+
+def test_dynamic_overwrite_leaves_other_partitions_untouched(spark):
+    """The dynamic-partition-overwrite key's docstring promise, pinned
+    mechanically: rewriting 1999-03 leaves every other month's files
+    byte-identical (same names, sizes, mtimes)."""
+    import glob
+    import os
+
+    from data_engineering_assessment_spark.plans.relational import _scratch_tag
+    from tests.conftest import SF_DIR as sf
+
+    QUERIES["sink_dynamic_partition_overwrite"](spark, sf).collect()
+    path = f"/root/repo/.scratch/dyn_overwrite_{_scratch_tag(sf)}"
+
+    def snapshot():
+        out = {}
+        for d in glob.glob(os.path.join(path, "part_month=*")):
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                st = os.stat(f)
+                out[f] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot()
+    # re-apply ONLY the overwrite step against the existing layout
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources.tables import load_table
+
+    upd = (
+        load_table(spark, sf, "orders")
+        .withColumn(
+            "part_month", F.trunc(F.col("o_orderdate").cast("date"), "month")
+        )
+        .filter(F.col("part_month") == F.lit("1999-03-01").cast("date"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        upd.write.partitionBy("part_month").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = snapshot()
+    march = [f for f in before if "part_month=1999-03-01" in f]
+    others_before = {f: v for f, v in before.items() if f not in march}
+    others_after = {f: v for f, v in after.items() if "1999-03-01" not in f}
+    assert others_before == others_after  # untouched partitions intact
+    assert any("1999-03-01" in f for f in after)  # march rewritten
+
+
+def test_dbscan_core_matches_brute_force(spark):
+    """Distributed core/border/noise counts equal the literal O(n^2)
+    recompute at eps=25, minPts=4."""
+    row = QUERIES["grid_dbscan_core"](spark, SF_DIR).collect()[0]
+    pts = {
+        vid: (x, y)
+        for vid, x, y in _duck(
+            f"""SELECT vec_id,
+                       CAST(FLOOR(CAST(embedding[1] AS DOUBLE)*1000) AS BIGINT),
+                       CAST(FLOOR(CAST(embedding[2] AS DOUBLE)*1000) AS BIGINT)
+                FROM '{SF_DIR}/embeddings.parquet'"""
+        )
+    }
+    nbrs = {i: set() for i in pts}
+    ids = list(pts)
+    for i in ids:
+        xi, yi = pts[i]
+        for j in ids:
+            if i < j:
+                xj, yj = pts[j]
+                if (xi - xj) ** 2 + (yi - yj) ** 2 <= 625:
+                    nbrs[i].add(j)
+                    nbrs[j].add(i)
+    core = {i for i in ids if len(nbrs[i]) >= 4}
+    border = {i for i in ids if i not in core and nbrs[i] & core}
+    assert row.n_points == len(ids)
+    assert row.n_core == len(core)
+    assert row.n_border == len(border)
+    assert row.n_noise == len(ids) - len(core) - len(border)
+
+
+def test_abc_classes_partition_and_order(spark):
+    """A/B/C partition every part, shares are monotone with the 80/95
+    boundaries, and ppm shares sum to ~1e6."""
+    rows = {r.abc_class: r for r in QUERIES["orders_abc_class"](spark, SF_DIR).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    (n_parts, tot) = _duck(
+        f"""SELECT COUNT(DISTINCT l_partkey),
+                   SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+            FROM '{SF_DIR}/lineitem.parquet'"""
+    )[0]
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    assert sum(r.class_cents for r in rows.values()) == tot
+    assert 999_997 <= sum(r.share_ppm for r in rows.values()) <= 1_000_000
+    # boundary semantics: A stops at or below 80%, A+B at or below 95%
+    assert rows["A"].class_cents * 100 <= tot * 80
+    assert (rows["A"].class_cents + rows["B"].class_cents) * 100 <= tot * 95
+    # each class nonempty and A has the fewest parts (Pareto shape)
+    assert all(r.n_parts > 0 for r in rows.values())
+
+
+def test_gzip_roundtrip_is_compressed_and_multifile(spark):
+    """The gzip CSV sink writes actual .csv.gz part files and keeps
+    the input's parallel part count (no coalesce-to-one)."""
+    import glob
+
+    from data_engineering_assessment_spark.plans.relational import _scratch_tag
+
+    QUERIES["scan_csv_gzip_roundtrip"](spark, SF_DIR).collect()
+    path = f"/root/repo/.scratch/roundtrip_csvgz_{_scratch_tag(SF_DIR)}"
+    parts = glob.glob(f"{path}/part-*.csv.gz")
+    assert parts  # codec actually applied
