@@ -245,6 +245,9 @@ HEADLINE = [
     "sink_dynamic_partition_overwrite",
     "grid_dbscan_core",
     "orders_abc_class",
+    "udaf_trimmed_mean",
+    "sql_parameterized",
+    "scan_bucket_prune",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

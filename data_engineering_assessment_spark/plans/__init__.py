@@ -53,5 +53,8 @@ set_priority(
         "sink_dynamic_partition_overwrite",
         "grid_dbscan_core",
         "orders_abc_class",
+        "udaf_trimmed_mean",
+        "sql_parameterized",
+        "scan_bucket_prune",
     ]
 )

@@ -2128,6 +2128,114 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_bucket_prune",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_price_x100
+    FROM orders WHERE o_custkey IN (7, 42)
+    """,
+)
+def scan_bucket_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket PRUNING on scan — the read-side half of the bucketing
+    contract ([[join_bucketed]] is the join-side half): orders
+    bucketed on o_custkey, then an equality/IN filter on the bucket
+    key scans only the buckets those keys hash to
+    (``SelectedBucketsCount: ≤2 out of 8`` — plan-asserted in
+    tests/test_robust.py).  ``autoBucketedScan`` is disabled around
+    the read because Spark otherwise drops bucketed layout for
+    filter-only scans (it optimizes for split parallelism, which
+    would forfeit the skip).
+
+    Scale: with K buckets, a point/IN lookup on the bucket key reads
+    ~|keys|/K of the files before row-group stats even apply — the
+    poor man's index for the high-cardinality keys partitioning can't
+    hold (a custkey partition layout would be millions of dirs;
+    8–1024 buckets is one)."""
+    ensure_deterministic_session(spark)
+    from ..sources.layout import write_bucketed
+
+    tag = _scratch_tag(sf_dir)
+    table = f"or_bp_{tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        table,
+        "o_custkey",
+    )
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        out = (
+            spark.table(table)
+            .filter(F.col("o_custkey").isin(7, 42))
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.round(F.col("o_totalprice") * 100, 0)
+                .cast("long")
+                .alias("total_price_x100"),
+            )
+        )
+        # materialize WHILE the conf is in force — the scan strategy
+        # (and the bucket skip) is decided at execution time, so
+        # returning a lazy frame would re-plan after the conf reverts
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key, prev)
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND o_totalprice >= 1000.0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL text (Spark 4 named-marker binding): the
+    1997 order-priority revenue report with the date window and price
+    floor bound via ``spark.sql(query, args={...})`` — the
+    injection-safe API surface a SQL-first user migrating from the
+    reference's ``spark.sql(...)`` calls (02.py:126-128) should be
+    handed instead of f-string splicing.  Markers bind as typed
+    literals, so Catalyst constant-folds and pushes them down exactly
+    like hand-written constants (same plan, same PushedFilters).
+
+    Scale: one filtered scan + a 5-group aggregate; the binding is
+    purely a parse-time mechanism."""
+    ensure_deterministic_session(spark)
+    from ..sources.tables import register_corpus
+
+    register_corpus(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM orders
+        WHERE o_orderdate >= :start AND o_orderdate < :end
+          AND o_totalprice >= :floor
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={
+            "start": "1997-01-01 00:00:00",
+            "end": "1998-01-01 00:00:00",
+            "floor": 1000.0,
+        },
+    )
+
+
+@query(
     "scan_partitioned",
     oracle="""
     SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS total_price_x100

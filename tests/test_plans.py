@@ -21,6 +21,7 @@ QUERIES = entry_mod.queries()
 # beats the interpreted per-element fold; exact oracle-checked tiers
 # stay native for cross-engine summation-order parity).
 PY_ALLOWED = {k for k in QUERIES if k.startswith("multimodal_")} | {
+    "udaf_trimmed_mean",  # grouped-agg pandas UDF — the integration under test
     "dedup_embed_lsh",
     "embed_ann_lsh",
     "embed_ann_ivf",

@@ -325,3 +325,86 @@ def test_gzip_roundtrip_is_compressed_and_multifile(spark):
     path = f"/root/repo/.scratch/roundtrip_csvgz_{_scratch_tag(SF_DIR)}"
     parts = glob.glob(f"{path}/part-*.csv.gz")
     assert parts  # codec actually applied
+
+
+def test_alternating_cc_random_graphs_property(spark):
+    """Property: on arbitrary random graphs (self-loops, duplicate
+    edges, isolates-in-edge-list, long chains), alternating star
+    contraction labels every node with its component MINIMUM —
+    checked against a driver-side union-find."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_assessment_spark.operators.graph import (
+        connected_components_alternating,
+    )
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=60))
+    def run(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.component
+            for r in connected_components_alternating(df)[0].collect()
+        }
+        parent = {}
+        for u, v in edges:
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        want = {n: find(n) for n in parent}
+        assert got == want
+
+    run()
+
+
+def test_bucket_prune_selects_subset_of_buckets(spark):
+    """The bucket-pruned scan's docstring claim, plan-pinned: with
+    autoBucketedScan disabled, the IN-filter on the bucket key scans
+    <= 2 of the 8 buckets."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.plans.relational import _scratch_tag
+
+    QUERIES["scan_bucket_prune"](spark, SF_DIR).collect()  # (re)write table
+    table = f"or_bp_{_scratch_tag(SF_DIR)}"
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        d = spark.table(table).filter(F.col("o_custkey").isin(7, 42))
+        plan = d._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, prev)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan[:1500]
+    assert int(m.group(2)) == 8 and int(m.group(1)) <= 2
+
+
+def test_sql_parameterized_binds_as_pushed_literals(spark):
+    """Named markers reach the scan as ordinary pushed-down literal
+    filters — binding is parse-time, not a runtime join."""
+    df = QUERIES["sql_parameterized"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # markers appear as constant-folded literal predicates on the scan
+    # (the plan string elides the PushedFilters list, so assert on the
+    # DataFilters literals that feed it)
+    assert ">= 1997-01-01 00:00:00" in plan
+    assert "1000.0" in plan
