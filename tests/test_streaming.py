@@ -387,3 +387,79 @@ def test_transform_with_state_executes_when_env_allows(spark, event_dir):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_left_outer_join_multibatch_matches_batch(spark):
+    """The watermarked LEFT OUTER stream-stream join under a genuinely
+    multi-batch replay (time-sliced files, maxFilesPerTrigger=1, so
+    watermarks advance BETWEEN batches and outer rows flush
+    incrementally) still emits exactly the batch LEFT JOIN — the
+    cross-batch state-eviction property the graded single-batch key
+    cannot exercise.  Far-future sentinels on BOTH sides ride in the
+    last slice so the final watermark closes every real view's match
+    window (global watermark = MIN across the two sides)."""
+    import glob
+    import os
+    import shutil
+
+    from data_engineering_assessment_spark.streaming.windows import (
+        view_purchase_left_join,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("timestamp").cast("long")),
+        F.max(F.col("ts").cast("timestamp").cast("long")),
+    ).collect()[0]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    t = F.col("ts").cast("timestamp").cast("long")
+    slices = [
+        ev.filter(t < cut1),
+        ev.filter((t >= cut1) & (t < cut2)),
+        ev.filter(t >= cut2),
+    ]
+
+    def sentinel(eid, uid, etype):
+        return ev.agg(
+            F.lit(eid).cast("long").alias("event_id"),
+            (F.max("ts") + F.expr("INTERVAL 5 HOURS")).alias("ts"),
+            F.lit(uid).cast("long").alias("user_id"),
+            F.lit(etype).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    slices[2] = (
+        slices[2]
+        .select(cols)
+        .unionAll(sentinel(-1, -1, "view"))
+        .unionAll(sentinel(-2, -2, "purchase"))
+    )
+
+    d = tempfile.mkdtemp(prefix="dea_loj_mb_")
+    for i, sl in enumerate(slices):
+        tmp = os.path.join(d, f"_stage{i}")
+        sl.select(cols).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"{i:02d}.parquet")
+        shutil.copy(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))  # mtime order = time order
+
+    stream = (
+        spark.readStream.schema(read_event_stream(spark, d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*.parquet"))
+    )
+    got = _run_to_memory(
+        spark, view_purchase_left_join(stream), "t_loj_mb", "append"
+    ).collect()
+    n_batches_nulls = sum(1 for r in got if r.purchase_id is None)
+    assert n_batches_nulls > 0  # outer rows actually flushed
+
+    batch = spark.read.schema(stream.schema).parquet(os.path.join(d, "*.parquet"))
+    exp = view_purchase_left_join(batch).filter(F.col("view_id") >= 0).collect()
+
+    key = lambda r: (r.view_id, r.purchase_id)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, exp))
