@@ -632,9 +632,14 @@ def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_parts"),
             F.sum("cents").cast("long").alias("class_cents"),
-            F.expr("sum(cents) * 1000000 div first(tot)")
-            .cast("long")
-            .alias("share_ppm"),
+            # DECIMAL(38,0) headroom for the ppm numerator: class cents
+            # reach ~2e13 at a mere 10x of bench scale and * 1e6 blows
+            # BIGINT (found by the sf1 scaling notch — DuckDB hides the
+            # same hazard by auto-widening SUM to HUGEINT)
+            F.expr(
+                "cast((cast(sum(cents) as decimal(38,0)) * 1000000)"
+                " div first(tot) as bigint)"
+            ).alias("share_ppm"),
         )
         .orderBy("abc_class")
     )

@@ -408,3 +408,25 @@ def test_sql_parameterized_binds_as_pushed_literals(spark):
     # DataFilters literals that feed it)
     assert ">= 1997-01-01 00:00:00" in plan
     assert "1000.0" in plan
+
+
+def test_abc_share_ppm_survives_huge_cents(spark):
+    """Regression for the sf1-notch finding: the ppm share must not
+    overflow BIGINT when class cents reach ~1e13 (x1e6 numerator
+    ~1e19 > 2^63).  The DECIMAL(38,0) numerator keeps it exact."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("A", 10**12)] * 10, "abc_class string, cents long"
+    ).withColumn("tot", F.lit(10**13).cast("long"))
+    row = (
+        df.groupBy("abc_class")
+        .agg(
+            F.expr(
+                "cast((cast(sum(cents) as decimal(38,0)) * 1000000)"
+                " div first(tot) as bigint)"
+            ).alias("share_ppm")
+        )
+        .collect()[0]
+    )
+    assert row.share_ppm == 1_000_000
