@@ -100,7 +100,7 @@ def jfk_flag(name: str = "Pickup_or_dropoff_at_JFK") -> Column:
 
 
 _TAXI_DERIVED: list[Column] | None = None
-_TAXI_DERIVED_CTX: int | None = None
+_TAXI_DERIVED_CTX: tuple[str, int] | None = None
 
 
 def taxi_derived_columns() -> list[Column]:
@@ -118,8 +118,13 @@ def taxi_derived_columns() -> list[Column]:
     global _TAXI_DERIVED, _TAXI_DERIVED_CTX
     from pyspark import SparkContext
 
-    ctx = id(SparkContext._active_spark_context)
-    if _TAXI_DERIVED is None or _TAXI_DERIVED_CTX != ctx:
+    # Key on (applicationId, startTime) — stable for the life of the
+    # context and never reused across stop()/restart cycles, unlike
+    # id(ctx) which CPython can recycle after the old context is GC'd
+    # (and which collapses to id(None) when no context is active).
+    live = SparkContext._active_spark_context
+    ctx = (live.applicationId, live.startTime) if live is not None else None
+    if _TAXI_DERIVED is None or ctx is None or _TAXI_DERIVED_CTX != ctx:
         _TAXI_DERIVED_CTX = ctx
         _TAXI_DERIVED = [
             *one_hot_hour("lpep_pickup_datetime"),

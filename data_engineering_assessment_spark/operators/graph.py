@@ -122,7 +122,10 @@ def connected_components_alternating(
             F.count(F.lit(1)).alias("n"),
             F.sum("u").alias("su"),
             F.sum("v").alias("sv"),
-            F.sum((F.xxhash64("u", "v") % F.lit(2**31)).cast("double")).alias("h"),
+            # exact integer accumulation: a double sum loses low-order
+            # bits past ~4M edges (2^31-bit terms overflow 2^53),
+            # weakening change detection at exactly the target scales
+            F.sum((F.xxhash64("u", "v") % F.lit(2**31)).cast("long")).alias("h"),
         ).collect()[0]
         return (row.n, row.su, row.sv, row.h)
 

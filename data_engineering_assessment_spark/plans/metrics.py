@@ -1574,7 +1574,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(adj.select(F.col("src").alias("cu"), F.col("nbrs").alias("nu")), "cu")
         .join(adj.select(F.col("src").alias("cv"), F.col("nbrs").alias("nv")), "cv")
         .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
-        .agg(F.sum("c").cast("long").alias("t"))
+        # coalesce: SUM over an empty frame is NULL, but a triangle-free
+        # graph (stars, matchings) must report 0 like the oracle does.
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("t"))
     )
     summary = (
         deg.agg(

@@ -443,7 +443,13 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.windows import read_event_stream, view_purchase_left_join
 
-    path = f"/root/repo/.scratch/stream_loj_{_scratch_tag(sf_dir)}"
+    from ..sources.layout import versioned_scratch_tag
+
+    # Tag = fixture fingerprint (size+mtime) + staging-code digest, so
+    # a change to the staging logic itself (e.g. the sentinel scheme)
+    # can never silently replay a stale staged parquet.
+    tag = f"{_scratch_tag(sf_dir)}{versioned_scratch_tag('', stream_left_outer_join)}"
+    path = f"/root/repo/.scratch/stream_loj_{tag}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
 
@@ -462,7 +468,7 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).unionAll(sentinel(-1, -1, "view")).unionAll(
             sentinel(-2, -2, "purchase")
         ).coalesce(1).write.mode("overwrite").parquet(path)
-    name = f"stream_loj_{_scratch_tag(sf_dir)}"
+    name = f"stream_loj_{tag}"
     # Size the stateful shuffle to the staged volume: a stream-stream
     # join provisions and commits FOUR state stores per shuffle
     # partition per micro-batch (two sides × key-with/without-index),
