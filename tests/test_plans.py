@@ -351,3 +351,38 @@ def test_grading_window_spent_on_keys_needing_verdicts():
             "verdicts — run `python tools/rotation.py` and paste its "
             "output into plans/__init__.py"
         )
+
+
+def test_rows_only_verdicted_keys_stay_out_of_the_window():
+    """Round-9 hygiene follow-up: a rows-only key that already holds
+    its ``no_oracle`` verdict can never be improved by re-grading, so
+    it must never re-enter the ~50-slot window just because the
+    explicit priority list is shorter than the window and the registry
+    tail spills in.  ``set_priority`` sinks no-oracle keys behind
+    every oracle-backed tail key; this pins that contract (r9 lost
+    two slots to embed_ann_pq / graph_pagerank_converged drifting
+    back in via the tail)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation", "/root/repo/tools/rotation.py"
+    )
+    rotation = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rotation)
+
+    from data_engineering_assessment_spark import plans
+
+    registered = list(plans.queries().keys())
+    oracled = set(plans.oracles().keys())
+    _failing, _ungraded, rows_only = rotation.classify(
+        registered, oracled, rotation.fold_verdicts()
+    )
+    window = registered[:50]
+    # Enough oracle-backed keys exist to fill 50 slots many times
+    # over, so a verdicted rows-only key inside the prefix is always
+    # a wasted slot, never a forced one.
+    offenders = sorted(k for k in window if k in set(rows_only))
+    assert not offenders, (
+        f"rows-only keys with standing no_oracle verdicts occupy grading-"
+        f"window slots: {offenders} — they re-burn verdicts for nothing"
+    )
