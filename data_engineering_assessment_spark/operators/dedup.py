@@ -384,3 +384,73 @@ def containment_pairs(
             F.expr("CAST(inter * 1000000 DIV n_a AS BIGINT)").alias("containment_micro"),
         )
     )
+
+
+def substring_window_index(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-substring duplicate index (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), approximated at token
+    granularity with stride-1 rolling windows instead of a suffix
+    array: every k-token window whose exact text occurs at least twice
+    anywhere in the corpus (other documents OR a repeat within the same
+    document) marks a duplicated span.
+
+    Returns ``(base, dupw)``:
+
+    - ``base``: one row per document — ``(id_col, toks, n)`` with the
+      space-split token array and its length (ALL documents, including
+      those shorter than ``k`` tokens, which cannot hold a window);
+    - ``dupw``: one row per duplicated window occurrence —
+      ``(id_col, s)`` with the 1-based start position; the span covers
+      token positions ``[s, s + k - 1]``.
+
+    Window identity travels as a 16-hex-char md5 prefix of the exact
+    window text, so the operator is engine-portable (an oracle computes
+    the identical key) and the shuffle carries 16 bytes per window, not
+    the window text.  At production scale the same plan would swap the
+    md5 prefix for ``xxhash64`` (8 bytes, no hex): nothing downstream
+    depends on the digest beyond equality.
+
+    Scale: window expansion is a generator (one row per token, no
+    shuffle — the same shape as tokenization itself); corpus-wide
+    frequency is ONE shuffle on the window digest with map-side partial
+    counts; membership is an equi semi-join on the same digest (AQE
+    reuses the partitioning).  No pairwise comparison and no suffix
+    array: the digest groupBy carries all cross-document information,
+    which is what makes stride-1 windows feasible where a suffix array
+    needs corpus-order global sort."""
+    toks = F.split(text_col, " ")
+    base = docs.select(id_col, toks.alias("toks"), F.size(toks).alias("n"))
+    w = (
+        base.filter(F.col("n") >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("s"),
+            "toks",
+        )
+        .select(
+            id_col,
+            "s",
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice("toks", F.col("s"), F.lit(k))
+                    ).cast("binary")
+                ),
+                1,
+                16,
+            ).alias("h"),
+        )
+    )
+    dup = (
+        w.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    dupw = w.join(dup, "h", "semi").select(id_col, "s")
+    return base, dupw

@@ -34,5 +34,7 @@ from .registry import oracles, queries, set_priority  # noqa: F401
 set_priority(
     [
         # --- round-10 additions appended below as they are built ---
+        "dedup_substring_spans",
+        "dedup_substring_removal",
     ]
 )

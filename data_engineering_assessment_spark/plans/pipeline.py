@@ -1908,3 +1908,150 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_types").cast("long").alias("new_types"),
         F.sum("new_types").over(w).cast("long").alias("vocab_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup (Lee et al. 2022 exact-substring class)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_ORACLE_CTES = """
+    base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), w AS (
+      SELECT doc_id, s,
+             substr(md5(array_to_string(list_slice(toks, s, s + 7), ' ')),
+                    1, 16) AS h
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, n - 7)) AS s
+            FROM base WHERE n >= 8)
+    ), dup AS (
+      SELECT h FROM w GROUP BY h HAVING count(*) >= 2
+    ), dw AS (
+      SELECT w.doc_id, w.s FROM w SEMI JOIN dup USING (h)
+    ), cov AS (
+      SELECT DISTINCT doc_id, s + r.range AS p FROM dw, range(0, 8) r
+    )
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_SUBSTR_ORACLE_CTES},
+    agg AS (
+      SELECT doc_id, count(*) AS ndw FROM dw GROUP BY doc_id
+    ), cv AS (
+      SELECT doc_id, count(*) AS dt FROM cov GROUP BY doc_id
+    )
+    SELECT base.doc_id AS doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(greatest(n - 7, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(ndw, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(dt, 0) AS BIGINT) AS dup_tokens,
+           CAST(n - COALESCE(dt, 0) AS BIGINT) AS clean_tokens
+    FROM base LEFT JOIN agg USING (doc_id) LEFT JOIN cv USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate detection, the missing tier between
+    chunk-hash measurement ([[dup_text_fraction]], stride-16) and
+    whole/near-document dedup: stride-1 rolling 8-token windows, a
+    window duplicated when its exact text occurs >= 2 times anywhere in
+    the corpus (Lee et al. 2022 exact-substring semantics at token
+    granularity).  Per document: token/window totals, duplicated-window
+    count, the number of token positions covered by at least one
+    duplicated window (interval union, NOT ndw * 8 — overlapping
+    windows share positions), and the cleaned length after span
+    removal.
+
+    Scale: see operators/dedup.py:substring_window_index — generator
+    expansion, one digest shuffle, equi semi-join; the per-doc interval
+    union is a single doc_id aggregation whose state is bounded by the
+    document's own length."""
+    ensure_deterministic_session(spark)
+    from ..operators.dedup import substring_window_index
+
+    base, dupw = substring_window_index(load_table(spark, sf_dir, "documents"), k=8)
+    agg = dupw.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("ndw"),
+        F.size(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.sequence(F.col("s"), F.col("s") + F.lit(7)))
+                )
+            )
+        ).alias("dt"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.greatest(F.col("n") - 7, F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("ndw", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.coalesce("dt", F.lit(0)).cast("long").alias("dup_tokens"),
+        (F.col("n") - F.coalesce("dt", F.lit(0))).cast("long").alias("clean_tokens"),
+    )
+
+
+@query(
+    "dedup_substring_removal",
+    oracle=f"""
+    WITH {_SUBSTR_ORACLE_CTES},
+    tok AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, n)) AS p
+      FROM base
+    ), kept AS (
+      SELECT doc_id, p, tok FROM tok ANTI JOIN cov USING (doc_id, p)
+    ), clean AS (
+      SELECT doc_id, count(*) AS ct,
+             string_agg(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT base.doc_id AS doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(ct, 0) AS BIGINT) AS clean_tokens,
+           CAST(length(COALESCE(clean_text, '')) AS BIGINT) AS clean_chars,
+           md5(COALESCE(clean_text, '')) AS clean_md5
+    FROM base LEFT JOIN clean USING (doc_id)
+    """,
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-REMOVAL twin of [[dedup_substring_spans]]: drop every
+    token covered by a duplicated 8-token window and reassemble the
+    surviving tokens in document order — the actual cleaning transform
+    a Lee-et-al-style pipeline applies, not just the measurement.
+    Output carries the cleaned token count, character length, and an
+    md5 of the cleaned text so the oracle comparison proves the
+    reassembled STRING is byte-identical, not merely same-sized.
+
+    Scale: the anti-join removes covered positions with one equi
+    shuffle on (doc_id, p); reassembly is a per-document sort of that
+    document's own surviving tokens (array_sort over a collect_list
+    whose state is bounded by doc length, same bound as any per-doc
+    aggregation — no corpus-wide order anywhere)."""
+    ensure_deterministic_session(spark)
+    from ..operators.dedup import substring_window_index
+
+    base, dupw = substring_window_index(load_table(spark, sf_dir, "documents"), k=8)
+    cov = dupw.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(7))).alias("p")
+    ).distinct()
+    tok = base.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = tok.join(cov, ["doc_id", "p"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(p, tok)))," \
+            " x -> x.tok))"
+        ).alias("clean_text"),
+    )
+    return base.join(clean, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.coalesce("ct", F.lit(0)).cast("long").alias("clean_tokens"),
+        F.length(F.coalesce("clean_text", F.lit(""))).cast("long").alias("clean_chars"),
+        F.md5(F.coalesce("clean_text", F.lit("")).cast("binary")).alias("clean_md5"),
+    )

@@ -1099,3 +1099,104 @@ def test_pagerank_converged_matches_unrolled_oracle(spark):
         con.close()
     mine = {(r["node"], r["is_customer"]): r["rank_e12"] for r in got}
     assert mine == oracle
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup (planted duplicated spans)
+# ---------------------------------------------------------------------------
+
+
+def _substr_corpus(spark):
+    """Hand-built corpus with every substring-dedup case planted:
+
+    - docs 1 and 2 share an exact 10-token span (tokens d1..d10) →
+      three duplicated 8-token windows per doc, whose interval union
+      covers exactly those 10 positions;
+    - doc 3 is entirely unique;
+    - doc 4 has 5 tokens — too short to hold any window;
+    - doc 5 repeats one 8-token phrase WITHIN itself (positions 1-8
+      and 11-18) → within-doc duplication must count too.
+    """
+    shared = " ".join(f"d{i}" for i in range(1, 11))  # 10 tokens
+    phrase = " ".join(f"r{i}" for i in range(1, 9))  # 8 tokens
+    rows = [
+        (1, f"a1 a2 a3 {shared} a4 a5"),  # 15 tokens, span at 4..13
+        (2, f"b1 {shared} b2 b3 b4"),  # 14 tokens, span at 2..11
+        (3, " ".join(f"u{i}" for i in range(1, 13))),  # 12 unique tokens
+        (4, "s1 s2 s3 s4 s5"),  # 5 tokens, no windows
+        (5, f"{phrase} x1 x2 {phrase} x3"),  # 19 tokens, spans 1-8, 11-18
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_spans_planted(spark):
+    from data_engineering_assessment_spark.operators.dedup import (
+        substring_window_index,
+    )
+
+    base, dupw = substring_window_index(_substr_corpus(spark), k=8)
+    rows = dupw.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.s)
+    for v in by_doc.values():
+        v.sort()
+    # doc 1: shared span occupies positions 4..13 → window starts 4,5,6
+    # doc 2: positions 2..11 → starts 2,3,4
+    # doc 5: phrase at 1..8 and 11..18 → starts 1 and 11
+    assert by_doc == {1: [4, 5, 6], 2: [2, 3, 4], 5: [1, 11]}
+    assert base.count() == 5  # short doc included in the base
+
+
+def test_substring_removal_planted(spark, tmp_path):
+    """End-to-end through the registered keys on a staged parquet —
+    the cleaned text must equal the hand-computed token drop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_assessment_spark.plans.pipeline import (
+        dedup_substring_removal,
+        dedup_substring_spans,
+    )
+
+    docs = _substr_corpus(spark).toPandas()
+    docs["lang"] = "en"
+    docs["source"] = "test"
+    docs["n_chars"] = docs["text"].str.len()
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        str(tmp_path / "documents.parquet"),
+    )
+    spans = {
+        r["doc_id"]: r.asDict()
+        for r in dedup_substring_spans(spark, str(tmp_path)).collect()
+    }
+    assert spans[1]["dup_tokens"] == 10 and spans[1]["n_dup_windows"] == 3
+    assert spans[2]["dup_tokens"] == 10 and spans[2]["clean_tokens"] == 4
+    assert spans[3]["n_dup_windows"] == 0 and spans[3]["clean_tokens"] == 12
+    assert spans[4]["n_windows"] == 0 and spans[4]["dup_tokens"] == 0
+    assert spans[5]["dup_tokens"] == 16 and spans[5]["n_dup_windows"] == 2
+
+    removal = {
+        r["doc_id"]: r.asDict()
+        for r in dedup_substring_removal(spark, str(tmp_path)).collect()
+    }
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 1 keeps the 3 leading + 2 trailing context tokens
+    assert removal[1]["clean_tokens"] == 5
+    assert removal[1]["clean_md5"] == h("a1 a2 a3 a4 a5")
+    # doc 2 keeps b1..b4 in order
+    assert removal[2]["clean_md5"] == h("b1 b2 b3 b4")
+    # doc 3 untouched — cleaned text is the original
+    assert removal[3]["clean_md5"] == h(" ".join(f"u{i}" for i in range(1, 13)))
+    # doc 4 too short for any window — kept whole
+    assert removal[4]["clean_tokens"] == 5 and removal[4]["clean_md5"] == h(
+        "s1 s2 s3 s4 s5"
+    )
+    # doc 5 loses both phrase occurrences, keeps the x tokens
+    assert removal[5]["clean_md5"] == h("x1 x2 x3")
+    assert removal[5]["clean_chars"] == len("x1 x2 x3")
