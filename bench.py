@@ -248,6 +248,9 @@ HEADLINE = [
     "udaf_trimmed_mean",
     "sql_parameterized",
     "scan_bucket_prune",
+    # round-10 additions
+    "dedup_substring_spans",
+    "dedup_substring_removal",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison
