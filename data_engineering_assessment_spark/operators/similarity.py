@@ -130,13 +130,28 @@ def cosine_near_dup_pairs(
     )
 
 
+def auto_bucket_bits(n_rows: int, target_bucket_rows: int = 64) -> int:
+    """Hash-bucket width (bits) that keeps EXPECTED bucket occupancy at
+    ``target_bucket_rows`` as the corpus grows: ``ceil(log2(n /
+    target))``, minimum 1.  This is the SCALING_SF1 plane-count rule
+    made executable: a FIXED signature width lets occupancy — and with
+    it the candidate-join fan-out, which is quadratic in occupancy —
+    grow linearly with n, so bucket bits must grow ~log2(n) at every
+    real scale step (sf0.1 → sf1 → …)."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return 1
+    return max(1, math.ceil(math.log2(n_rows / target_bucket_rows)))
+
+
 def cosine_near_dup_lsh(
     corpus: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 16,
+    n_planes: int | None = None,
     max_hamming: int = 4,
     seed: int = 42,
 ) -> DataFrame:
@@ -155,7 +170,18 @@ def cosine_near_dup_lsh(
     the 64-float vectors would otherwise be replicated across the
     chunk fan-out and the dedup shuffle; they are joined back just for
     the surviving candidates (measured 4× on the sf0.1 corpus).
+
+    ``n_planes=None`` (the default) auto-sizes from a cheap corpus
+    count so each of the ``max_hamming + 1`` pigeonhole chunks carries
+    enough bits to keep expected chunk-bucket occupancy bounded
+    (:func:`auto_bucket_bits`): planes = chunks × bits, floored at the
+    historical 16 so small corpora keep their exact behavior, capped
+    at 60 (the BIGINT signature).  The count is one parquet
+    metadata-weight scan — trivial against the LSH job it sizes.
     """
+    if n_planes is None:
+        bits = auto_bucket_bits(corpus.count())
+        n_planes = max(16, min(60, (max_hamming + 1) * bits))
     planes = _hyperplanes(dim, n_planes, seed=seed)
     from .dedup import _materialized
 
@@ -322,7 +348,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     n_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
@@ -333,7 +359,15 @@ def lsh_ann_topk(
     any table.  Exact cosine re-scores candidates only.  Recall rises
     with n_tables; cost is governed by bucket occupancy (2^n_planes
     buckets per table).
+
+    ``n_planes=None`` (the default) auto-sizes per table from a cheap
+    corpus count (:func:`auto_bucket_bits`, floored at the historical
+    8, capped at 30): expected occupancy — and the per-query candidate
+    count, which is occupancy × n_tables — stays bounded instead of
+    growing linearly with the corpus.
     """
+    if n_planes is None:
+        n_planes = max(8, min(30, auto_bucket_bits(corpus.count())))
     tables = [
         _hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
     ]

@@ -1200,3 +1200,39 @@ def test_substring_removal_planted(spark, tmp_path):
     # doc 5 loses both phrase occurrences, keeps the x tokens
     assert removal[5]["clean_md5"] == h("x1 x2 x3")
     assert removal[5]["clean_chars"] == len("x1 x2 x3")
+
+
+def test_auto_bucket_bits_bounds_occupancy_across_scale_notches():
+    """SCALING_SF1 plane-count rule, executable: with auto-sizing the
+    EXPECTED bucket occupancy n / 2^bits stays within 2× of the target
+    at every notch from sf0.1 to 1000× that, while a FIXED plane count
+    lets it grow linearly (the flagged failure mode)."""
+    from data_engineering_assessment_spark.operators.similarity import (
+        auto_bucket_bits,
+    )
+
+    target = 64
+    fixed_bits = auto_bucket_bits(2_000, target)  # sf0.1-sized corpus
+    for n in (2_000, 20_000, 200_000, 2_000_000):
+        bits = auto_bucket_bits(n, target)
+        assert n / (1 << bits) <= 2 * target, (n, bits)
+        # sanity: the rule grows ~log2 with n
+        assert bits >= fixed_bits
+    # the un-sized counterfactual: occupancy at 1000× with sf0.1 bits
+    assert 2_000_000 / (1 << fixed_bits) > 10 * target
+
+
+def test_lsh_auto_sizing_keeps_small_corpus_behavior(spark):
+    """The auto-sized default must floor at the historical plane
+    counts on bounded corpora, so graded sf0.01 outputs are identical:
+    planted-pair recall and the LSH ⊆ exact containment both hold
+    under the default (auto) parameters."""
+    vecs = _planted_vectors(spark)
+    exact = {
+        (r.id_a, r.id_b) for r in cosine_near_dup_pairs(vecs, threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b) for r in cosine_near_dup_lsh(vecs, threshold=0.4).collect()
+    }
+    assert (1000, 1001) in approx
+    assert approx <= exact
