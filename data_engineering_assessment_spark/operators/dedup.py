@@ -234,14 +234,14 @@ def minhash_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash16_of(hs: Column) -> Column:
-    """16-bit SimHash over a pre-hashed word array: for each bit b,
-    sum ±1 votes across word hashes, take the sign.
+def simhash_of(hs: Column, bits: int = 16) -> Column:
+    """``bits``-wide SimHash over a pre-hashed word array: for each
+    bit b, sum ±1 votes across word hashes, take the sign.
 
     PERF: ``hs`` must be a materialized attribute holding
-    ``transform(words, xxhash64)`` — the 16 per-bit folds then reread
+    ``transform(words, xxhash64)`` — the per-bit folds then reread
     the hash array instead of re-hashing (or worse, re-splitting) the
-    text 16 times."""
+    text once per bit."""
 
     def bit(b: int) -> Column:
         def vote(acc: Column, h: Column) -> Column:
@@ -251,9 +251,14 @@ def simhash16_of(hs: Column) -> Column:
         return F.when(F.aggregate(hs, F.lit(0), vote) > 0, F.lit(1)).otherwise(F.lit(0))
 
     out = F.lit(0)
-    for b in range(16):
+    for b in range(bits):
         out = out + (bit(b) * F.lit(1 << b))
     return out.cast("long")
+
+
+def simhash16_of(hs: Column) -> Column:
+    """Historical 16-bit alias of :func:`simhash_of`."""
+    return simhash_of(hs, 16)
 
 
 def simhash_pairs(
@@ -262,23 +267,37 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     cache_index: bool = True,
+    bits: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
-    Candidate generation uses the pigeonhole principle: the 16-bit
-    hash splits into ``max_hamming + 1`` chunks, and any pair within
+    Candidate generation uses the pigeonhole principle: the hash
+    splits into ``max_hamming + 1`` chunks, and any pair within
     the Hamming budget must agree on at least one chunk — so an
     equi-join on (chunk_id, chunk_value) has *guaranteed* recall.
     Exact verification is the bit_count filter.  The chunk join is a
     plain hash shuffle (never a nested loop), which is what makes
     this the 100 TB formulation.
+
+    ``bits=None`` (the default) auto-sizes the fingerprint width from
+    a cheap corpus count so each pigeonhole CHUNK keeps bounded
+    expected occupancy (similarity.auto_bucket_bits — the same
+    log2(n) rule as the hyperplane-LSH planes): a FIXED 16-bit hash
+    at 50k docs leaves 4-bit chunks with ~3k docs per bucket and a
+    quadratic candidate join (measured 11.7x wall at the sf0.1→sf1
+    notch); sized, the chunk join stays bounded.  Floored at the
+    historical 16 bits so bounded corpora keep their exact output.
     """
     n_chunks = max_hamming + 1
-    chunk_bits = 16 // n_chunks
+    if bits is None:
+        from .similarity import auto_bucket_bits
+
+        bits = max(16, min(48, n_chunks * auto_bucket_bits(docs.count())))
+    chunk_bits = bits // n_chunks
     h = (
         spread(docs).select(F.col(id_col).alias("doc"), words(text_col).alias("ws"))
         .select("doc", F.transform("ws", lambda w: F.xxhash64(w)).alias("hs"))
-        .select("doc", simhash16_of(F.col("hs")).alias("sh"))
+        .select("doc", simhash_of(F.col("hs"), bits).alias("sh"))
     )
     if cache_index:
         h = _materialized(h)

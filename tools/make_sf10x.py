@@ -9,10 +9,23 @@ integrity holds copy-by-copy (copy 0 is the original bytes).  The
 tiny dimension tables (region, nation) do NOT scale, exactly like
 TPC-H.  Two perturbations keep similarity workloads honest:
 
-- documents: copies c>0 get a ``c<c> `` text prefix (and n_chars
-  recomputed), so fingerprint/MinHash keys don't see every document
-  turned into a 10-way exact duplicate — that would grow candidate
-  pairs 100x, not 10x, and poison the audit;
+- documents: copies c>0 get deterministic word-level substitutions
+  THROUGHOUT the text (~1 token in 3, chosen by a hash of token ×
+  position × copy, rewritten to a copy-tagged variant) and n_chars
+  recomputed.  The round-9 version perturbed only a short prefix,
+  which made every document a 10-way NEAR-duplicate — shingle Jaccard
+  across copies stayed ≈1, true pair counts grew ~1000x, and the
+  scale audit measured corpus pathology instead of engine scaling
+  (VERDICT r9 #4).  At 1-in-3 a token survives untouched in BOTH of
+  two copies with p = (2/3)^2 ≈ 0.44, a 3-token shingle with ≈ 0.09,
+  so cross-copy Jaccard lands ≈ 0.05 — far below every dedup
+  threshold even for short documents (a 1-in-6 draft still leaked
+  ~7x extra cross-copy pairs through them) — while WITHIN-copy
+  duplicate structure (the original corpus's own planted near-dups)
+  is preserved exactly — the substitution is a
+  pure function of (token, position, copy), so docs that matched
+  inside sf0.1 still match inside each copy, and true pair counts
+  grow ~linearly (~10x);
 - embeddings: copy c circularly rotates the vector by c dimensions —
   norms and within-copy geometry preserved, cross-copy vectors not
   identical.
@@ -111,9 +124,19 @@ def main() -> None:
             return df
         from pyspark.sql import functions as F
 
-        return df.withColumn(
-            "text", F.concat(F.lit(f"c{c} "), F.col("text"))
-        ).withColumn("n_chars", F.length("text").cast("long"))
+        # seeded word-level substitution throughout: ~1 token in 3
+        # becomes a copy-tagged variant, site selection a pure
+        # function of (token, position, copy) — see module docstring
+        subst = F.transform(
+            F.split("text", " "),
+            lambda tok, i: F.when(
+                F.pmod(F.xxhash64(tok, i, F.lit(c)), F.lit(3)) == 0,
+                F.concat(F.lit(f"w{c}x"), tok),
+            ).otherwise(tok),
+        )
+        return df.withColumn("text", F.concat_ws(" ", subst)).withColumn(
+            "n_chars", F.length("text").cast("long")
+        )
 
     build("documents", {"doc_id": "doc_id"}, post=doc_post)
 
