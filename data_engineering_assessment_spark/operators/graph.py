@@ -98,6 +98,10 @@ def connected_components_alternating(
     with a per-round fingerprint (edge count + endpoint checksums),
     ONE scalar action per round, and lineage is truncated per round
     with localCheckpoint, same discipline as the propagation loop.
+    The round checkpoint is LAZY (eager=False): the fingerprint
+    action materializes it in the same job it scans, so each round
+    runs one job instead of materialize-then-scan (r10 A/B: best-of-5
+    6.07 → 4.02 s at sf0.1, −34%; output identical).
 
     Returns (labels, rounds): labels only covers nodes present in
     ``edges`` (join back to the full node frame for isolates, as the
@@ -160,7 +164,7 @@ def connected_components_alternating(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur = _fingerprint(small)  # one scalar action per round
         e = small
