@@ -251,6 +251,8 @@ HEADLINE = [
     # round-10 additions
     "dedup_substring_spans",
     "dedup_substring_removal",
+    "dedup_longest_dup_span",
+    "dedup_window_freq_spectrum",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

@@ -405,6 +405,47 @@ def containment_pairs(
     )
 
 
+def substring_windows(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Stride-1 k-token rolling windows over every document.
+
+    Returns ``(base, w)``: ``base`` is one row per document —
+    ``(id_col, toks, n)`` over ALL documents; ``w`` is one row per
+    window occurrence — ``(id_col, s, h)`` with the 1-based start and
+    a 16-hex md5 prefix of the exact window text (engine-portable
+    digest identity; see :func:`substring_window_index` for the scale
+    rationale).  Documents shorter than ``k`` tokens appear in
+    ``base`` but hold no windows."""
+    toks = F.split(text_col, " ")
+    base = docs.select(id_col, toks.alias("toks"), F.size(toks).alias("n"))
+    w = (
+        base.filter(F.col("n") >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("s"),
+            "toks",
+        )
+        .select(
+            id_col,
+            "s",
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice("toks", F.col("s"), F.lit(k))
+                    ).cast("binary")
+                ),
+                1,
+                16,
+            ).alias("h"),
+        )
+    )
+    return base, w
+
+
 def substring_window_index(
     docs: DataFrame,
     k: int = 8,
@@ -442,29 +483,7 @@ def substring_window_index(
     array: the digest groupBy carries all cross-document information,
     which is what makes stride-1 windows feasible where a suffix array
     needs corpus-order global sort."""
-    toks = F.split(text_col, " ")
-    base = docs.select(id_col, toks.alias("toks"), F.size(toks).alias("n"))
-    w = (
-        base.filter(F.col("n") >= k)
-        .select(
-            id_col,
-            F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("s"),
-            "toks",
-        )
-        .select(
-            id_col,
-            "s",
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ", F.slice("toks", F.col("s"), F.lit(k))
-                    ).cast("binary")
-                ),
-                1,
-                16,
-            ).alias("h"),
-        )
-    )
+    base, w = substring_windows(docs, k, id_col, text_col)
     dup = (
         w.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -36,5 +36,7 @@ set_priority(
         # --- round-10 additions appended below as they are built ---
         "dedup_substring_spans",
         "dedup_substring_removal",
+        "dedup_longest_dup_span",
+        "dedup_window_freq_spectrum",
     ]
 )

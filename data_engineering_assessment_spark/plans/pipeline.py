@@ -2055,3 +2055,106 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.coalesce("clean_text", F.lit(""))).cast("long").alias("clean_chars"),
         F.md5(F.coalesce("clean_text", F.lit("")).cast("binary")).alias("clean_md5"),
     )
+
+
+@query(
+    "dedup_longest_dup_span",
+    oracle=f"""
+    WITH {_SUBSTR_ORACLE_CTES},
+    isl AS (
+      SELECT doc_id, p,
+             p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS g
+      FROM cov
+    ), runs AS (
+      SELECT doc_id, count(*) AS run_len
+      FROM isl GROUP BY doc_id, g
+    ), agg AS (
+      SELECT doc_id, max(run_len) AS longest, count(*) AS nspans
+      FROM runs GROUP BY doc_id
+    )
+    SELECT base.doc_id AS doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(longest, 0) AS BIGINT) AS longest_dup_span,
+           CAST(COALESCE(nspans, 0) AS BIGINT) AS n_dup_spans
+    FROM base LEFT JOIN agg USING (doc_id)
+    """,
+)
+def dedup_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest duplicated span per document — the headline statistic
+    of Lee et al. 2022's exact-substring analysis (their Fig. 2 plots
+    the distribution of longest duplicated substring lengths): merge
+    the token positions covered by duplicated 8-token windows
+    ([[dedup_substring_spans]]) into maximal contiguous runs via
+    gaps-and-islands, report the longest run and the run count.
+
+    Scale: the islands trick is one window function PARTITIONED BY
+    doc — per-partition state is a row_number counter over that
+    document's own covered positions, so no corpus-wide ordering
+    exists anywhere; the run/span aggregations shuffle on doc_id."""
+    ensure_deterministic_session(spark)
+    from ..operators.dedup import substring_window_index
+
+    base, dupw = substring_window_index(load_table(spark, sf_dir, "documents"), k=8)
+    cov = dupw.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(7))).alias("p")
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("p")
+    runs = (
+        cov.select("doc_id", "p", (F.col("p") - F.row_number().over(w)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("run_len").alias("longest"),
+            F.count(F.lit(1)).alias("nspans"),
+        )
+    )
+    return base.join(runs, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.coalesce("longest", F.lit(0)).cast("long").alias("longest_dup_span"),
+        F.coalesce("nspans", F.lit(0)).cast("long").alias("n_dup_spans"),
+    )
+
+
+@query(
+    "dedup_window_freq_spectrum",
+    oracle=f"""
+    WITH {_SUBSTR_ORACLE_CTES},
+    freq AS (
+      SELECT h, count(*) AS c FROM w GROUP BY h
+    )
+    SELECT CAST(FLOOR(LOG2(c)) AS BIGINT) AS dup_bucket_log2,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(c) AS BIGINT) AS n_occurrences
+    FROM freq GROUP BY dup_bucket_log2
+    """,
+)
+def dedup_window_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplication-frequency spectrum: distinct 8-token
+    windows bucketed by floor(log2(occurrence count)) — bucket 0 is
+    unique text, bucket 1 is 2-3x duplicated, and a heavy tail at
+    high buckets is the boilerplate signature that tells a curation
+    pipeline how much an exact-substring pass would remove before
+    running it.  log2 at integer inputs ≥ 1 is exact in both engines
+    (power-of-two boundaries are representable), per the no-logs
+    output contract's floor(log2(n+1)) carve-out.
+
+    Scale: the window generator plus TWO key-bucketed aggregations
+    (digest → count, bucket → sum) — the second groupBy has at most
+    ~40 groups, so the result is a constant-size profile whatever the
+    corpus size."""
+    ensure_deterministic_session(spark)
+    from ..operators.dedup import substring_windows
+
+    _base, w = substring_windows(load_table(spark, sf_dir, "documents"), k=8)
+    freq = w.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        freq.groupBy(
+            F.floor(F.log2("c")).cast("long").alias("dup_bucket_log2")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("c").cast("long").alias("n_occurrences"),
+        )
+    )

@@ -1236,3 +1236,36 @@ def test_lsh_auto_sizing_keeps_small_corpus_behavior(spark):
     }
     assert (1000, 1001) in approx
     assert approx <= exact
+
+
+def test_substring_longest_span_and_spectrum_planted(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_assessment_spark.plans.pipeline import (
+        dedup_longest_dup_span,
+        dedup_window_freq_spectrum,
+    )
+
+    docs = _substr_corpus(spark).toPandas()
+    docs["lang"] = "en"
+    docs["source"] = "test"
+    docs["n_chars"] = docs["text"].str.len()
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        str(tmp_path / "documents.parquet"),
+    )
+    spans = {
+        r["doc_id"]: (r["longest_dup_span"], r["n_dup_spans"])
+        for r in dedup_longest_dup_span(spark, str(tmp_path)).collect()
+    }
+    # docs 1/2: one merged 10-token run; doc 5: two 8-token runs
+    assert spans == {1: (10, 1), 2: (10, 1), 3: (0, 0), 4: (0, 0), 5: (8, 2)}
+
+    spec = {
+        r["dup_bucket_log2"]: (r["n_windows"], r["n_occurrences"])
+        for r in dedup_window_freq_spectrum(spark, str(tmp_path)).collect()
+    }
+    # 32 window occurrences total: 3 cross-doc + 1 within-doc window
+    # text each occur twice (bucket 1); the other 24 are unique
+    assert spec == {0: (24, 24), 1: (4, 8)}
