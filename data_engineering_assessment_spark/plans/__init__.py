@@ -38,5 +38,54 @@ set_priority(
         "dedup_substring_removal",
         "dedup_longest_dup_span",
         "dedup_window_freq_spectrum",
+        # --- freshness re-grades: keys whose only green verdict dates
+        # from rounds 2-3 (VERDICT r9 #7); the first 46 in registration
+        # order, filling the window behind the 4 new round-10 keys ---
+        "scan_csv_header_check",
+        "scan_csv_clean",
+        "scan_csv_typed",
+        "one_hot_hour",
+        "one_hot_dow",
+        "one_hot_dow_corrected",
+        "duration_seconds",
+        "flag_bbox",
+        "project_extend",
+        "text_stats",
+        "token_count",
+        "text_lang_id",
+        "doc_fingerprint",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_embed_cosine",
+        "embed_cosine_topk",
+        "multimodal_meta",
+        "multimodal_decode",
+        "multimodal_resize",
+        "dedup_clusters",
+        "sample_hash",
+        "sample_stratified",
+        "text_quality_filter",
+        "token_topk",
+        "text_pii_scrub",
+        "decontaminate_overlap",
+        "embed_dim_stats",
+        "dedup_fuzzy_blocked",
+        "scan_parquet",
+        "scan_jsonl",
+        "scan_orc",
+        "agg_group",
+        "agg_distinct",
+        "agg_rollup",
+        "agg_cube",
+        "join_inner",
+        "join_broadcast",
+        "join_semi",
+        "join_anti",
+        "join_range",
+        "join_asof",
+        "window_rank",
+        "window_running_sum",
+        "topk_per_group",
+        "sort_limit",
     ]
 )
