@@ -253,6 +253,8 @@ HEADLINE = [
     "dedup_substring_removal",
     "dedup_longest_dup_span",
     "dedup_window_freq_spectrum",
+    "graph_khop_reach",
+    "session_path_topk",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

@@ -38,6 +38,8 @@ set_priority(
         "dedup_substring_removal",
         "dedup_longest_dup_span",
         "dedup_window_freq_spectrum",
+        "graph_khop_reach",
+        "session_path_topk",
         # --- freshness re-grades: keys whose only green verdict dates
         # from rounds 2-3 (VERDICT r9 #7); the first 46 in registration
         # order, filling the window behind the 4 new round-10 keys ---
@@ -85,7 +87,5 @@ set_priority(
         "join_asof",
         "window_rank",
         "window_running_sum",
-        "topk_per_group",
-        "sort_limit",
     ]
 )

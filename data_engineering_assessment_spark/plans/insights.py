@@ -2037,3 +2037,84 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_secs"),
         F.max("secs").cast("long").alias("max_secs"),
     )
+
+
+@query(
+    "session_path_topk",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+      FROM events
+    ), g AS (
+      SELECT *,
+             CASE WHEN LAG(t) OVER w IS NULL
+                    OR t - LAG(t) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ), s AS (
+      SELECT *,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), r AS (
+      SELECT user_id, sid, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid
+               ORDER BY t, event_id) AS rn
+      FROM s
+    ), p AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id, sid
+    ), c AS (
+      SELECT path, COUNT(*) AS n FROM p GROUP BY path
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank,
+           path,
+           CAST(n AS BIGINT) AS n_sessions
+    FROM c ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session opening paths: the first three event types of
+    each 30-minute-gap session, joined as ``a>b>c`` and ranked by
+    session count — the path-analysis view product teams read next to
+    [[event_markov_transitions]] (pairwise) and [[event_funnel]]
+    (a FIXED path): which openings actually dominate, unprompted.
+
+    Scale: the sessionizer is the shared per-user window pass; the
+    per-session path is an rn<=3 filter plus a (user, sid) aggregate
+    whose state is at most three types; the final top-10 is
+    orderBy+limit (TakeOrderedAndProject — never a global sort), and
+    only those 10 rows pass through the rank window."""
+    ensure_deterministic_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", _epoch_s("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    lag_t = F.lag("t").over(w)
+    s = ev.withColumn(
+        "new_s",
+        F.when(lag_t.isNull() | (F.col("t") - lag_t > 1800), 1).otherwise(0),
+    ).withColumn("sid", F.sum("new_s").over(run))
+    wse = Window.partitionBy("user_id", "sid").orderBy("t", "event_id")
+    r = s.withColumn("rn", F.row_number().over(wse)).filter(F.col("rn") <= 3)
+    paths = r.groupBy("user_id", "sid").agg(
+        F.expr(
+            "concat_ws('>', transform(array_sort(collect_list(struct(rn, event_type))),"
+            " x -> x.event_type))"
+        ).alias("path")
+    )
+    top = (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return top.select(
+        F.row_number().over(wr).cast("long").alias("rank"),
+        "path",
+        F.col("n").cast("long").alias("n_sessions"),
+    ).orderBy("rank")
