@@ -40,11 +40,17 @@ cluster-shaped parallelism.  Idempotent via _SUCCESS markers.
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 
 sys.path.insert(0, "/root/repo")
 
+# Defaults build the sf0.1 -> sf1 notch; --src/--out/--stride-scale/
+# --doc-tag stack the same construction one notch higher (sf1 -> sf10:
+# strides x10 so shifted ids never collide with sf1's own shifted
+# range, and a distinct doc-substitution tag so the second layer of
+# word substitutions cannot alias the first).
 OUT = "/root/repo/.scratch/sf1"
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
@@ -64,6 +70,18 @@ STRIDES = {
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    global SRC, OUT
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/root/repo/.scratch/sf1")
+    ap.add_argument("--stride-scale", type=int, default=1)
+    ap.add_argument("--doc-tag", default="w{c}x")
+    args = ap.parse_args()
+    SRC, OUT = args.src, args.out
+    for k in STRIDES:
+        STRIDES[k] *= args.stride_scale
+
     from pyspark.sql import functions as F
 
     from data_engineering_assessment_spark.session import get_spark
@@ -131,7 +149,7 @@ def main() -> None:
             F.split("text", " "),
             lambda tok, i: F.when(
                 F.pmod(F.xxhash64(tok, i, F.lit(c)), F.lit(3)) == 0,
-                F.concat(F.lit(f"w{c}x"), tok),
+                F.concat(F.lit(args.doc_tag.format(c=c)), tok),
             ).otherwise(tok),
         )
         return df.withColumn("text", F.concat_ws(" ", subst)).withColumn(
