@@ -1019,7 +1019,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # base is distinct and parity-oriented (u even, v odd), so the
+    # reversed half is disjoint by parity — no second distinct needed
+    e = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
     e = e.localCheckpoint(eager=True)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
     n_nodes = deg.count()  # bounded scalar action: one BIGINT to the driver
@@ -1100,7 +1102,9 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # base is distinct and parity-oriented (u even, v odd), so the
+    # reversed half is disjoint by parity — no second distinct needed
+    e = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
     e_deg = (
         e.join(deg, "u")
@@ -2758,6 +2762,12 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # NOTE: the reversed half is parity-disjoint from b, so the
+    # distinct below is a no-op on the row SET — but it is kept
+    # deliberately: checkpointing the un-shuffled narrow union loses
+    # cached blocks at the sf10 notch ("Block rdd_N does not exist" —
+    # checkpointed blocks are evictable but not recomputable), while
+    # the post-shuffle 32-partition frame checkpoints reliably.
     e = (
         b.union(b.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
