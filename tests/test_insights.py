@@ -499,3 +499,50 @@ def test_time_to_convert_percentiles(spark):
     assert r.n_converters == len(lags)
     pct = lambda k: lags[-(-len(lags) * k // 10) - 1]
     assert (r.p50_secs, r.p90_secs, r.max_secs) == (pct(5), pct(9), lags[-1])
+
+
+def test_session_path_topk_planted(spark, tmp_path):
+    """Hand-built event log: user 1 runs two identical sessions
+    (view>click>purchase... with a 4th event that must NOT enter the
+    path), user 2 a single two-event session, user 3 one lone event;
+    a >30-min gap splits user 1's sessions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from data_engineering_assessment_spark.plans.insights import session_path_topk
+
+    base = 1_700_000_000
+    rows = [
+        # user 1, session A: view>click>purchase + extra (rn=4 dropped)
+        (1, 1, "view", base + 0),
+        (2, 1, "click", base + 60),
+        (3, 1, "purchase", base + 120),
+        (4, 1, "view", base + 180),
+        # user 1, session B (gap > 1800 s): same opening
+        (5, 1, "view", base + 4000),
+        (6, 1, "click", base + 4060),
+        (7, 1, "purchase", base + 4120),
+        # user 2: one two-event session
+        (8, 2, "view", base + 0),
+        (9, 2, "click", base + 10),
+        # user 3: a lone event
+        (10, 3, "purchase", base + 0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "t"])
+    df["ts"] = pd.to_datetime(df.pop("t"), unit="s")
+    df["value"] = 1.0
+    df["props"] = "{}"
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "events.parquet"),
+    )
+    got = [
+        (r["rank"], r["path"], r["n_sessions"])
+        for r in session_path_topk(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (1, "view>click>purchase", 2),
+        (2, "purchase", 1),
+        (3, "view>click", 1),
+    ]

@@ -1269,3 +1269,40 @@ def test_substring_longest_span_and_spectrum_planted(spark, tmp_path):
     # 32 window occurrences total: 3 cross-doc + 1 within-doc window
     # text each occur twice (bucket 1); the other 24 are unique
     assert spec == {0: (24, 24), 1: (4, 8)}
+
+
+def test_khop_reach_planted_frontiers(spark, tmp_path):
+    """Planted trade graph with known BFS frontiers: customer 1 (node
+    2) is the only seed (custkey < 5 present); suppliers s1,s2 sit at
+    hop 1, customer 6 (via s1) at hop 2, supplier s3 (via c6) at hop
+    3; customer 9/supplier 9 form a disconnected island that must
+    never be reached."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_assessment_spark.plans.analytics import graph_khop_reach
+
+    # orders: (orderkey, custkey); lineitem: (orderkey, suppkey)
+    orders = pd.DataFrame(
+        [(100, 1), (101, 1), (102, 6), (103, 9)],
+        columns=["o_orderkey", "o_custkey"],
+    )
+    lineitem = pd.DataFrame(
+        [(100, 1), (101, 2), (102, 1), (102, 3), (103, 9)],
+        columns=["l_orderkey", "l_suppkey"],
+    )
+    pq.write_table(
+        pa.Table.from_pandas(orders, preserve_index=False),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(lineitem, preserve_index=False),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = {r["hop"]: r["n_reached"] for r in
+           graph_khop_reach(spark, str(tmp_path)).collect()}
+    # seed: node 2 (cust 1).  hop1: supp 1 (node 3), supp 2 (node 5).
+    # hop2: cust 6 (node 12, via supp 1).  hop3: supp 3 (node 7).
+    # island (cust 9 / supp 9) unreachable at any hop.
+    assert got == {0: 1, 1: 2, 2: 1, 3: 1}
