@@ -255,6 +255,7 @@ HEADLINE = [
     "dedup_window_freq_spectrum",
     "graph_khop_reach",
     "session_path_topk",
+    "graph_shortest_cost_k",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

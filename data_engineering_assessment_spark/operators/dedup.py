@@ -287,12 +287,37 @@ def simhash_pairs(
     quadratic candidate join (measured 11.7x wall at the sf0.1→sf1
     notch); sized, the chunk join stays bounded.  Floored at the
     historical 16 bits so bounded corpora keep their exact output.
+
+    SEMANTICS UNDER AUTO-SIZING (ADVICE r10): ``max_hamming`` is a
+    budget in BITS, so the required bit-agreement FRACTION tightens as
+    the hash widens — 3-of-16 accepts ~81% agreement, 3-of-36 ~92% —
+    and the same document pair can drop out of the near-dup set purely
+    because the corpus grew.  This is deliberate and cannot be fixed
+    by scaling ``max_hamming`` with ``bits``: pigeonhole recall needs
+    ``n_chunks = max_hamming + 1`` chunks, so a constant agreement
+    fraction means ``n_chunks ∝ bits`` and per-chunk width stays
+    CONSTANT (~16/3 bits here) — bucket occupancy then grows linearly
+    with n and the candidate join is quadratic again, the exact
+    failure auto-sizing exists to prevent.  Bounded buckets and a
+    corpus-independent similarity definition are mutually exclusive in
+    this family (same for hyperplane-LSH recall as n_planes grows).
+    Consequences: cross-notch pair COUNTS from auto-sized runs are not
+    comparable (the scale audit compares definitions, not just
+    engines); pin ``bits`` explicitly when the definition must stay
+    fixed across corpus sizes.
+
+    ``bits`` is rounded down to a multiple of ``n_chunks`` (floored at
+    ``n_chunks``) so every fingerprint bit belongs to exactly one
+    pigeonhole chunk — otherwise the top ``bits % n_chunks`` bits pay
+    the per-bit fold cost while contributing only to the verification
+    filter, and the occupancy model above overstates chunk width.
     """
     n_chunks = max_hamming + 1
     if bits is None:
         from .similarity import auto_bucket_bits
 
         bits = max(16, min(48, n_chunks * auto_bucket_bits(docs.count())))
+    bits = max(n_chunks, bits - bits % n_chunks)
     chunk_bits = bits // n_chunks
     h = (
         spread(docs).select(F.col(id_col).alias("doc"), words(text_col).alias("ws"))

@@ -75,6 +75,24 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def edge_fingerprint(df: DataFrame) -> tuple:
+    """Row-order-free change fingerprint of an (u, v) edge frame:
+    (count, Σu, Σv, Σ(xxhash64(u,v) mod 2³¹)) — one bounded scalar
+    action.  The hash term accumulates as exact BIGINT: a double sum
+    loses low-order bits once the running total passes 2⁵³ (~4M
+    edges of 2³¹-magnitude terms), silently weakening change
+    detection at exactly the target scales (ADVICE r9 fix; pinned by
+    tests/test_insights.py::
+    test_edge_fingerprint_exact_integer_accumulation)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum((F.xxhash64("u", "v") % F.lit(2**31)).cast("long")).alias("h"),
+    ).collect()[0]
+    return (row.n, row.su, row.sv, row.h)
+
+
 def connected_components_alternating(
     edges: DataFrame,
     src: str = "src",
@@ -121,19 +139,7 @@ def connected_components_alternating(
         .localCheckpoint(eager=True)
     )
 
-    def _fingerprint(df: DataFrame) -> tuple:
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("u").alias("su"),
-            F.sum("v").alias("sv"),
-            # exact integer accumulation: a double sum loses low-order
-            # bits past ~4M edges (2^31-bit terms overflow 2^53),
-            # weakening change detection at exactly the target scales
-            F.sum((F.xxhash64("u", "v") % F.lit(2**31)).cast("long")).alias("h"),
-        ).collect()[0]
-        return (row.n, row.su, row.sv, row.h)
-
-    prev = _fingerprint(e)
+    prev = edge_fingerprint(e)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -166,7 +172,7 @@ def connected_components_alternating(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        cur = _fingerprint(small)  # one scalar action per round
+        cur = edge_fingerprint(small)  # one scalar action per round
         e = small
         if cur == prev:
             break

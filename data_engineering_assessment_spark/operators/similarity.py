@@ -178,6 +178,17 @@ def cosine_near_dup_lsh(
     historical 16 so small corpora keep their exact behavior, capped
     at 60 (the BIGINT signature).  The count is one parquet
     metadata-weight scan — trivial against the LSH job it sizes.
+
+    SEMANTICS UNDER AUTO-SIZING (ADVICE r10): a fixed ``max_hamming``
+    over a wider signature is a tighter angular gate — signature-level
+    recall SHRINKS as n_planes grows, so cross-corpus-size candidate
+    sets (and hence pair counts in scale audits) are not comparable
+    under auto-sizing.  Holding recall constant would require
+    ``max_hamming ∝ n_planes``, which keeps per-chunk width constant
+    and lets bucket occupancy grow linearly with n — the quadratic
+    join auto-sizing exists to prevent.  Pin ``n_planes`` explicitly
+    when the recall contract must stay fixed (the exact rescoring tier
+    means precision is unaffected either way; only recall moves).
     """
     if n_planes is None:
         bits = auto_bucket_bits(corpus.count())
@@ -364,7 +375,10 @@ def lsh_ann_topk(
     corpus count (:func:`auto_bucket_bits`, floored at the historical
     8, capped at 30): expected occupancy — and the per-query candidate
     count, which is occupancy × n_tables — stays bounded instead of
-    growing linearly with the corpus.
+    growing linearly with the corpus.  Same auto-sizing trade-off as
+    :func:`cosine_near_dup_lsh`: more planes per bucket = finer
+    buckets = lower recall at fixed n_tables, so recall is not
+    comparable across corpus sizes unless ``n_planes`` is pinned.
     """
     if n_planes is None:
         n_planes = max(8, min(30, auto_bucket_bits(corpus.count())))

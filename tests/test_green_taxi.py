@@ -158,3 +158,66 @@ def test_end_to_end_pipeline_from_fixture(spark, tmp_path):
     import os
     assert os.path.isfile(tmp_path / "staged.parquet")
     assert os.path.isfile(tmp_path / "out.parquet")
+
+
+def test_taxi_derived_cache_rebuilds_across_stop_restart():
+    """ADVICE r9 regression pin (functions/taxi.py cache key): the
+    memoized Column cache must be keyed on (applicationId, startTime)
+    — pre-fix it was keyed on id(SparkContext), which CPython can
+    recycle after GC, so a stop()/restart cycle could serve Column
+    trees holding dead py4j gateway handles.  The cycle needs its own
+    JVMs (stopping the shared session fixture would poison the rest
+    of the suite), so it runs in a subprocess: build → use → stop →
+    restart → the cache must REBUILD (fresh objects, fresh key) and
+    the rebuilt columns must be usable in a real select."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from data_engineering_assessment_spark.functions import taxi as taxi_mod
+        from data_engineering_assessment_spark.session import get_spark
+
+        ROW = ("SELECT timestamp'2016-01-03 11:22:33' AS lpep_pickup_datetime, "
+               "timestamp'2016-01-03 11:52:33' AS lpep_dropoff_datetime, "
+               "-73.78 AS Pickup_longitude, 40.65 AS Pickup_latitude, "
+               "-73.99 AS Dropoff_longitude, 40.75 AS Dropoff_latitude")
+
+        def use(spark):
+            cols = taxi_mod.taxi_derived_columns()
+            r = spark.sql(ROW).select(*cols).collect()[0]
+            assert r["Pickup_hour_is_11"] == 1 and r["Duration_seconds"] == 1800
+            assert r["Pickup_or_dropoff_at_JFK"] == 1
+            return cols
+
+        s1 = get_spark(app_name="cache-cycle-1", cpus=2, shuffle_partitions=2)
+        sc1 = s1.sparkContext
+        c1 = use(s1)
+        # key CONTENT pin: (applicationId, startTime), never id(ctx)
+        assert taxi_mod._TAXI_DERIVED_CTX == (sc1.applicationId, sc1.startTime), (
+            taxi_mod._TAXI_DERIVED_CTX
+        )
+        # within one context the cache serves the same Column objects
+        assert taxi_mod.taxi_derived_columns()[0] is c1[0]
+        s1.stop()
+
+        s2 = get_spark(app_name="cache-cycle-2", cpus=2, shuffle_partitions=2)
+        sc2 = s2.sparkContext
+        c2 = use(s2)  # must not raise on dead handles
+        assert c2[0] is not c1[0], "cache was not rebuilt after restart"
+        assert taxi_mod._TAXI_DERIVED_CTX == (sc2.applicationId, sc2.startTime)
+        s2.stop()
+        print("CYCLE-OK")
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "CYCLE-OK" in out.stdout

@@ -546,3 +546,32 @@ def test_session_path_topk_planted(spark, tmp_path):
         (2, "purchase", 1),
         (3, "view>click", 1),
     ]
+
+
+def test_edge_fingerprint_exact_integer_accumulation(spark):
+    """ADVICE r9 regression pin for operators/graph.py:edge_fingerprint:
+    the hash term accumulates as exact BIGINT, never double.  Pins
+    (a) the Python-side type (a double-sum regression surfaces as
+    float), (b) bit-equality with an independently DECIMAL(38,0)-
+    accumulated twin over a 6M-edge frame (2³¹-magnitude terms — the
+    regime the r9 fix targets), and (c) partition-order invariance,
+    which only exact accumulation can promise."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.operators.graph import edge_fingerprint
+
+    df = spark.range(6_000_000).select(
+        F.col("id").alias("u"), (F.col("id") * 31 + 7).alias("v")
+    )
+    fp = edge_fingerprint(df)
+    assert all(isinstance(x, int) for x in fp), f"non-integer fingerprint: {fp!r}"
+    exact = df.agg(
+        F.sum(
+            (F.xxhash64("u", "v") % F.lit(2**31)).cast("decimal(38,0)")
+        ).alias("h")
+    ).collect()[0]["h"]
+    assert fp[0] == 6_000_000
+    assert fp[3] == int(exact)
+    assert fp == edge_fingerprint(df.repartition(17)), (
+        "fingerprint must be partition-order invariant"
+    )

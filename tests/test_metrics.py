@@ -514,3 +514,20 @@ def test_reset_running_matches_per_user_replay(spark):
             pur += typ == "purchase"
             assert got[eid] == (seg, pos, pur), eid
     assert len(got) == len(evs)
+
+
+def test_triangle_count_zero_not_null_on_triangle_free_graph(spark, tmp_path):
+    """ADVICE r9 regression pin: SUM over an empty closing frame is
+    NULL, but a triangle-FREE co-purchase graph (a star here: every
+    order pairs one hub part with one leaf) must report n_triangles=0
+    and gcc_ppm=0 like the oracle — the pre-fix code (no coalesce at
+    plans/metrics.py graph_triangle_count) returned NULL."""
+    rows = [(i, 0) for i in range(1, 5)] + [(i, i) for i in range(1, 5)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = QUERIES["graph_triangle_count"](spark, str(tmp_path)).collect()[0]
+    # star K(1,4): 5 nodes, 4 edges, C(4,2)=6 wedges at the hub, 0 triangles
+    assert r.n_nodes == 5 and r.n_edges == 4 and r.n_wedges == 6
+    assert r.n_triangles == 0, "triangle-free graph must report 0, not NULL"
+    assert r.gcc_ppm == 0

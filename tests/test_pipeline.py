@@ -1306,3 +1306,61 @@ def test_khop_reach_planted_frontiers(spark, tmp_path):
     # hop2: cust 6 (node 12, via supp 1).  hop3: supp 3 (node 7).
     # island (cust 9 / supp 9) unreachable at any hop.
     assert got == {0: 1, 1: 2, 2: 1, 3: 1}
+
+
+def test_shortest_cost_k_planted_hand_graph(spark, tmp_path):
+    """Planted weighted trade graph with hand-computed 3-round
+    Bellman–Ford costs, pinning three semantics at once: (a) the
+    relaxation takes a CHEAPER 3-edge path over a direct edge (node 5:
+    400 via 2→3→12→5 beats the 1000 direct edge), (b) the fixed round
+    bound is load-bearing (node 16 keeps its 2-edge 1010 cost — the
+    cheaper 4-edge path 2→3→12→5→16 = 410 must NOT be taken), and
+    (c) per-pair edge weight is the MIN trade in cents."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_assessment_spark.plans.analytics import (
+        graph_shortest_cost_k,
+    )
+
+    # customers: 1 (seed, node 2), 6 (node 12), 8 (node 16)
+    # suppliers: 1 (node 3), 2 (node 5), 3 (node 7)
+    orders = pd.DataFrame(
+        [(100, 1), (101, 6), (102, 8)],
+        columns=["o_orderkey", "o_custkey"],
+    )
+    lineitem = pd.DataFrame(
+        [
+            # cust1: s1 at 1.00 (and a pricier 3.00 trade that MIN ignores), s2 at 10.00
+            (100, 1, 1.00),
+            (100, 1, 3.00),
+            (100, 2, 10.00),
+            # cust6: s1 at 2.00, s2 at 1.00, s3 at 0.50
+            (101, 1, 2.00),
+            (101, 2, 1.00),
+            (101, 3, 0.50),
+            # cust8: s2 at 0.10
+            (102, 2, 0.10),
+        ],
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice"],
+    )
+    pq.write_table(
+        pa.Table.from_pandas(orders, preserve_index=False),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(lineitem, preserve_index=False),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = {
+        r["node"]: r["cost_cents"]
+        for r in graph_shortest_cost_k(spark, str(tmp_path)).collect()
+    }
+    # edges (cents): (2,3)=100, (2,5)=1000, (12,3)=200, (12,5)=100,
+    # (12,7)=50, (16,5)=10.  3 rounds from seed {2}:
+    #   d1: 2=0, 3=100, 5=1000
+    #   d2: + 12=300 (2→3→12), 16=1010 (2→5→16)
+    #   d3: 5 improves to 400 (2→3→12→5), + 7=350 (2→3→12→7);
+    #       16 would improve to 410 only at round 4 — stays 1010
+    assert got == {2: 0, 3: 100, 12: 300, 7: 350, 5: 400, 16: 1010}

@@ -430,3 +430,36 @@ def test_abc_share_ppm_survives_huge_cents(spark):
         .collect()[0]
     )
     assert row.share_ppm == 1_000_000
+
+
+def test_stream_loj_staging_path_is_code_versioned(spark):
+    """ADVICE r9 regression pin (plans/robust.py staged-stream cache):
+    the staged parquet path must fold a digest of the staging CODE
+    (versioned_scratch_tag), not just the fixture fingerprint — the
+    pre-fix tag was fixture-only, so an edit to the staging logic
+    (e.g. the per-side watermark sentinels) silently replayed a stale
+    staged layout.  Runs the query, then asserts the _SUCCESS marker
+    landed under the code-versioned path and that a staging-source
+    change implies a different path."""
+    import os
+
+    from data_engineering_assessment_spark.plans import robust
+    from data_engineering_assessment_spark.plans.insights import _scratch_tag
+    from data_engineering_assessment_spark.sources.layout import (
+        versioned_scratch_tag,
+    )
+
+    QUERIES["stream_left_outer_join"](spark, SF_DIR).count()
+    tag = f"{_scratch_tag(SF_DIR)}{versioned_scratch_tag('', robust.stream_left_outer_join)}"
+    assert os.path.exists(f"/root/repo/.scratch/stream_loj_{tag}/_SUCCESS"), (
+        "staged stream input is not keyed by the staging code digest"
+    )
+
+    # a different staging source must yield a different tag (the
+    # invalidation direction: code bump => fresh staging)
+    def other_stager():
+        return "staging-format v+1"
+
+    assert versioned_scratch_tag("", robust.stream_left_outer_join) != (
+        versioned_scratch_tag("", other_stager)
+    )

@@ -71,36 +71,35 @@ STRIDES = {
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    global SRC, OUT
-    ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/root/repo/.scratch/sf1")
     ap.add_argument("--stride-scale", type=int, default=1)
     ap.add_argument("--doc-tag", default="w{c}x")
     args = ap.parse_args()
-    SRC, OUT = args.src, args.out
-    for k in STRIDES:
-        STRIDES[k] *= args.stride_scale
+    src, out_dir = args.src, args.out
+    # scaled strides stay local so a second main() call (or an import
+    # that re-enters) can never compound the scaling
+    strides = {k: v * args.stride_scale for k, v in STRIDES.items()}
 
     from pyspark.sql import functions as F
 
     from data_engineering_assessment_spark.session import get_spark
 
     spark = get_spark()
-    os.makedirs(OUT, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
 
     def shifted(df, c: int, cols: dict[str, str]):
         out = df
         for col, ent in cols.items():
-            out = out.withColumn(col, F.col(col) + F.lit(c * STRIDES[ent]))
+            out = out.withColumn(col, F.col(col) + F.lit(c * strides[ent]))
         return out
 
     def build(name: str, key_cols: dict[str, str], post=None) -> None:
-        dst = f"{OUT}/{name}.parquet"
+        dst = f"{out_dir}/{name}.parquet"
         if os.path.exists(os.path.join(dst, "_SUCCESS")):
             print(f"{name}: exists, skipping")
             return
-        base = spark.read.parquet(f"{SRC}/{name}.parquet")
+        base = spark.read.parquet(f"{src}/{name}.parquet")
         parts = []
         for c in range(COPIES):
             cp = shifted(base, c, key_cols)
@@ -116,9 +115,9 @@ def main() -> None:
 
     # dimensions: copy through unscaled (TPC-H style)
     for name in ("region", "nation"):
-        dst = f"{OUT}/{name}.parquet"
+        dst = f"{out_dir}/{name}.parquet"
         if not os.path.exists(os.path.join(dst, "_SUCCESS")):
-            spark.read.parquet(f"{SRC}/{name}.parquet").coalesce(1).write.mode(
+            spark.read.parquet(f"{src}/{name}.parquet").coalesce(1).write.mode(
                 "overwrite"
             ).parquet(dst)
             print(f"{name}: copied")
@@ -174,7 +173,7 @@ def main() -> None:
         )
 
     build("embeddings", {"vec_id": "vec_id"}, post=emb_post)
-    print("done:", OUT)
+    print("done:", out_dir)
 
 
 if __name__ == "__main__":
