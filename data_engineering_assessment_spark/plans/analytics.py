@@ -2719,6 +2719,46 @@ def event_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A/B toggle for the khop frontier-lineage experiment (VERDICT r10 #5).
+# tools/ab_khop.py flips this; the graded default records the winner.
+KHOP_CHECKPOINT_FRONTIERS = False
+
+
+def _khop_frontiers(e, seeds, hops: int, checkpoint_frontiers: bool | None = None):
+    """Bounded-frontier BFS loop shared by [[graph_khop_reach]] and the
+    A/B harness (tools/ab_khop.py).
+
+    Without checkpointing, frontier k's logical subtree nests every
+    earlier frontier (each hop joins the previous frontier AND
+    anti-joins the visited union), so the single output action
+    re-evaluates hop-j work once per later hop — fine at 3 hops on
+    small SFs, but it is the growing-lineage shape VERDICT r10 #5
+    asks to measure at sf1/sf10.  With ``checkpoint_frontiers`` each
+    per-hop frontier is eagerly localCheckpointed; the frame is
+    post-shuffle at that point (distinct + left_anti), so the blocks
+    are the reliable 32-partition kind (see the NOTE on ``e`` below —
+    un-shuffled narrow checkpoints lose evictable-unrecomputable
+    blocks at the sf10 notch).  ``visited`` stays a plain union of
+    the (now materialized) frontiers, which the next anti-join
+    shuffles anyway."""
+    if checkpoint_frontiers is None:
+        checkpoint_frontiers = KHOP_CHECKPOINT_FRONTIERS
+    frontiers = [seeds]
+    visited = seeds
+    for _ in range(hops):
+        nxt = (
+            e.join(frontiers[-1].withColumnRenamed("n", "u"), "u", "semi")
+            .select(F.col("v").alias("n"))
+            .distinct()
+            .join(visited, "n", "left_anti")
+        )
+        if checkpoint_frontiers:
+            nxt = nxt.localCheckpoint(eager=True)
+        frontiers.append(nxt)
+        visited = visited.union(nxt)
+    return frontiers
+
+
 @query(
     "graph_khop_reach",
     oracle="""
@@ -2797,17 +2837,7 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("u").alias("n"))
         .distinct()
     )
-    frontiers = [seeds]
-    visited = seeds
-    for _ in range(3):
-        nxt = (
-            e.join(frontiers[-1].withColumnRenamed("n", "u"), "u", "semi")
-            .select(F.col("v").alias("n"))
-            .distinct()
-            .join(visited, "n", "left_anti")
-        )
-        frontiers.append(nxt)
-        visited = visited.union(nxt)
+    frontiers = _khop_frontiers(e, seeds, hops=3)
     counts = [
         f.agg(F.count(F.lit(1)).cast("long").alias("n_reached")).select(
             F.lit(i).cast("long").alias("hop"), "n_reached"

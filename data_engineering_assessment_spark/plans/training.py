@@ -604,3 +604,77 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hapax_ppm_of_vocab"),
         F.expr("CAST(COUNT(*) * 1000000 div SUM(freq) AS BIGINT)").alias("ttr_ppm"),
     )
+
+
+@query(
+    "split_time_holdout",
+    oracle="""
+    WITH mx AS (
+      SELECT MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS m FROM events
+    ), lab AS (
+      SELECT user_id,
+             CASE
+               WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) > m - 7 * 86400
+                 THEN 'eval'
+               WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) > m - 8 * 86400
+                 THEN 'embargo'
+               ELSE 'train'
+             END AS split
+      FROM events, mx
+    ), tu AS (
+      SELECT DISTINCT user_id FROM lab WHERE split = 'train'
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT user_id) FILTER (
+                WHERE user_id IN (SELECT user_id FROM tu))
+                AS BIGINT) AS n_users_also_in_train
+    FROM lab GROUP BY split
+    """,
+)
+def split_time_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/eval split with an embargo gap — the time-series
+    counterpart of [[split_group_holdout]]: eval is the last 7 days
+    before the event frontier, a 1-day embargo before it is DROPPED
+    (so near-boundary leakage — sessions straddling the cut — cannot
+    contaminate eval), and everything earlier trains.  The per-split
+    user-overlap column quantifies the entity leakage a temporal
+    split permits by design (the same user may appear in train and
+    eval) — the number a leakage review reads before choosing between
+    this split and the group-holdout.
+
+    Scale: the frontier is a 1-row MAX broadcast (the
+    [[orders_backlog_aging]] idiom); labeling is a scan-time CASE; the
+    per-split agg and the train-user semi-join are both user_id/split-
+    keyed shuffles on node-sized distinct sets.  No self-join of the
+    raw event table."""
+    ensure_deterministic_session(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("timestamp").cast("double"))
+        .cast("long")
+        .alias("es"),
+    )
+    mx = ev.agg(F.max("es").alias("m"))
+    lab = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.when(F.col("es") > F.col("m") - 7 * 86400, "eval")
+        .when(F.col("es") > F.col("m") - 8 * 86400, "embargo")
+        .otherwise("train")
+        .alias("split"),
+    )
+    tu = (
+        lab.filter(F.col("split") == "train")
+        .select("user_id")
+        .distinct()
+        .withColumn("in_train", F.lit(True))
+    )
+    j = lab.join(tu, "user_id", "left")
+    return j.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct(F.when(F.col("in_train"), F.col("user_id")))
+        .cast("long")
+        .alias("n_users_also_in_train"),
+    )

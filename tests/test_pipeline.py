@@ -1364,3 +1364,49 @@ def test_shortest_cost_k_planted_hand_graph(spark, tmp_path):
     #   d3: 5 improves to 400 (2→3→12→5), + 7=350 (2→3→12→7);
     #       16 would improve to 410 only at round 4 — stays 1010
     assert got == {2: 0, 3: 100, 12: 300, 7: 350, 5: 400, 16: 1010}
+
+
+def test_split_time_holdout_planted_boundaries(spark, tmp_path):
+    """Planted event log pinning the temporal-split semantics on both
+    boundary edges: an event exactly at frontier-7d lands in the
+    EMBARGO (eval is strictly later), an event exactly at frontier-8d
+    lands in TRAIN (embargo is strictly later), and the leakage
+    column counts exactly the users with events on both sides."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_assessment_spark.plans.training import (
+        split_time_holdout,
+    )
+
+    T = dt.datetime(2024, 1, 31, 0, 0, 0)
+    d = dt.timedelta
+    events = pd.DataFrame(
+        [
+            (1, T),                          # eval (frontier itself)
+            (2, T - d(days=2)),              # eval
+            (3, T - d(days=7, hours=1)),     # embargo (inside the gap)
+            (5, T - d(days=7)),              # embargo: exactly -7d is NOT eval
+            (1, T - d(days=8)),              # train: exactly -8d is NOT embargo
+            (4, T - d(days=30)),             # train
+            (4, T - d(days=20)),             # train
+        ],
+        columns=["user_id", "ts"],
+    )
+    pq.write_table(
+        pa.Table.from_pandas(events, preserve_index=False),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r["split"]: (r["n_events"], r["n_users"], r["n_users_also_in_train"])
+        for r in split_time_holdout(spark, str(tmp_path)).collect()
+    }
+    # user 1 is the only one with events in BOTH train and eval
+    assert got == {
+        "eval": (2, 2, 1),
+        "embargo": (2, 2, 0),
+        "train": (3, 2, 2),
+    }

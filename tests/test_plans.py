@@ -218,6 +218,8 @@ BNLJ_ALLOWED = {
     "graph_kcore",  # two single-row count broadcasts into the summary row
     "events_value_halflife",  # single-row corpus-frontier timestamp broadcast
     "grid_dbscan_core",  # two single-row count broadcasts into the summary row
+    # round-11:
+    "split_time_holdout",  # single-row event-frontier timestamp broadcast
 }
 
 

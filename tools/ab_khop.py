@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""A/B the graph_khop_reach frontier-lineage shape (VERDICT r10 #5).
+
+Variant A (graded default): frontiers/visited stay a nested lazy
+lineage — frontier k's subtree re-evaluates every earlier hop inside
+the one output action.
+Variant B: each per-hop frontier is eagerly localCheckpointed right
+after its distinct + anti-join (post-shuffle, so the blocks are the
+reliable 32-partition kind per the khop NOTE on ``e``).
+
+Prints best-of-N wall per variant per SF dir.  Run after building the
+scratch notches:
+    python tools/make_sf10x.py                    # sf0.1 -> .scratch/sf1
+    python tools/make_sf10x.py --src /root/repo/.scratch/sf1 \
+        --out /root/repo/.scratch/sf10 --stride-scale 10 --doc-tag "W{c}y"
+    python tools/ab_khop.py --sfs /root/testdata/sf0.1 \
+        /root/repo/.scratch/sf1 /root/repo/.scratch/sf10
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--sfs",
+        nargs="+",
+        default=["/root/testdata/sf0.1", "/root/repo/.scratch/sf1"],
+    )
+    args = ap.parse_args()
+
+    from data_engineering_assessment_spark import plans
+    from data_engineering_assessment_spark.plans import analytics
+    from data_engineering_assessment_spark.session import get_spark
+
+    spark = get_spark()
+    q = plans.queries()["graph_khop_reach"]
+    # warm scan infra once
+    q(spark, "/root/testdata/sf0.01").write.format("noop").mode("overwrite").save()
+
+    for sf_dir in args.sfs:
+        for label, flag in (("A lineage", False), ("B ckpt-frontier", True)):
+            analytics.KHOP_CHECKPOINT_FRONTIERS = flag
+            best, rows = float("inf"), None
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                got = q(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+                rows = sorted((r["hop"], r["n_reached"]) for r in got)
+            print(f"{sf_dir}  {label:16s}  best-of-{args.runs} {best:7.2f} s  {rows}")
+        analytics.KHOP_CHECKPOINT_FRONTIERS = False
+
+
+if __name__ == "__main__":
+    main()
