@@ -256,6 +256,9 @@ HEADLINE = [
     "graph_khop_reach",
     "session_path_topk",
     "graph_shortest_cost_k",
+    # round-11 additions
+    "split_time_holdout",
+    "text_bigram_lm_score",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

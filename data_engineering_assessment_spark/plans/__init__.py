@@ -30,12 +30,21 @@ from .registry import oracles, queries, set_priority  # noqa: F401
 #      here — the rows-only hygiene rule only bars tail-DRIFT, see
 #      tests/test_plans.py::test_rows_only_verdicted_keys_stay_out...),
 #   3. ALL 41 r3-vintage keys (incl. the §2 items sort_limit and
-#      topk_per_group the verdict names),
-#   4. r4-vintage top-ups for the remaining slots (the S6/S9 sink key
-#      and the S1 URL source the verdict names).
+#      topk_per_group the verdict names).
+# The r4-vintage top-ups the verdict also named (the S6/S9 sink key,
+# the S1 URL source) were displaced to round 12 when the two late
+# round-11 keys took the head slots — never-graded keys outrank
+# re-grades under the window-hygiene policy, and those two are the
+# youngest debt in the freshness queue.
 WINDOW_PRIORITY = [
-    # --- round-11 additions, appended as they are built ---
+    # --- round-11 additions, appended as they are built (never-graded
+    # keys lead the window per the rotation-hygiene policy pinned by
+    # tests/test_plans.py::test_rotation...; the two r4-vintage
+    # top-ups the verdict named were displaced to round 12 to make
+    # room — they are the youngest debt in the freshness queue) ---
     "graph_shortest_cost_k",
+    "split_time_holdout",
+    "text_bigram_lm_score",
     # --- r2-vintage freshness re-grades (rows-only by design) ---
     "agg_approx_distinct",
     "dedup_embed_lsh",
@@ -85,8 +94,5 @@ WINDOW_PRIORITY = [
     "window_ntile",
     "window_range_frame",
     "window_rank_dense",
-    # --- r4-vintage top-ups (VERDICT r10 #1 names these) ---
-    "sink_parquet_single",
-    "scan_url_source",
 ]
 set_priority(WINDOW_PRIORITY)

@@ -2720,8 +2720,13 @@ def event_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # A/B toggle for the khop frontier-lineage experiment (VERDICT r10 #5).
-# tools/ab_khop.py flips this; the graded default records the winner.
-KHOP_CHECKPOINT_FRONTIERS = False
+# tools/ab_khop.py flips this; the graded default records the winner:
+# per-hop eager checkpointing beat the nested lazy lineage at every
+# measured notch with identical outputs (best-of-3, 2026-08-16:
+# sf0.1 4.24→3.75 s, sf1 7.36→7.08 s, sf10 90.7→69.2 s — the win
+# grows with data because frontier k's subtree re-evaluates every
+# earlier hop, ~O(hops²) joins vs O(hops) once materialized).
+KHOP_CHECKPOINT_FRONTIERS = True
 
 
 def _khop_frontiers(e, seeds, hops: int, checkpoint_frontiers: bool | None = None):
@@ -2809,7 +2814,12 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     once instead of re-deriving orders⋈lineitem per branch (A/B:
     3.87 → 2.71 s at sf0.1 — unlike the triangle-count case, the
     consumers here sit in SEPARATE unioned subtrees where exchange
-    reuse does not reach)."""
+    reuse does not reach).  Per-hop frontiers are eagerly
+    checkpointed too (round 11, VERDICT #5): see _khop_frontiers —
+    the nested lazy lineage re-evaluates every earlier hop once per
+    later hop, and materializing each (post-shuffle) frontier won the
+    A/B at all three notches (sf0.1 4.24→3.75 s, sf1 7.36→7.08 s,
+    sf10 90.7→69.2 s, identical outputs; tools/ab_khop.py)."""
     ensure_deterministic_session(spark)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -2906,8 +2916,12 @@ def graph_shortest_cost_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per round, one |E|-proportional equi-join (edges ⋈ current
     costs on the source node) + one node-sized groupBy-min — the
-    textbook distributed Bellman–Ford relaxation; no driver scalars,
-    no per-round action.  The weighted edge frame feeds all three
+    textbook distributed Bellman–Ford relaxation; no driver scalars.
+    Each round's cost frame is eagerly checkpointed (round 11): the
+    nested lazy lineage re-evaluated round j once per later round,
+    and materializing the node-sized post-shuffle frame won the
+    same-session A/B sf1 12.39→8.78 s, sf10 105.6→62.7 s (identical
+    outputs).  The weighted edge frame feeds all three
     rounds, so it is checkpointed ONCE, post-shuffle (repartitioned on
     the join key u — un-shuffled narrow unions under localCheckpoint
     lose evictable-unrecomputable blocks at the sf10 notch, the
@@ -2946,7 +2960,18 @@ def graph_shortest_cost_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         relaxed = e.join(
             d.select(F.col("n").alias("u"), F.col("c").alias("cu")), "u"
         ).select(F.col("v").alias("n"), (F.col("cu") + F.col("w")).alias("c"))
-        d = d.unionAll(relaxed).groupBy("n").agg(F.min("c").alias("c"))
+        # Eagerly checkpoint each round's cost frame (post-shuffle:
+        # the groupBy exchanges on n, so the blocks are the reliable
+        # kind) — the nested lazy lineage re-evaluates round j once
+        # per later round, the khop frontier lesson (_khop_frontiers;
+        # same-session best-of-2 A/B: sf1 12.39→8.78 s, sf10
+        # 105.6→62.7 s, identical outputs and oracle replay green).
+        d = (
+            d.unionAll(relaxed)
+            .groupBy("n")
+            .agg(F.min("c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
     return (
         d.orderBy("c", "n")
         .limit(20)

@@ -1791,3 +1791,67 @@ def agg_order_fanout_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_order.groupBy(F.col("n_items").cast("long").alias("n_items")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), b AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+      FROM t, UNNEST(range(1, len(w))) AS u(i)
+    ), f AS (
+      SELECT bg, CAST(COUNT(*) AS BIGINT) AS freq FROM b GROUP BY bg
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(f.freq) AS BIGINT) AS freq_sum,
+           CAST(SUM(f.freq) * 1000 // COUNT(*) AS BIGINT)
+             AS lm_score_milli
+    FROM b JOIN f USING (bg)
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score — the order-sensitive tier above
+    [[text_rarity_score]] (unigram): each document's mean corpus
+    frequency of its adjacent word PAIRS, fixed-point milli-units.
+    Common collocations score high, word-salad (frequent words in
+    improbable order — spam keyword stuffing, shuffled scrape debris)
+    scores LOW even when every unigram is common; that ordering is
+    what CCNet-style LM-perplexity filters rank by, here in the
+    log-free exact-integer form the round-3 portability contract
+    requires (monotone-identical ranking, no ln()).  Docs with fewer
+    than two tokens have no bigrams and are absent on both sides.
+
+    Scale: one transform builds per-doc bigram arrays in the scan
+    (no self-join of token positions), explode → one bigram shuffle
+    for the corpus frequency table → equi-join back → per-doc re-agg;
+    identical plan shape to [[text_rarity_score]], whose stopword-
+    pair skew note (AQE skew-split) applies verbatim."""
+    ensure_deterministic_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bg = F.expr(
+        "transform(slice(w, 1, size(w) - 1),"
+        " (x, i) -> concat(x, ' ', element_at(w, i + 2)))"
+    )
+    b = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(bg).alias("bg"))
+    )
+    f = b.groupBy("bg").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        b.join(f, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("freq").alias("freq_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "freq_sum",
+            F.expr("freq_sum * 1000 div n_bigrams").alias("lm_score_milli"),
+        )
+    )

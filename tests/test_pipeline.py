@@ -1410,3 +1410,36 @@ def test_split_time_holdout_planted_boundaries(spark, tmp_path):
         "embargo": (2, 2, 0),
         "train": (3, 2, 2),
     }
+
+
+def test_bigram_lm_score_planted_counts(spark, tmp_path):
+    """Tiny corpus with hand-counted bigram frequencies: repeated
+    collocations raise the score, the order-sensitivity is pinned
+    ('a b' and 'b a' are different bigrams), and a one-token doc has
+    no bigrams and must be absent."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_assessment_spark.plans.warehouse import (
+        text_bigram_lm_score,
+    )
+
+    docs = pd.DataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        columns=["doc_id", "text"],
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["freq_sum"], r["lm_score_milli"])
+        for r in text_bigram_lm_score(spark, str(tmp_path)).collect()
+    }
+    # corpus bigram freqs: 'a b' x3 (two in doc1, one in doc2),
+    # 'b a' x1, 'b c' x1
+    assert got == {
+        1: (3, 7, 2333),   # 3+1+3 = 7; 7000 // 3
+        2: (2, 4, 2000),   # 3+1 = 4; 4000 // 2
+    }

