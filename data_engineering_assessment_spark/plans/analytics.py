@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..session import ensure_deterministic_session
 from ..sources.tables import load_table
@@ -2837,10 +2838,14 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached blocks at the sf10 notch ("Block rdd_N does not exist" —
     # checkpointed blocks are evictable but not recomputable), while
     # the post-shuffle 32-partition frame checkpoints reliably.
+    # |E|-sized frame: SERIALIZED spillable storage (round 11) — the
+    # default deserialized level OOM'd the 64 GB single-JVM heap at
+    # the sf100 notch (100M edges x 32 concurrent materializing
+    # tasks); serialized blocks stream to byte buffers and spill.
     e = (
         b.union(b.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     seeds = (
         e.filter((F.col("u") % 2 == 0) & (F.col("u") < 10))
@@ -2945,10 +2950,12 @@ def graph_shortest_cost_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w")
         )
     )
+    # |E|-sized frame: serialized spillable storage, the khop
+    # sf100 lesson (see graph_khop_reach's NOTE above its own e).
     e = (
         b.unionAll(b.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
         .repartition(F.col("u"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     d = (
         e.filter((F.col("u") % 2 == 0) & (F.col("u") < 10))

@@ -270,6 +270,15 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact sums, so any engine produces the identical bits.
     """
     ensure_deterministic_session(spark)
+    # Sum-side decimals are (28,scale), not (18,scale): the narrower
+    # cast capped representable sums at ~10^(18-scale) and overflowed
+    # under ANSI mode at the sf100 notch (600M lineitem rows,
+    # sum_charge ≈ 4.35e12 > Decimal(18,6) max — found by the round-11
+    # fourth-decade audit, SCALING_SF100.md).  (28,scale) is lossless
+    # at every graded SF and the *10^scale fixed-point BIGINT contract
+    # itself holds to ~9.2e18, i.e. ~sf200 for the charge column —
+    # the documented ceiling of the x1e6 output encoding, not of the
+    # aggregation.
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
     )
@@ -277,11 +286,11 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
     charge = disc_price * (one + _dec("l_tax"))
     g = l.groupBy("l_returnflag", "l_linestatus").agg(
-        (F.sum(_dec("l_quantity")).cast("decimal(18,2)") * 100).cast("long").alias("sum_qty_x100"),
-        (F.sum(_dec("l_extendedprice")).cast("decimal(18,2)") * 100).cast("long").alias("sum_base_price_x100"),
-        (F.sum(disc_price).cast("decimal(18,4)") * 10000).cast("long").alias("sum_disc_price_x10000"),
-        (F.sum(charge).cast("decimal(18,6)") * 1000000).cast("long").alias("sum_charge_x1000000"),
-        (F.sum(_dec("l_discount")).cast("decimal(18,2)") * 100).cast("long").alias("sum_disc_x100"),
+        (F.sum(_dec("l_quantity")).cast("decimal(28,2)") * 100).cast("long").alias("sum_qty_x100"),
+        (F.sum(_dec("l_extendedprice")).cast("decimal(28,2)") * 100).cast("long").alias("sum_base_price_x100"),
+        (F.sum(disc_price).cast("decimal(28,4)") * 10000).cast("long").alias("sum_disc_price_x10000"),
+        (F.sum(charge).cast("decimal(28,6)") * 1000000).cast("long").alias("sum_charge_x1000000"),
+        (F.sum(_dec("l_discount")).cast("decimal(28,2)") * 100).cast("long").alias("sum_disc_x100"),
         F.count("*").alias("count_order"),
     )
     return g.select(
@@ -342,7 +351,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            (F.sum(_dec("o_totalprice")).cast("decimal(18,2)") * 100).cast("long").alias("total_x100"),
+            (F.sum(_dec("o_totalprice")).cast("decimal(28,2)") * 100).cast("long").alias("total_x100"),
         )
     )
 
@@ -365,7 +374,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            (F.sum(_dec("o_totalprice")).cast("decimal(18,2)") * 100).cast("long").alias("total_x100"),
+            (F.sum(_dec("o_totalprice")).cast("decimal(28,2)") * 100).cast("long").alias("total_x100"),
         )
     )
 
@@ -426,7 +435,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            (F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("decimal(18,4)") * 10000)
+            (F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("decimal(28,4)") * 10000)
             .cast("long")
             .alias("revenue_x10000")
         )
@@ -459,7 +468,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            (F.sum(_dec("c_acctbal")).cast("decimal(18,2)") * 100).cast("long").alias("total_acctbal_x100"),
+            (F.sum(_dec("c_acctbal")).cast("decimal(28,2)") * 100).cast("long").alias("total_acctbal_x100"),
         )
     )
 
@@ -526,7 +535,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lo", "hi")
         .agg(
             F.count("*").alias("n"),
-            (F.sum(_dec("value")).cast("decimal(18,2)") * 100).cast("long").alias("sum_value_x100"),
+            (F.sum(_dec("value")).cast("decimal(28,2)") * 100).cast("long").alias("sum_value_x100"),
         )
     )
 
@@ -728,7 +737,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        (F.sum(_dec("o_totalprice")).over(w).cast("decimal(18,2)") * 100)
+        (F.sum(_dec("o_totalprice")).over(w).cast("decimal(28,2)") * 100)
         .cast("long")
         .alias("running_spend_x100"),
     )
@@ -904,7 +913,7 @@ def event_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            (F.sum(_dec("value")).cast("decimal(18,2)") * 100).cast("long").alias("sum_value_x100"),
+            (F.sum(_dec("value")).cast("decimal(28,2)") * 100).cast("long").alias("sum_value_x100"),
         )
         .select(
             F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
@@ -947,7 +956,7 @@ def event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            (F.sum(_dec("value")).cast("decimal(18,2)") * 100).cast("long").alias("sum_value_x100"),
+            (F.sum(_dec("value")).cast("decimal(28,2)") * 100).cast("long").alias("sum_value_x100"),
         )
         .select(
             F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
@@ -1210,7 +1219,7 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(e, c, "user_id", "c_custkey", salts=8)
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
-        (F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)") * 100)
+        (F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(28,2)") * 100)
         .cast("long")
         .alias("total_value_x100"),
     )
@@ -1273,7 +1282,7 @@ def multi_join_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg((F.sum(rev).cast("decimal(18,4)") * 10000).cast("long").alias("revenue_x10000"))
+        .agg((F.sum(rev).cast("decimal(28,4)") * 10000).cast("long").alias("revenue_x10000"))
         .select(
             "l_orderkey",
             "revenue_x10000",
@@ -1314,7 +1323,7 @@ def multi_join_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg((F.sum(rev).cast("decimal(18,4)") * 10000).cast("long").alias("revenue_x10000"))
+        .agg((F.sum(rev).cast("decimal(28,4)") * 10000).cast("long").alias("revenue_x10000"))
     )
 
 
@@ -1356,7 +1365,7 @@ def event_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            (F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)") * 100)
+            (F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(28,2)") * 100)
             .cast("long")
             .alias("sum_value_x100"),
         )
@@ -1794,7 +1803,7 @@ def multi_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg((F.sum(rev).cast("decimal(18,4)") * 10000).cast("long").alias("revenue_x10000"))
+        .agg((F.sum(rev).cast("decimal(28,4)") * 10000).cast("long").alias("revenue_x10000"))
     )
     top = grouped.orderBy(F.desc("revenue_x10000"), F.asc("c_custkey")).limit(20)
     w = Window.orderBy(F.desc("revenue_x10000"), F.asc("c_custkey"))

@@ -55,7 +55,7 @@ def tumbling_counts(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(28,2)").alias("sum_value"),
         )
         .select(
             F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
