@@ -2964,8 +2964,18 @@ def graph_shortest_cost_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n", F.lit(0).cast("long").alias("c"))
     )
     for _ in range(3):
+        # The cost table is NODE-sized (orders smaller than e);
+        # broadcasting it turns each round into a broadcast-hash join
+        # that never sorts or re-shuffles the |E| side — without the
+        # hint Spark plans SMJ off the stats-less checkpointed scan
+        # and the per-round e sort-spill alone exceeded a single
+        # box's disk at sf100 (SCALING_SF100.md).  At node counts
+        # past broadcast reach, drop the hint: e is already
+        # u-partitioned (checkpoint preserves it), so the fallback
+        # SMJ shuffles only the node-sized side.
         relaxed = e.join(
-            d.select(F.col("n").alias("u"), F.col("c").alias("cu")), "u"
+            F.broadcast(d.select(F.col("n").alias("u"), F.col("c").alias("cu"))),
+            "u",
         ).select(F.col("v").alias("n"), (F.col("cu") + F.col("w")).alias("c"))
         # Eagerly checkpoint each round's cost frame (post-shuffle:
         # the groupBy exchanges on n, so the blocks are the reliable
