@@ -16,83 +16,82 @@ from . import (  # noqa: F401
 )
 from .registry import oracles, queries, set_priority  # noqa: F401
 
-# Grading-window rotation (round 11 — the FRESHNESS round, VERDICT r10
-# "Next round" #1).  The driver grades a ~50-key prefix of the registry
-# per round; verdicts persist, so after r10's all-green window the
-# rotation owes nothing and the full window is spent on verdict
-# freshness: 94 keys entered this round carrying r2–r4-vintage
-# verdicts.  This window re-grades, in order:
-#   1. the new round-11 key(s) (never graded),
-#   2. ALL 6 r2-vintage keys — rows-only-by-design survivors whose
-#      no_oracle verdicts date from round 2; re-grading cannot improve
-#      the verdict CLASS but refreshes the rows-level evidence at HEAD
-#      (explicitly requested by VERDICT r10 #1, and listed EXPLICITLY
-#      here — the rows-only hygiene rule only bars tail-DRIFT, see
-#      tests/test_plans.py::test_rows_only_verdicted_keys_stay_out...),
-#   3. ALL 41 r3-vintage keys (incl. the §2 items sort_limit and
-#      topk_per_group the verdict names).
-# The r4-vintage top-ups the verdict also named (the S6/S9 sink key,
-# the S1 URL source) were displaced to round 12 when the two late
-# round-11 keys took the head slots — never-graded keys outrank
-# re-grades under the window-hygiene policy, and those two are the
-# youngest debt in the freshness queue.
+# Grading-window rotation (round 12).  The driver grades a ~50-key
+# prefix of the registry per round; verdicts persist.  This window,
+# in order:
+#   1. the new round-12 key (never graded),
+#   2. the four keys whose PLAN changed this round and therefore owe
+#      a fresh verdict regardless of vintage (plan change => window,
+#      the round-11 policy): both graph keys now read the persisted
+#      bucketed edge layout + the Bellman-Ford broadcast gate, and
+#      both text frequency scores accumulate in decimal(28,0),
+#   3. ALL 47 r4-vintage keys — the final tranche of the freshness
+#      sweep (VERDICT r11 #2), led by the two keys the r11 verdict
+#      explicitly named as displaced (scan_url_source,
+#      sink_parquet_single — the S1/S6/S9 parity items whose evidence
+#      is 8 rounds old), with the single rows-only r4 survivor
+#      (seq_lis_per_user) LAST so that if anything falls off the ~50
+#      edge it is the key whose verdict class cannot improve.
+# 52 keys for ~50 slots: the deliberate overflow victims are the
+# tail keys, not the plan-changed or named ones.
 WINDOW_PRIORITY = [
-    # --- round-11 additions, appended as they are built (never-graded
-    # keys lead the window per the rotation-hygiene policy pinned by
-    # tests/test_plans.py::test_rotation...; the two r4-vintage
-    # top-ups the verdict named were displaced to round 12 to make
-    # room — they are the youngest debt in the freshness queue) ---
+    # --- round-12 addition (never graded) ---
+    "dedup_substring_incremental",
+    # --- plan-changed this round ---
+    "graph_khop_reach",
     "graph_shortest_cost_k",
-    "split_time_holdout",
     "text_bigram_lm_score",
-    # --- r2-vintage freshness re-grades (rows-only by design) ---
-    "agg_approx_distinct",
-    "dedup_embed_lsh",
-    "dedup_minhash",
-    "dedup_simhash",
-    "embed_ann_ivf",
-    "embed_ann_lsh",
-    # --- all 41 r3-vintage freshness re-grades ---
-    "agg_approx_percentile",
-    "agg_collect_sorted",
-    "agg_conditional",
-    "agg_corr",
-    "agg_grouping_sets",
-    "agg_histogram",
-    "agg_mode",
-    "agg_percentile",
-    "array_ops",
-    "date_arith",
-    "event_rollup_hierarchy",
-    "event_session_window",
-    "event_tumbling_window",
-    "join_asof_tolerance",
-    "join_bucketed",
-    "join_null_safe",
-    "join_outer",
-    "join_salted",
-    "json_extract",
-    "map_ops",
-    "multi_join_pricing",
-    "multi_join_region",
-    "multi_join_topn",
-    "pivot_counts",
-    "scan_partitioned",
-    "sessionize_lag",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sort_limit",
-    "sql_entrypoint",
-    "string_funcs",
-    "subquery_exists",
-    "subquery_in_having",
-    "subquery_scalar",
-    "topk_per_group",
-    "unpivot_metrics",
-    "window_lag",
-    "window_ntile",
-    "window_range_frame",
-    "window_rank_dense",
+    "text_rarity_score",
+    # --- r4-vintage freshness re-grades: the two r11-named top-ups ---
+    "scan_url_source",
+    "sink_parquet_single",
+    # --- remaining r4-vintage oracle-backed keys ---
+    "agg_bitwise",
+    "agg_boolean",
+    "agg_histogram_log2",
+    "agg_mom_change",
+    "constraint_check",
+    "corpus_build_pipeline",
+    "dedup_incremental",
+    "doc_length_quartiles",
+    "dup_text_fraction",
+    "event_dwell_time",
+    "event_error_hotspots",
+    "event_funnel",
+    "event_paths_topk",
+    "event_retention",
+    "event_sliding_window",
+    "incremental_agg_merge",
+    "join_argmin_supplier",
+    "join_dim_snapshot",
+    "join_interval_overlap",
+    "key_skew_profile",
+    "layout_compact",
+    "layout_zorder",
+    "market_basket_pairs",
+    "merge_upsert",
+    "multi_format_union",
+    "multimodal_quality_join",
+    "pareto_revenue_share",
+    "profile_table",
+    "quantile_normalize",
+    "scan_csv_roundtrip",
+    "scd_type2",
+    "schema_evolution_scan",
+    "snapshot_diff",
+    "source_overlap_matrix",
+    "stream_dedup_ids",
+    "stream_join_attribution",
+    "stream_sessionize",
+    "stream_sliding_counts",
+    "stream_stateful_totals",
+    "stream_tumbling_counts",
+    "stream_upsert_sink",
+    "subquery_multi_exists",
+    "ts_gap_detect",
+    "ts_resample_ffill",
+    # --- r4-vintage rows-only survivor (re-grade is rows-level only;
+    #     placed last as the designated overflow victim) ---
+    "seq_lis_per_user",
 ]
 set_priority(WINDOW_PRIORITY)

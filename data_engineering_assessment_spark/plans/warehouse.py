@@ -637,7 +637,10 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode → one token shuffle for the vocab count → one
     equi-join back on token (frequency skew on stopwords is AQE
     skew-split territory) → per-doc re-agg.  No broadcast of the
-    full vocab, no driver state."""
+    full vocab, no driver state.  freq_sum accumulates in
+    decimal(28,0) (round 12): same 64-bit ×1000 headroom reasoning
+    as [[text_bigram_lm_score]], and stopword counts make the
+    unigram sum hit that ceiling FIRST of the two."""
     ensure_deterministic_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
@@ -647,13 +650,13 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("c").alias("freq_sum"),
+            F.sum(F.col("c").cast("decimal(28,0)")).alias("fs_wide"),
         )
         .select(
             "doc_id",
             "n_tokens",
-            "freq_sum",
-            F.expr("freq_sum * 1000 div n_tokens").alias("mean_tok_freq_milli"),
+            F.col("fs_wide").cast("long").alias("freq_sum"),
+            F.expr("fs_wide * 1000 div n_tokens").alias("mean_tok_freq_milli"),
         )
     )
 
@@ -1829,7 +1832,13 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no self-join of token positions), explode → one bigram shuffle
     for the corpus frequency table → equi-join back → per-doc re-agg;
     identical plan shape to [[text_rarity_score]], whose stopword-
-    pair skew note (AQE skew-split) applies verbatim."""
+    pair skew note (AQE skew-split) applies verbatim.  The per-doc
+    frequency sum accumulates in decimal(28,0) (round 12, ADVICE):
+    the oracle sums into HUGEINT, and a 64-bit engine-side freq_sum
+    would hit its ×1000 headroom (~9.2e15) before the oracle does on
+    adversarial docs (a very long doc of top-frequency pairs); the
+    widened sum matches the oracle to the BIGINT output contract's
+    own limit, like [[agg_group]]'s decimal(28,s) sums."""
     ensure_deterministic_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     bg = F.expr(
@@ -1846,12 +1855,12 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("freq").alias("freq_sum"),
+            F.sum(F.col("freq").cast("decimal(28,0)")).alias("fs_wide"),
         )
         .select(
             "doc_id",
             "n_bigrams",
-            "freq_sum",
-            F.expr("freq_sum * 1000 div n_bigrams").alias("lm_score_milli"),
+            F.col("fs_wide").cast("long").alias("freq_sum"),
+            F.expr("fs_wide * 1000 div n_bigrams").alias("lm_score_milli"),
         )
     )

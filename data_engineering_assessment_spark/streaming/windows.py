@@ -49,7 +49,18 @@ def tumbling_counts(
 
     Watermark evicts window state ``watermark`` behind the max seen
     event time; later-arriving rows are dropped (documented policy).
-    Identical aggregation expression to the batch key."""
+    Identical aggregation expression to the batch key.
+
+    SCHEMA NOTE (round 11 → 12): ``sum_value`` widened from
+    decimal(18,2) to decimal(28,2) with the batch-side ANSI-overflow
+    fix — this is a
+    streaming SINK schema change, so consumers pinned to the old
+    type must migrate and a query resumed from a pre-widening
+    checkpoint should restart from a fresh checkpoint directory.  In
+    this repo every streaming checkpoint is scratch-versioned by code
+    (sources/layout.py:versioned_scratch_tag), so old checkpoints are
+    never resumed across the change; external deployments adopting
+    this operator own that migration."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")

@@ -1271,6 +1271,95 @@ def test_substring_longest_span_and_spectrum_planted(spark, tmp_path):
     assert spec == {0: (24, 24), 1: (4, 8)}
 
 
+def test_substring_incremental_planted_and_index_reuse(spark, tmp_path):
+    """Planted split corpus pinning the incremental substring-dedup
+    semantics AND the materialize-once contract: (a) a delta window
+    is duplicated via BASE membership (doc 1 repeats base doc 4's
+    window) or via WITHIN-DELTA repetition (docs 2/3 share text),
+    never by chance; (b) the persisted digest index holds exactly
+    the base's distinct windows (1 — the three other base docs are
+    shorter than k); (c) mutating the BASE text after the index is
+    built changes nothing — the base is never re-digested, only the
+    new shard's windows are scanned per increment."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_assessment_spark.plans.pipeline import (
+        dedup_substring_incremental,
+    )
+    from data_engineering_assessment_spark.sources.layout import (
+        versioned_scratch_tag,
+    )
+
+    # md5(doc_id) first hex: 4/6/7/9 -> base ('a','1','8','4'),
+    # 1/2/3/5/8/10 -> delta ('c','c','e','e','c','d')
+    texts = {
+        4: "a b c d e f g h",            # base: the one indexed window
+        6: "short base doc",             # base, < 8 tokens
+        7: "also tiny",                  # base, < 8 tokens
+        9: "base filler text here",      # base, < 8 tokens
+        1: "a b c d e f g h tail1",      # delta: window 1 dup IN BASE
+        2: "p q r s t u v w2",           # delta: dup WITHIN delta (=3)
+        3: "p q r s t u v w2",
+        5: "z1 z2 z3 z4 z5 z6 z7 z8",    # delta: unique
+        8: "tiny delta",                 # delta, < 8 tokens
+        10: "u1 u2 u3",                  # delta, < 8 tokens
+    }
+
+    def write_docs(t):
+        docs = pd.DataFrame(
+            [(i, txt, "en", "test", len(txt)) for i, txt in sorted(t.items())],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        pq.write_table(
+            pa.Table.from_pandas(docs, preserve_index=False),
+            str(tmp_path / "documents.parquet"),
+        )
+
+    write_docs(texts)
+    expected = {
+        1: (9, 2, 1, 8, 1),
+        2: (8, 1, 1, 8, 0),
+        3: (8, 1, 1, 8, 0),
+        5: (8, 1, 0, 0, 8),
+        8: (2, 0, 0, 0, 2),
+        10: (3, 0, 0, 0, 3),
+    }
+
+    def run():
+        return {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["n_windows"],
+                r["n_dup_windows"],
+                r["dup_tokens"],
+                r["clean_tokens"],
+            )
+            for r in dedup_substring_incremental(spark, str(tmp_path)).collect()
+        }
+
+    assert run() == expected
+
+    # (b) the digest index holds exactly the base's 1 distinct window
+    from data_engineering_assessment_spark.operators import dedup as dedup_ops
+
+    tag = versioned_scratch_tag(
+        str(tmp_path), dedup_substring_incremental, dedup_ops
+    )
+    assert spark.table(f"ssidx_{tag}").count() == 1
+
+    # (c) mutate the BASE after index build: if the implementation
+    # re-digested the base, doc 1's in-base duplicate would vanish
+    # and doc 4's new text would poison nothing — scoring must be
+    # IDENTICAL because only the persisted index is consulted
+    mutated = dict(texts)
+    mutated[4] = "q1 q2 q3 q4 q5 q6 q7 q8 q9"
+    write_docs(mutated)
+    assert run() == expected
+    assert spark.table(f"ssidx_{tag}").count() == 1  # index untouched
+
+
 def test_khop_reach_planted_frontiers(spark, tmp_path):
     """Planted trade graph with known BFS frontiers: customer 1 (node
     2) is the only seed (custkey < 5 present); suppliers s1,s2 sit at
