@@ -2772,22 +2772,14 @@ def _trade_edges(spark: SparkSession, sf_dir: str):
     re-consumers pay a columnar parquet scan instead of a checkpoint
     materialization.  This is the standard big-graph layout move — the
     edge list is the fact table, so store it the way every round reads
-    it.  The scratch layout is tagged by corpus + writer source
-    (:func:`versioned_scratch_tag`), so any edit here rebuilds it and
-    a stale layout can never serve a newer code version; the sidecar
-    meta file is written last and acts as the completion marker."""
-    import json
-    import os
+    it.  Materialize-once mechanics (corpus+code version tag,
+    per-corpus families, sidecar meta as completion marker, exact
+    node count computed once at build time, cross-session catalog
+    re-registration) live in
+    :func:`..sources.layout.scratch_bucketed_table`."""
+    from ..sources.layout import scratch_bucketed_table
 
-    from ..sources.layout import clean_superseded, versioned_scratch_tag
-
-    tag = versioned_scratch_tag(sf_dir, _trade_edges)
-    name = f"edges_w_{tag}"
-    path = f"/root/repo/.scratch/{name}"
-    meta = os.path.join(path, "_graph_meta.json")
-    if not os.path.exists(meta):
-        clean_superseded(path)
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    def build() -> DataFrame:
         o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_suppkey", "l_extendedprice"
@@ -2804,32 +2796,20 @@ def _trade_edges(spark: SparkSession, sf_dir: str):
                 ).alias("w")
             )
         )
-        e = b.unionAll(b.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
-        # pre-place rows on their bucket before bucketBy so each task
-        # writes exactly one bucket file (32 files, not tasks×buckets)
-        (
-            e.repartition(EDGE_BUCKETS, F.col("u"))
-            .write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(EDGE_BUCKETS, "u")
-            .sortBy("u")
-            .option("path", path)
-            .saveAsTable(name)
-        )
-        n_nodes = spark.table(name).select("u").distinct().count()
-        with open(meta, "w") as fh:
-            json.dump({"n_nodes": n_nodes}, fh)
-    elif not spark.catalog.tableExists(name):
-        # layout outlives the session-scoped in-memory catalog:
-        # re-register the existing files with the same bucket spec
-        spark.sql(
-            f"CREATE TABLE {name} (u BIGINT, v BIGINT, w BIGINT) USING parquet "
-            f"CLUSTERED BY (u) SORTED BY (u) INTO {EDGE_BUCKETS} BUCKETS "
-            f"LOCATION '{path}'"
-        )
-    with open(meta) as fh:
-        n_nodes = json.load(fh)["n_nodes"]
-    return spark.table(name), n_nodes
+        return b.unionAll(b.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+
+    e, meta = scratch_bucketed_table(
+        spark,
+        "edges_w",
+        sf_dir,
+        build,
+        key="u",
+        n_buckets=EDGE_BUCKETS,
+        schema_sql="u BIGINT, v BIGINT, w BIGINT",
+        fns=(_trade_edges,),
+        stats=lambda t: {"n_nodes": t.select("u").distinct().count()},
+    )
+    return e, meta["n_nodes"]
 
 
 def _khop_frontiers(e, seeds, hops: int, checkpoint_frontiers: bool | None = None):

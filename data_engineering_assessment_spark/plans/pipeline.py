@@ -2130,39 +2130,27 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutates the base AFTER index build and asserts the scoring is
     unchanged (tests/test_pipeline.py)."""
     ensure_deterministic_session(spark)
-    import os
-
     from ..operators import dedup as dedup_ops
     from ..operators.dedup import substring_windows
-    from ..sources.layout import clean_superseded, versioned_scratch_tag
+    from ..sources.layout import scratch_bucketed_table
 
     docs = load_table(spark, sf_dir, "documents")
     h1 = F.md5(F.col("doc_id").cast("string").cast("binary")).substr(1, 1)
-    tag = versioned_scratch_tag(sf_dir, dedup_substring_incremental, dedup_ops)
-    name = f"ssidx_{tag}"
-    path = f"/root/repo/.scratch/{name}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        clean_superseded(path)
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def build_index() -> DataFrame:
         _, w_base = substring_windows(docs.filter(h1 < "c"), k=8)
-        (
-            w_base.select("h")
-            .distinct()
-            .repartition(32, F.col("h"))
-            .write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(32, "h")
-            .sortBy("h")
-            .option("path", path)
-            .saveAsTable(name)
-        )
-    elif not spark.catalog.tableExists(name):
-        spark.sql(
-            f"CREATE TABLE {name} (h STRING) USING parquet "
-            f"CLUSTERED BY (h) SORTED BY (h) INTO 32 BUCKETS "
-            f"LOCATION '{path}'"
-        )
-    index = spark.table(name)
+        return w_base.select("h").distinct()
+
+    index, _ = scratch_bucketed_table(
+        spark,
+        "ssidx",
+        sf_dir,
+        build_index,
+        key="h",
+        n_buckets=32,
+        schema_sql="h STRING",
+        fns=(dedup_substring_incremental, dedup_ops),
+    )
     base_new, w = substring_windows(docs.filter(h1 >= "c"), k=8)
     shard = w.groupBy("h").agg(F.count(F.lit(1)).alias("c_self"))
     dup_h = (

@@ -1344,10 +1344,13 @@ def test_substring_incremental_planted_and_index_reuse(spark, tmp_path):
     # (b) the digest index holds exactly the base's 1 distinct window
     from data_engineering_assessment_spark.operators import dedup as dedup_ops
 
+    import hashlib
+
     tag = versioned_scratch_tag(
         str(tmp_path), dedup_substring_incremental, dedup_ops
     )
-    assert spark.table(f"ssidx_{tag}").count() == 1
+    corp = hashlib.md5(str(tmp_path).encode()).hexdigest()[:6]
+    assert spark.table(f"ssidx_{corp}_{tag}").count() == 1
 
     # (c) mutate the BASE after index build: if the implementation
     # re-digested the base, doc 1's in-base duplicate would vanish
@@ -1357,7 +1360,7 @@ def test_substring_incremental_planted_and_index_reuse(spark, tmp_path):
     mutated[4] = "q1 q2 q3 q4 q5 q6 q7 q8 q9"
     write_docs(mutated)
     assert run() == expected
-    assert spark.table(f"ssidx_{tag}").count() == 1  # index untouched
+    assert spark.table(f"ssidx_{corp}_{tag}").count() == 1  # index untouched
 
 
 def test_khop_reach_planted_frontiers(spark, tmp_path):
@@ -1537,8 +1540,11 @@ def test_trade_edges_layout_bucketed_and_reused(spark, tmp_path):
         versioned_scratch_tag,
     )
 
+    import hashlib
+
     tag = versioned_scratch_tag(str(tmp_path), analytics._trade_edges)
-    name = f"edges_w_{tag}"
+    corp = hashlib.md5(str(tmp_path).encode()).hexdigest()[:6]
+    name = f"edges_w_{corp}_{tag}"
     files_before = {
         f: os.path.getmtime(f)
         for f in glob.glob(f"/root/repo/.scratch/{name}/*.parquet")
