@@ -352,3 +352,66 @@ def test_versioned_scratch_tag_tracks_code_and_corpus(tmp_path):
     assert live.exists()
     assert not stale.exists()
     assert other.exists()  # different layout family is untouched
+
+
+def test_scratch_bucketed_table_recovery_and_reaper(spark, tmp_path):
+    """scratch_bucketed_table (round 12) edge cases: (a) a build
+    interrupted between the table write and the sidecar meta write
+    (meta IS the completion marker) is rebuilt cleanly on the next
+    call; (b) sibling families whose source corpus no longer exists
+    (planted-test tmp dirs) are reaped; (c) build-time stats ride the
+    meta and are served without recomputation."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources.layout import (
+        scratch_bucketed_table,
+    )
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+
+    kw = dict(
+        key="k", n_buckets=4, schema_sql="k BIGINT, v BIGINT",
+        stats=lambda t: {"n_rows": t.count()},
+    )
+    t1, m1 = scratch_bucketed_table(spark, "t_sbt", str(tmp_path), build, **kw)
+    assert calls["n"] == 1 and m1["n_rows"] == 100 and t1.count() == 100
+    # in-session second call: no rebuild, stats from meta
+    _, m2 = scratch_bucketed_table(spark, "t_sbt", str(tmp_path), build, **kw)
+    assert calls["n"] == 1 and m2 == m1
+
+    # locate the layout dir via the meta it wrote
+    import glob
+
+    [meta_p] = [
+        mp for mp in glob.glob("/root/repo/.scratch/t_sbt_*/_scratch_meta.json")
+        if json.load(open(mp)).get("src") == str(tmp_path)
+    ]
+    path = os.path.dirname(meta_p)
+
+    # (a) crash between table write and meta write: meta missing,
+    # files present, catalog entry possibly stale -> full rebuild
+    os.remove(meta_p)
+    spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(path)}")
+    t3, m3 = scratch_bucketed_table(spark, "t_sbt", str(tmp_path), build, **kw)
+    assert calls["n"] == 2 and m3["n_rows"] == 100 and t3.count() == 100
+
+    # (b) reaper: plant a sibling family whose src is gone
+    dead = "/root/repo/.scratch/t_sbt_deadbe_0123abcd"
+    os.makedirs(dead, exist_ok=True)
+    with open(os.path.join(dead, "_scratch_meta.json"), "w") as fh:
+        json.dump({"src": str(tmp_path / "gone-corpus")}, fh)
+    scratch_bucketed_table(spark, "t_sbt", str(tmp_path), build, **kw)
+    assert not os.path.exists(dead)
+
+    shutil.rmtree(path, ignore_errors=True)
+    spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(path)}")

@@ -37,13 +37,12 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    # Each khop invocation localCheckpoints a fresh edge frame; at
-    # sf10 eighteen of those accumulate ~10 GB of deserialized heap
-    # blocks in one session and the default 16g driver OOMs (measured
-    # 2026-08-16 — MemoryStore.putIteratorAsValues during the A-variant
-    # checkpoint build).  The graded path never sees this (one
-    # invocation per session); the harness needs headroom + explicit
-    # driver GC so ContextCleaner can unpersist the dead checkpoints.
+    # Historical headroom note: before round 12 each khop invocation
+    # localCheckpointed a fresh |E| edge frame and eighteen of those
+    # OOM'd a 16g driver at sf10.  Round 12 moved the edge set to a
+    # persisted bucketed layout (plans/analytics.py:_trade_edges) so
+    # only the node-sized per-hop frontiers checkpoint now; the
+    # headroom stays for the A-variant's nested lineage at big SFs.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     from data_engineering_assessment_spark import plans
