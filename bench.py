@@ -261,6 +261,7 @@ HEADLINE = [
     "text_bigram_lm_score",
     # round-12 additions
     "dedup_substring_incremental",
+    "text_bigram_lm_incremental",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

@@ -19,12 +19,13 @@ from .registry import oracles, queries, set_priority  # noqa: F401
 # Grading-window rotation (round 12).  The driver grades a ~50-key
 # prefix of the registry per round; verdicts persist.  This window,
 # in order:
-#   1. the new round-12 key (never graded),
+#   1. the new round-12 keys (never graded),
 #   2. the four keys whose PLAN changed this round and therefore owe
 #      a fresh verdict regardless of vintage (plan change => window,
 #      the round-11 policy): both graph keys now read the persisted
 #      bucketed edge layout + the Bellman-Ford broadcast gate, and
-#      both text frequency scores accumulate in decimal(28,0),
+#      both text frequency scores widen the ×1000 fixed-point step
+#      through a per-group decimal(28,0) cast,
 #   3. ALL 47 r4-vintage keys — the final tranche of the freshness
 #      sweep (VERDICT r11 #2), led by the two keys the r11 verdict
 #      explicitly named as displaced (scan_url_source,
@@ -32,11 +33,12 @@ from .registry import oracles, queries, set_priority  # noqa: F401
 #      is 8 rounds old), with the single rows-only r4 survivor
 #      (seq_lis_per_user) LAST so that if anything falls off the ~50
 #      edge it is the key whose verdict class cannot improve.
-# 52 keys for ~50 slots: the deliberate overflow victims are the
+# 53 keys for ~50 slots: the deliberate overflow victims are the
 # tail keys, not the plan-changed or named ones.
 WINDOW_PRIORITY = [
-    # --- round-12 addition (never graded) ---
+    # --- round-12 additions (never graded) ---
     "dedup_substring_incremental",
+    "text_bigram_lm_incremental",
     # --- plan-changed this round ---
     "graph_khop_reach",
     "graph_shortest_cost_k",

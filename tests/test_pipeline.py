@@ -1606,6 +1606,77 @@ def test_split_time_holdout_planted_boundaries(spark, tmp_path):
     }
 
 
+def test_bigram_lm_incremental_fixed_model_planted(spark, tmp_path):
+    """Planted split corpus pinning the FIXED-LM semantics: delta
+    docs are scored under the base-trained bigram frequencies only —
+    delta-internal repetitions add nothing (doc 2 repeats 'b a'
+    within the shard but each occurrence scores the BASE freq 1),
+    unseen pairs count 0 and are tallied as OOV, and mutating the
+    base AFTER training changes no score (the model must not drift —
+    the property that makes shard scores comparable over time)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_assessment_spark.plans.warehouse import (
+        text_bigram_lm_incremental,
+    )
+
+    # md5(doc_id) first hex: 4/6/7/9 -> base, 1/2/3/5/8/10 -> delta
+    texts = {
+        4: "a b a b",   # base: 'a b' x2, 'b a' x1
+        6: "a b c",     # base: 'a b' x1, 'b c' x1
+        7: "x",         # base, no bigrams
+        9: "y",         # base, no bigrams
+        1: "a b c d",   # delta: 3+1+OOV
+        2: "b a b a",   # delta: 'b a','a b','b a' -> 1+3+1
+        3: "z z",       # delta: all OOV
+        5: "q",         # delta, no bigrams -> absent
+        8: "a b",       # delta: exactly one trained pair
+        10: "c b",      # delta: order-sensitivity ('b c' trained, 'c b' is OOV)
+    }
+
+    def write_docs(t):
+        docs = pd.DataFrame(
+            sorted(t.items()), columns=["doc_id", "text"]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(docs, preserve_index=False),
+            str(tmp_path / "documents.parquet"),
+        )
+
+    def run():
+        return {
+            r["doc_id"]: (
+                r["n_bigrams"],
+                r["freq_sum"],
+                r["oov_bigrams"],
+                r["lm_score_milli"],
+            )
+            for r in text_bigram_lm_incremental(spark, str(tmp_path)).collect()
+        }
+
+    write_docs(texts)
+    # LM = {'a b': 3, 'b a': 1, 'b c': 1}
+    expected = {
+        1: (3, 4, 1, 1333),
+        2: (3, 5, 0, 1666),
+        3: (1, 0, 1, 0),
+        8: (1, 3, 0, 3000),
+        10: (1, 0, 1, 0),
+    }
+    assert run() == expected
+
+    # fixed model: retraining on the mutated base would give 'z z'
+    # freq 4 and change doc 3 — the persisted LM must not move
+    mutated = dict(texts)
+    mutated[4] = "z z z z z"
+    write_docs(mutated)
+    assert run() == expected
+
+
 def test_bigram_lm_score_planted_counts(spark, tmp_path):
     """Tiny corpus with hand-counted bigram frequencies: repeated
     collocations raise the score, the order-sensitivity is pinned
