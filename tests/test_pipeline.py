@@ -1503,6 +1503,45 @@ def test_shortest_cost_k_smj_fallback_equals_broadcast(spark, tmp_path):
     assert smj == bcast == expected
 
 
+def test_graph_keys_share_one_edge_layout(spark, tmp_path):
+    """The amortization claim of the round-12 layout: graph_khop_reach
+    and graph_shortest_cost_k materialize and consume the SAME
+    per-corpus edge family — running both against one corpus leaves
+    exactly one edges_w dir for it, khop builds it and Bellman-Ford
+    reuses it (no second build), and both answers stay correct."""
+    import glob
+    import json
+    import os
+
+    from data_engineering_assessment_spark.plans.analytics import (
+        graph_khop_reach,
+        graph_shortest_cost_k,
+    )
+
+    expected_costs = _write_hand_trade_graph(tmp_path)
+
+    def families():
+        return {
+            os.path.dirname(mp)
+            for mp in glob.glob("/root/repo/.scratch/edges_w_*/_scratch_meta.json")
+            if json.load(open(mp)).get("src") == str(tmp_path)
+        }
+
+    khop = {r["hop"]: r["n_reached"] for r in
+            graph_khop_reach(spark, str(tmp_path)).collect()}
+    fams = families()
+    assert len(fams) == 1
+    [fam] = fams
+    mtimes = {f: os.path.getmtime(f) for f in glob.glob(f"{fam}/*.parquet")}
+    costs = {r["node"]: r["cost_cents"] for r in
+             graph_shortest_cost_k(spark, str(tmp_path)).collect()}
+    assert costs == expected_costs
+    # hand graph: seed node 2; hop1 = {3, 5}; hop2 = {12, 16}; hop3 = {7}
+    assert khop == {0: 1, 1: 2, 2: 2, 3: 1}
+    assert families() == {fam}
+    assert {f: os.path.getmtime(f) for f in glob.glob(f"{fam}/*.parquet")} == mtimes
+
+
 def test_trade_edges_layout_bucketed_and_reused(spark, tmp_path):
     """The shared trade-graph edge layout (round 12): (a) node count
     in the sidecar meta is exact, (b) a join on u against the layout
