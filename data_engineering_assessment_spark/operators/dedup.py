@@ -229,6 +229,50 @@ def minhash_candidate_pairs(
     ).filter(F.col("est_jaccard") >= min_est_jaccard)
 
 
+def minhash_banded(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc, sig, bkey): one row per (document, LSH band), with the
+    band index and the band's signature slice folded into ONE 64-bit
+    key (xxhash64, band index as the leading operand so band 0 of one
+    document never collides with band 1 of another by slice equality).
+
+    A single-column band key is what lets an incremental ingest
+    PERSIST the base corpus's band index as a table bucketed by
+    ``bkey`` and probe it with a plain equi-join that is exchange-free
+    on the index side (plans/pipeline.py:dedup_minhash_incremental).
+    A cross-band xxhash64 collision can only ADD a candidate pair,
+    which the signature-agreement estimate then scores like any other
+    candidate — recall is unaffected, precision is protected by the
+    estimate threshold."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.element_at("sig", b * rows_per_band + j + 1)
+                    for j in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("doc", "sig", F.explode(band_keys).alias("bkey"))
+
+
+def minhash_est_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    matches = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda eq: eq))
+    return matches.cast("double") / F.size(sig_a).cast("double")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

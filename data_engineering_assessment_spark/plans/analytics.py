@@ -2808,6 +2808,10 @@ def _trade_edges(spark: SparkSession, sf_dir: str):
         schema_sql="u BIGINT, v BIGINT, w BIGINT",
         fns=(_trade_edges,),
         stats=lambda t: {"n_nodes": t.select("u").distinct().count()},
+        # pure cache of live orders/lineitem derivatives: rebuild if
+        # the corpus files change in place (round-13 ADVICE) — unlike
+        # the fixed-model incremental indexes, which must NOT
+        track_src=True,
     )
     return e, meta["n_nodes"]
 

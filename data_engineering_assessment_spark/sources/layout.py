@@ -20,7 +20,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
-def versioned_scratch_tag(sf_dir: str, *fns) -> str:
+def versioned_scratch_tag(sf_dir: str, *fns, extra: tuple = ()) -> str:
     """Corpus+code-keyed tag for a materialized scratch layout.
 
     Digests the corpus path, the source of every function or module in
@@ -33,6 +33,15 @@ def versioned_scratch_tag(sf_dir: str, *fns) -> str:
     hazard: ``orders_dpp_<md5(sf_dir)>`` reused across code versions).
     Any edit anywhere in the write path — including docstrings — is a
     version bump; rebuilds are cheap relative to a silent wrong reuse.
+
+    ``extra`` carries physical-contract strings that live OUTSIDE any
+    digested function source — for a bucketed layout that is
+    (key, n_buckets, schema_sql), where n_buckets is typically a
+    module-level constant the fn digest can't see (round-13 ADVICE:
+    changing EDGE_BUCKETS must not re-register the old files under a
+    new declared bucket count — Spark trusts the declared spec and
+    elides exchanges, so a spec/file mismatch returns wrong results
+    silently).
     """
     import hashlib
     import inspect
@@ -40,6 +49,7 @@ def versioned_scratch_tag(sf_dir: str, *fns) -> str:
 
     parts = [sf_dir, inspect.getsource(sys.modules[__name__])]
     parts += [inspect.getsource(fn) for fn in fns]
+    parts += [str(x) for x in extra]
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
 
 
@@ -65,6 +75,21 @@ def clean_superseded(path: str) -> None:
             shutil.rmtree(p, ignore_errors=True)
 
 
+def corpus_fingerprint(sf_dir: str) -> list[list]:
+    """(name, size, mtime_ns) of every parquet file directly under
+    ``sf_dir`` — a cheap content proxy for layouts that are pure
+    caches of live-table derivatives (round-13 ADVICE: a corpus
+    regenerated in place must invalidate the cache, or the layout
+    serves stale edges while the oracle reads live tables)."""
+    out: list[list] = []
+    if os.path.isdir(sf_dir):
+        for name in sorted(os.listdir(sf_dir)):
+            if name.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, name))
+                out.append([name, st.st_size, st.st_mtime_ns])
+    return out
+
+
 def scratch_bucketed_table(
     spark: SparkSession,
     family: str,
@@ -75,6 +100,7 @@ def scratch_bucketed_table(
     schema_sql: str,
     fns=(),
     stats=None,
+    track_src: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Materialize-once bucketed scratch table, per (corpus, code
     version) — the layout pattern behind the graph edge table and the
@@ -104,12 +130,30 @@ def scratch_bucketed_table(
     Cross-session reuse: the parquet files outlive the session-scoped
     in-memory catalog, so an existing layout is re-registered with an
     explicit ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` carrying
-    the same bucket spec."""
+    the same bucket spec.  The bucket spec itself (key, n_buckets,
+    schema_sql) is part of the version tag (round-13 ADVICE): a spec
+    change can never re-declare old files under a new bucket count,
+    which Spark would trust and silently mis-join.
+
+    ``track_src=True`` (pure-cache families — the layout derives
+    entirely from live corpus tables, e.g. the graph edge table)
+    records a (name, size, mtime) fingerprint of the corpus parquet
+    files at build time and rebuilds when it changes, so in-place
+    corpus regeneration can't serve stale derivatives.  Leave it
+    False for fixed-model layouts (the incremental-dedup/LM indexes)
+    whose CONTRACT is that later base mutation does NOT rebuild —
+    that immutability is pinned by planted pytests.
+
+    Crash/concurrency safety (round-13 ADVICE): the build lands in a
+    sibling temp dir (meta written last, inside it) and is moved into
+    place with one atomic ``os.rename``; a concurrent builder that
+    loses the race deletes its own temp dir and reads the winner's
+    layout.  No reader can ever observe a half-written ``path``."""
     import glob
     import hashlib
     import json
 
-    tag = versioned_scratch_tag(sf_dir, *fns)
+    tag = versioned_scratch_tag(sf_dir, *fns, extra=(key, str(n_buckets), schema_sql))
     corp = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
     name = f"{family}_{corp}_{tag}"
     path = f"/root/repo/.scratch/{name}"
@@ -125,9 +169,26 @@ def scratch_bucketed_table(
             continue
         if src and not os.path.exists(src):
             shutil.rmtree(d, ignore_errors=True)
+    if track_src and os.path.exists(meta_path):
+        try:
+            with open(meta_path) as fh:
+                recorded = json.load(fh).get("src_fingerprint")
+        except (OSError, ValueError):
+            recorded = None
+        if recorded != corpus_fingerprint(sf_dir):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(path, ignore_errors=True)
     if not os.path.exists(meta_path):
         clean_superseded(path)
+        # no meta => any files at ``path`` are an interrupted build
+        # (meta is the completion marker): clear them so the atomic
+        # rename below can land
+        shutil.rmtree(path, ignore_errors=True)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        tmp_name = f"{name}_b{os.getpid()}"
+        tmp_path = f"{path}.b{os.getpid()}"
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
         (
             build()
             .repartition(n_buckets, key)
@@ -135,15 +196,25 @@ def scratch_bucketed_table(
             .format("parquet")
             .bucketBy(n_buckets, key)
             .sortBy(key)
-            .option("path", path)
-            .saveAsTable(name)
+            .option("path", tmp_path)
+            .saveAsTable(tmp_name)
         )
         meta = {"src": sf_dir}
+        if track_src:
+            meta["src_fingerprint"] = corpus_fingerprint(sf_dir)
         if stats is not None:
-            meta.update(stats(spark.table(name)))
-        with open(meta_path, "w") as fh:
+            meta.update(stats(spark.table(tmp_name)))
+        with open(os.path.join(tmp_path, "_scratch_meta.json"), "w") as fh:
             json.dump(meta, fh)
-    elif not spark.catalog.tableExists(name):
+        # external table: dropping the catalog entry keeps the files
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        try:
+            os.rename(tmp_path, path)
+        except OSError:
+            # a concurrent builder finished first; its layout is
+            # complete (meta present before rename) — use it
+            shutil.rmtree(tmp_path, ignore_errors=True)
+    if not spark.catalog.tableExists(name):
         spark.sql(
             f"CREATE TABLE {name} ({schema_sql}) USING parquet "
             f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "

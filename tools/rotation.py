@@ -2,13 +2,22 @@
 """Suggest the next round's grading-window rotation.
 
 Reads every CORRECTNESS_r*.json, folds verdicts per key (latest
-verdict wins), and prints the priority list the next round's
-``plans/__init__.py`` should pass to ``set_priority``:
+verdict wins, tracking WHICH round produced it), and prints the
+priority list the next round's ``plans/__init__.py`` should pass to
+``set_priority``:
 
   1. keys with a failing latest verdict (hash/rows/schema/err),
   2. keys that have never been graded,
-  3. (everything else keeps its standing verdict and stays in the
+  3. keys whose latest verdict is stale (>= MAX_AGE_ROUNDS old),
+     oldest vintage first — the freshness tier VERDICT r12 #2 asked
+     for, so the window budget is computed, not hand-counted,
+  4. (everything else keeps its standing verdict and stays in the
      registry tail — not printed).
+
+Also prints the projected window budget: failing + never-graded +
+stale vs the driver's ~50-slot window, so a round can see overflow
+BEFORE it builds (the r12 hazard: 53 names for 50 slots silently
+displaced three keys).
 
 Run: python tools/rotation.py
 """
@@ -22,36 +31,63 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+# A verdict older than this many rounds owes a re-grade even if green
+# (evidence freshness); the driver window is ~50 keys per round.
+MAX_AGE_ROUNDS = 6
+WINDOW_SLOTS = 50
 
-def fold_verdicts() -> dict[str, dict]:
-    """Latest-wins fold of every CORRECTNESS_r*.json verdict."""
+
+def fold_verdicts() -> tuple[dict[str, dict], dict[str, int], int]:
+    """Latest-wins fold of every CORRECTNESS_r*.json verdict.
+
+    Returns ``(verdicts, vintage, current_round)`` where ``vintage``
+    maps each key to the round number of its latest verdict and
+    ``current_round`` is 1 + the newest correctness file's round."""
     verdicts: dict[str, dict] = {}
+    vintage: dict[str, int] = {}
+    latest = 0
     for path in sorted(
         glob.glob("/root/repo/CORRECTNESS_r*.json"),
         key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
     ):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
+        latest = max(latest, rnd)
         for key, row in json.load(open(path)).items():
             verdicts[key] = row
-    return verdicts
+            vintage[key] = rnd
+    return verdicts, vintage, latest + 1
 
 
-def classify(registered, oracled, verdicts):
-    """Partition registry keys into (failing, never-graded, rows-only).
+def classify(registered, oracled, verdicts, vintage, current_round):
+    """Partition registry keys into (failing, never-graded, stale,
+    rows-only).
 
-    ``failing`` ∪ ``never-graded`` = the keys that still NEED a
-    verdict; rows-only-by-design keys stay out of the grading window
-    permanently (their no_oracle verdict is already the strongest
-    available signal) unless an oracle has since been added."""
-    failing, ungraded, rows_only = [], [], []
+    ``failing`` ∪ ``never-graded`` NEED a verdict; ``stale`` keys are
+    green but their evidence is >= MAX_AGE_ROUNDS old (oldest first)
+    and should be re-graded as window budget allows.  Rows-only
+    by-design keys stay out of the grading window permanently (their
+    no_oracle verdict is already the strongest available signal)
+    unless an oracle has since been added — but they DO age like any
+    other key, so a stale rows-only key re-enters via the stale tier
+    (a rows-level re-check still proves the plan executes at HEAD)."""
+    failing, ungraded, stale, rows_only = [], [], [], []
     for key in registered:
         v = verdicts.get(key)
         if v is None:
             ungraded.append(key)
-        elif v.get("err") == "no_oracle":
-            (failing if key in oracled else rows_only).append(key)
+            continue
+        if v.get("err") == "no_oracle":
+            if key in oracled:
+                failing.append(key)
+                continue
+            rows_only.append(key)
         elif not (v.get("rows_match") and v.get("schema_match") and v.get("hash_match")):
             failing.append(key)
-    return failing, ungraded, rows_only
+            continue
+        if current_round - vintage[key] >= MAX_AGE_ROUNDS:
+            stale.append(key)
+    stale.sort(key=lambda k: (vintage[k], k))
+    return failing, ungraded, stale, rows_only
 
 
 def main() -> None:
@@ -59,25 +95,44 @@ def main() -> None:
 
     registered = list(plans.queries().keys())
     oracled = set(plans.oracles().keys())
-    verdicts = fold_verdicts()
-    failing, ungraded, rows_only = classify(registered, oracled, verdicts)
+    verdicts, vintage, current_round = fold_verdicts()
+    failing, ungraded, stale, rows_only = classify(
+        registered, oracled, verdicts, vintage, current_round
+    )
 
-    print(f"# registered={len(registered)} graded={len(verdicts)}")
+    print(f"# registered={len(registered)} graded={len(verdicts)} "
+          f"next_round=r{current_round}")
     print(f"# failing latest verdict: {len(failing)}")
     for k in failing:
         print(f"#   {k}: {verdicts.get(k)}")
     print(f"# never graded: {len(ungraded)}")
+    print(f"# stale (vintage <= r{current_round - MAX_AGE_ROUNDS}): {len(stale)}")
+    for k in stale:
+        print(f"#   {k}: r{vintage[k]}")
     print(f"# rows-only by design: {len(rows_only)}")
     # oracle-backed keys first: a hash verdict is a stronger signal
     # than a rows-only one, so spend the ~50-key window on them and
     # let rows-only keys take whatever slots remain
     ungraded.sort(key=lambda k: (k not in oracled,))
-    prio = failing + ungraded
+    owed = failing + ungraded
+    fill = max(0, WINDOW_SLOTS - len(owed))
+    taken, deferred = stale[:fill], stale[fill:]
+    prio = owed + taken
     print("\nset_priority([")
     for k in prio:
         print(f'    "{k}",')
     print("])")
-    print(f"# -> {len(prio)} keys in the window; ~{50 - len(prio)} slots spare")
+    print(f"# window budget: {len(owed)} owed (failing+never-graded) + "
+          f"{len(taken)} stale (oldest-first) = {len(prio)} of "
+          f"~{WINDOW_SLOTS} slots; {len(deferred)} stale deferred to "
+          "later rounds")
+    print("# plan-changed and new keys must be added ON TOP — every "
+          "one displaces a stale re-grade from the window tail; count "
+          "them before building (memory: window-budget-first)")
+    if len(owed) > WINDOW_SLOTS:
+        print(f"# OVERFLOW: {len(owed) - WINDOW_SLOTS} owed keys will "
+              "be displaced even before stale re-grades — fix reds "
+              "first")
 
 
 if __name__ == "__main__":
