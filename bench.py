@@ -262,6 +262,8 @@ HEADLINE = [
     # round-12 additions
     "dedup_substring_incremental",
     "text_bigram_lm_incremental",
+    # round-13 additions
+    "dedup_minhash_incremental",
 ]
 
 # The round-3 53-query headline — the stable cross-round comparison

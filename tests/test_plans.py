@@ -327,9 +327,14 @@ def test_grading_window_spent_on_keys_needing_verdicts():
 
     registered = list(plans.queries().keys())
     oracled = set(plans.oracles().keys())
-    failing, ungraded, _rows_only = rotation.classify(
-        registered, oracled, rotation.fold_verdicts()
+    verdicts, vintage, current_round = rotation.fold_verdicts()
+    failing, ungraded, _stale, _rows_only = rotation.classify(
+        registered, oracled, verdicts, vintage, current_round
     )
+    # stale keys hold GREEN verdicts — re-grading them is a freshness
+    # choice that competes with new/changed keys for slots, not an
+    # obligation this tripwire should enforce (round 13: the vintage
+    # tier); only failing/never-graded keys MUST precede green ones
     need = set(failing) | set(ungraded)
     if not need:
         return  # every key has a verdict — nothing to rotate
@@ -383,8 +388,9 @@ def test_rows_only_verdicted_keys_stay_out_of_the_window():
 
     registered = list(plans.queries().keys())
     oracled = set(plans.oracles().keys())
-    _failing, _ungraded, rows_only = rotation.classify(
-        registered, oracled, rotation.fold_verdicts()
+    verdicts, vintage, current_round = rotation.fold_verdicts()
+    _failing, _ungraded, _stale, rows_only = rotation.classify(
+        registered, oracled, verdicts, vintage, current_round
     )
     window = registered[:50]
     # Enough oracle-backed keys exist to fill 50 slots many times
