@@ -1866,3 +1866,75 @@ def test_minhash_incremental_recall_vs_exact_twin(spark):
         for r in dedup_minhash_incremental(spark, SF_DIR).collect()
     }
     assert want <= cand
+
+
+def test_minhash_index_layout_bucketed_probe_exchange_free(spark, tmp_path):
+    """The persisted MinHash band index (round 13): a band-key probe
+    against the layout plans with NO exchange and NO sort on the
+    index side — the property that makes per-shard ingest cost
+    O(delta + probe) instead of re-shuffling the base's |docs|×bands
+    band rows every increment."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_assessment_spark.operators import dedup as dedup_ops
+    from data_engineering_assessment_spark.operators.dedup import minhash_banded
+    from data_engineering_assessment_spark.plans.pipeline import (
+        dedup_minhash_incremental,
+    )
+    from data_engineering_assessment_spark.sources.layout import (
+        versioned_scratch_tag,
+    )
+
+    docs = pd.DataFrame(
+        [(i, f"word{i} alpha beta gamma delta epsilon", "en", "t", 30)
+         for i in range(1, 9)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        str(tmp_path / "documents.parquet"),
+    )
+    dedup_minhash_incremental(spark, str(tmp_path)).collect()  # builds index
+
+    tag = versioned_scratch_tag(
+        str(tmp_path),
+        dedup_minhash_incremental,
+        dedup_ops,
+        extra=("bkey", "32", "bkey BIGINT, doc BIGINT, sig ARRAY<BIGINT>"),
+    )
+    corp = hashlib.md5(str(tmp_path).encode()).hexdigest()[:6]
+    index = spark.table(f"mhidx_{corp}_{tag}")
+
+    probe = minhash_banded(
+        spark.createDataFrame([(99, "alpha beta gamma delta epsilon zeta")],
+                              ["doc_id", "text"])
+    ).select("bkey")
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            index.join(probe.hint("merge"), "bkey")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange") == 1, plan  # probe side only
+    assert plan.count("Sort ") == 1, plan  # probe side only (buckets pre-sorted)
+
+    # cleanup
+    import glob
+    import json
+    import os
+    import shutil
+
+    for mp in glob.glob("/root/repo/.scratch/mhidx_*/_scratch_meta.json"):
+        if json.load(open(mp)).get("src") == str(tmp_path):
+            d = os.path.dirname(mp)
+            spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
+            shutil.rmtree(d, ignore_errors=True)
