@@ -58,6 +58,47 @@ def fold_verdicts() -> tuple[dict[str, dict], dict[str, int], int]:
     return verdicts, vintage, latest + 1
 
 
+def plan_changed_keys() -> list[str]:
+    """Keys whose PLANS.md row differs from the last driver
+    round-boundary commit (message ``round N: ...``) — the
+    plan-change => window policy (round 11), now computed instead of
+    hand-listed (round 13).
+
+    Regenerate PLANS.md first (``python tools/gen_plans.py``) or the
+    diff reflects the previous regeneration.  This detector is a
+    FLOOR, not a ceiling: a plan change that leaves the summary row
+    identical (same shuffle count / join kinds / pushdown / spans —
+    e.g. a layout helper changing only a scratch table's version tag)
+    is invisible here and must still be listed by hand."""
+    import subprocess
+
+    try:
+        ref = subprocess.check_output(
+            ["git", "-C", "/root/repo", "log", "--grep", "^round [0-9]*:",
+             "-1", "--format=%H"],
+            text=True,
+        ).strip()
+        if not ref:
+            return []
+        old = subprocess.check_output(
+            ["git", "-C", "/root/repo", "show", f"{ref}:PLANS.md"], text=True
+        )
+    except (subprocess.CalledProcessError, OSError):
+        return []
+
+    def rows(text: str) -> dict[str, str]:
+        out = {}
+        for line in text.splitlines():
+            m = re.match(r"\| `([a-z0-9_]+)` \|(.*)", line)
+            if m:
+                out[m.group(1)] = m.group(2)
+        return out
+
+    new = rows(open("/root/repo/PLANS.md").read())
+    oldr = rows(old)
+    return sorted(k for k in new if k in oldr and new[k] != oldr[k])
+
+
 def classify(registered, oracled, verdicts, vintage, current_round):
     """Partition registry keys into (failing, never-graded, stale,
     rows-only).
@@ -110,25 +151,35 @@ def main() -> None:
     for k in stale:
         print(f"#   {k}: r{vintage[k]}")
     print(f"# rows-only by design: {len(rows_only)}")
+    changed = [k for k in plan_changed_keys()
+               if k in set(registered) and k not in set(failing) | set(ungraded)]
+    print(f"# plan-changed since last round boundary (PLANS.md row "
+          f"diff — regenerate it first; summary-invisible changes "
+          f"need hand-listing): {len(changed)}")
+    for k in changed:
+        print(f"#   {k}")
     # oracle-backed keys first: a hash verdict is a stronger signal
     # than a rows-only one, so spend the ~50-key window on them and
     # let rows-only keys take whatever slots remain
     ungraded.sort(key=lambda k: (k not in oracled,))
-    owed = failing + ungraded
+    owed = failing + ungraded + changed
     fill = max(0, WINDOW_SLOTS - len(owed))
+    stale = [k for k in stale if k not in set(owed)]
     taken, deferred = stale[:fill], stale[fill:]
     prio = owed + taken
     print("\nset_priority([")
     for k in prio:
         print(f'    "{k}",')
     print("])")
-    print(f"# window budget: {len(owed)} owed (failing+never-graded) + "
+    print(f"# window budget: {len(failing) + len(ungraded)} owed "
+          f"(failing+never-graded) + {len(changed)} plan-changed + "
           f"{len(taken)} stale (oldest-first) = {len(prio)} of "
           f"~{WINDOW_SLOTS} slots; {len(deferred)} stale deferred to "
           "later rounds")
-    print("# plan-changed and new keys must be added ON TOP — every "
-          "one displaces a stale re-grade from the window tail; count "
-          "them before building (memory: window-budget-first)")
+    print("# summary-invisible plan changes (layout/helper edits that "
+          "keep the PLANS.md row identical) must be added ON TOP — "
+          "every one displaces a stale re-grade from the window tail "
+          "(memory: window-budget-first)")
     if len(owed) > WINDOW_SLOTS:
         print(f"# OVERFLOW: {len(owed) - WINDOW_SLOTS} owed keys will "
               "be displaced even before stale re-grades — fix reds "
