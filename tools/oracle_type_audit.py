@@ -42,7 +42,8 @@ def folded_verdicts() -> dict:
     )
     rotation = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(rotation)
-    return {k: (v, "folded") for k, v in rotation.fold_verdicts().items()}
+    verdicts, _vintage, _next_round = rotation.fold_verdicts()
+    return {k: (v, "folded") for k, v in verdicts.items()}
 
 
 def main() -> int:
