@@ -76,16 +76,37 @@ def clean_superseded(path: str) -> None:
 
 
 def corpus_fingerprint(sf_dir: str) -> list[list]:
-    """(name, size, mtime_ns) of every parquet file directly under
-    ``sf_dir`` — a cheap content proxy for layouts that are pure
-    caches of live-table derivatives (round-13 ADVICE: a corpus
-    regenerated in place must invalidate the cache, or the layout
-    serves stale edges while the oracle reads live tables)."""
+    """(relpath, size, mtime_ns) of every data file under each
+    ``*.parquet`` entry in ``sf_dir`` — a cheap content proxy for
+    layouts that are pure caches of live-table derivatives (round-13
+    ADVICE: a corpus regenerated in place must invalidate the cache,
+    or the layout serves stale edges while the oracle reads live
+    tables).
+
+    A ``*.parquet`` entry may be a single file (the driver's
+    testdata) or a Spark-written DIRECTORY; for directories the
+    fingerprint recurses into the contained files (round-14 ADVICE:
+    a regeneration that rewrites a part file in place under the same
+    name leaves the directory inode's own size/mtime unchanged, so a
+    top-level stat would serve stale derivatives — the exact hazard
+    this fingerprint guards)."""
     out: list[list] = []
     if os.path.isdir(sf_dir):
         for name in sorted(os.listdir(sf_dir)):
-            if name.endswith(".parquet"):
-                st = os.stat(os.path.join(sf_dir, name))
+            if not name.endswith(".parquet"):
+                continue
+            top = os.path.join(sf_dir, name)
+            if os.path.isdir(top):
+                for root, dirs, files in os.walk(top):
+                    dirs.sort()
+                    for f in sorted(files):
+                        p = os.path.join(root, f)
+                        st = os.stat(p)
+                        out.append(
+                            [os.path.relpath(p, sf_dir), st.st_size, st.st_mtime_ns]
+                        )
+            else:
+                st = os.stat(top)
                 out.append([name, st.st_size, st.st_mtime_ns])
     return out
 
@@ -144,14 +165,19 @@ def scratch_bucketed_table(
     whose CONTRACT is that later base mutation does NOT rebuild —
     that immutability is pinned by planted pytests.
 
-    Crash/concurrency safety (round-13 ADVICE): the build lands in a
-    sibling temp dir (meta written last, inside it) and is moved into
-    place with one atomic ``os.rename``; a concurrent builder that
-    loses the race deletes its own temp dir and reads the winner's
-    layout.  No reader can ever observe a half-written ``path``."""
+    Crash/concurrency safety (round-13 ADVICE, hardened round 14):
+    the build lands in a sibling temp dir unique per CALL (meta
+    written last, inside it) and is moved into place with one atomic
+    ``os.rename``; a concurrent builder that loses the race deletes
+    its own temp dir and reads the winner's layout — any OTHER rename
+    failure re-raises.  The meta check is repeated immediately before
+    the interrupted-build rmtree so a concurrently published layout
+    is never deleted.  No reader can ever observe a half-written
+    ``path``."""
     import glob
     import hashlib
     import json
+    import uuid
 
     tag = versioned_scratch_tag(sf_dir, *fns, extra=(key, str(n_buckets), schema_sql))
     corp = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
@@ -178,17 +204,24 @@ def scratch_bucketed_table(
         if recorded != corpus_fingerprint(sf_dir):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             shutil.rmtree(path, ignore_errors=True)
+    # re-check meta immediately before clearing (round-14 ADVICE
+    # TOCTOU): a concurrent builder may publish a complete layout
+    # between the outer existence check and the rmtree — deleting it
+    # would yank files from under a reader session already registered
+    # on this LOCATION.  The outer check stays as the cheap fast path.
     if not os.path.exists(meta_path):
         clean_superseded(path)
+    if not os.path.exists(meta_path):
         # no meta => any files at ``path`` are an interrupted build
         # (meta is the completion marker): clear them so the atomic
         # rename below can land
         shutil.rmtree(path, ignore_errors=True)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        tmp_name = f"{name}_b{os.getpid()}"
-        tmp_path = f"{path}.b{os.getpid()}"
-        shutil.rmtree(tmp_path, ignore_errors=True)
-        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        # unique per CALL, not per process (round-14 ADVICE): two
+        # threads in one pid must not share an in-flight temp dir
+        token = uuid.uuid4().hex[:8]
+        tmp_name = f"{name}_b{token}"
+        tmp_path = f"{path}.b{token}"
         (
             build()
             .repartition(n_buckets, key)
@@ -211,8 +244,14 @@ def scratch_bucketed_table(
         try:
             os.rename(tmp_path, path)
         except OSError:
-            # a concurrent builder finished first; its layout is
-            # complete (meta present before rename) — use it
+            # only swallow the lost-the-race case (round-14 ADVICE):
+            # a concurrent builder finished first, so its complete
+            # layout (meta present before rename) is the one to use.
+            # Any other rename failure (permissions, a concurrent
+            # track_src rmtree) must surface HERE, not as an
+            # unrelated FileNotFoundError at the meta read below.
+            if not os.path.exists(meta_path):
+                raise
             shutil.rmtree(tmp_path, ignore_errors=True)
     if not spark.catalog.tableExists(name):
         spark.sql(

@@ -8,16 +8,24 @@ priority list the next round's ``plans/__init__.py`` should pass to
 
   1. keys with a failing latest verdict (hash/rows/schema/err),
   2. keys that have never been graded,
-  3. keys whose latest verdict is stale (>= MAX_AGE_ROUNDS old),
-     oldest vintage first — the freshness tier VERDICT r12 #2 asked
-     for, so the window budget is computed, not hand-counted,
-  4. (everything else keeps its standing verdict and stays in the
+  3. keys whose PLANS.md row changed since the latest verdicts were
+     produced (plan change => window, the round-11 policy),
+  4. freshness re-grades from the drain pool (every green key,
+     OLDEST VINTAGE FIRST — the freshness tier VERDICT r12 #2 asked
+     for), filling whatever slots remain,
+  5. (everything else keeps its standing verdict and stays in the
      registry tail — not printed).
 
+Reported health metrics (round 14, VERDICT r13 #1): the OLDEST
+EVIDENCE VINTAGE, plus a stale-DEBT count whose age threshold is
+derived from registry size so it is actually payable — a fixed
+threshold below the registry's refresh cadence reports a debt that
+can never reach zero and stops being a signal.
+
 Also prints the projected window budget: failing + never-graded +
-stale vs the driver's ~50-slot window, so a round can see overflow
-BEFORE it builds (the r12 hazard: 53 names for 50 slots silently
-displaced three keys).
+plan-changed + freshness fill vs the driver's ~50-slot window, so a
+round can see overflow BEFORE it builds (the r12 hazard: 53 names
+for 50 slots silently displaced three keys).
 
 Run: python tools/rotation.py
 """
@@ -31,10 +39,25 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-# A verdict older than this many rounds owes a re-grade even if green
-# (evidence freshness); the driver window is ~50 keys per round.
-MAX_AGE_ROUNDS = 6
+# The driver window is ~50 keys per round.
 WINDOW_SLOTS = 50
+
+
+def max_age_rounds(n_registered: int) -> int:
+    """Achievable staleness threshold, derived from registry size
+    (round 14, VERDICT r13 #1): a registry of N keys through a
+    ~WINDOW_SLOTS window has a best-case refresh cadence of
+    ceil(N / WINDOW_SLOTS) rounds, and new keys plus plan-changed
+    re-grades take slots first — so a FIXED threshold below that
+    cadence reports a debt the policy guarantees is unpayable (126
+    "stale" at MAX_AGE=6 with 368 keys, forever).  ``cadence + 2``
+    slack keeps the count reachable; the floor of 6 preserves the
+    historical meaning on small registries.  The drain order is
+    unchanged (oldest vintage first) — this only calibrates which
+    keys are REPORTED as debt."""
+    import math
+
+    return max(6, math.ceil(n_registered / WINDOW_SLOTS) + 2)
 
 
 def fold_verdicts() -> tuple[dict[str, dict], dict[str, int], int]:
@@ -64,6 +87,14 @@ def plan_changed_keys() -> list[str]:
     plan-change => window policy (round 11), now computed instead of
     hand-listed (round 13).
 
+    Baseline: the commit that last touched the NEWEST
+    CORRECTNESS_r*.json file — i.e. PLANS.md as of the moment the
+    latest verdicts were produced (round 14, VERDICT r13 #2: the
+    previous round-boundary commit double-counted keys that were
+    reshaped AND re-graded green inside the same round — their change
+    is already covered by the newest verdict, so re-grading them
+    again wastes window slots).
+
     Regenerate PLANS.md first (``python tools/gen_plans.py``) or the
     diff reflects the previous regeneration.  This detector is a
     FLOOR, not a ceiling: a plan change that leaves the summary row
@@ -73,9 +104,13 @@ def plan_changed_keys() -> list[str]:
     import subprocess
 
     try:
+        newest = sorted(
+            glob.glob("/root/repo/CORRECTNESS_r*.json"),
+            key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+        )[-1]
         ref = subprocess.check_output(
-            ["git", "-C", "/root/repo", "log", "--grep", "^round [0-9]*:",
-             "-1", "--format=%H"],
+            ["git", "-C", "/root/repo", "log", "-1", "--format=%H",
+             "--", newest],
             text=True,
         ).strip()
         if not ref:
@@ -83,7 +118,7 @@ def plan_changed_keys() -> list[str]:
         old = subprocess.check_output(
             ["git", "-C", "/root/repo", "show", f"{ref}:PLANS.md"], text=True
         )
-    except (subprocess.CalledProcessError, OSError):
+    except (subprocess.CalledProcessError, OSError, IndexError):
         return []
 
     def rows(text: str) -> dict[str, str]:
@@ -100,18 +135,21 @@ def plan_changed_keys() -> list[str]:
 
 
 def classify(registered, oracled, verdicts, vintage, current_round):
-    """Partition registry keys into (failing, never-graded, stale,
-    rows-only).
+    """Partition registry keys into (failing, never-graded, drain
+    pool, rows-only).
 
-    ``failing`` ∪ ``never-graded`` NEED a verdict; ``stale`` keys are
-    green but their evidence is >= MAX_AGE_ROUNDS old (oldest first)
-    and should be re-graded as window budget allows.  Rows-only
+    ``failing`` ∪ ``never-graded`` NEED a verdict; the ``pool`` is
+    EVERY green key sorted oldest vintage first — the freshness-drain
+    fill source for whatever window slots remain after the owed tiers
+    (round 14: the pool replaces the thresholded "stale" tier so the
+    fill never runs dry; which pool keys count as reportable DEBT is
+    decided by :func:`max_age_rounds` in ``main``).  Rows-only
     by-design keys stay out of the grading window permanently (their
     no_oracle verdict is already the strongest available signal)
     unless an oracle has since been added — but they DO age like any
-    other key, so a stale rows-only key re-enters via the stale tier
-    (a rows-level re-check still proves the plan executes at HEAD)."""
-    failing, ungraded, stale, rows_only = [], [], [], []
+    other key, so an old rows-only key re-enters via the pool (a
+    rows-level re-check still proves the plan executes at HEAD)."""
+    failing, ungraded, pool, rows_only = [], [], [], []
     for key in registered:
         v = verdicts.get(key)
         if v is None:
@@ -125,10 +163,9 @@ def classify(registered, oracled, verdicts, vintage, current_round):
         elif not (v.get("rows_match") and v.get("schema_match") and v.get("hash_match")):
             failing.append(key)
             continue
-        if current_round - vintage[key] >= MAX_AGE_ROUNDS:
-            stale.append(key)
-    stale.sort(key=lambda k: (vintage[k], k))
-    return failing, ungraded, stale, rows_only
+        pool.append(key)
+    pool.sort(key=lambda k: (vintage[k], k))
+    return failing, ungraded, pool, rows_only
 
 
 def main() -> None:
@@ -137,9 +174,11 @@ def main() -> None:
     registered = list(plans.queries().keys())
     oracled = set(plans.oracles().keys())
     verdicts, vintage, current_round = fold_verdicts()
-    failing, ungraded, stale, rows_only = classify(
+    failing, ungraded, pool, rows_only = classify(
         registered, oracled, verdicts, vintage, current_round
     )
+    age = max_age_rounds(len(registered))
+    debt = [k for k in pool if current_round - vintage[k] >= age]
 
     print(f"# registered={len(registered)} graded={len(verdicts)} "
           f"next_round=r{current_round}")
@@ -147,13 +186,18 @@ def main() -> None:
     for k in failing:
         print(f"#   {k}: {verdicts.get(k)}")
     print(f"# never graded: {len(ungraded)}")
-    print(f"# stale (vintage <= r{current_round - MAX_AGE_ROUNDS}): {len(stale)}")
-    for k in stale:
-        print(f"#   {k}: r{vintage[k]}")
+    if pool:
+        oldest = vintage[pool[0]]
+        n_old = sum(1 for k in pool if vintage[k] == oldest)
+        print(f"# oldest evidence vintage: r{oldest} ({n_old} keys) — "
+              "the freshness health metric")
+    print(f"# stale debt (vintage <= r{current_round - age}; threshold "
+          f"max(6, ceil({len(registered)}/{WINDOW_SLOTS})+2)={age} "
+          f"rounds, derived so the count is payable): {len(debt)}")
     print(f"# rows-only by design: {len(rows_only)}")
     changed = [k for k in plan_changed_keys()
                if k in set(registered) and k not in set(failing) | set(ungraded)]
-    print(f"# plan-changed since last round boundary (PLANS.md row "
+    print(f"# plan-changed since the latest verdicts' commit (PLANS.md row "
           f"diff — regenerate it first; summary-invisible changes "
           f"need hand-listing): {len(changed)}")
     for k in changed:
@@ -164,18 +208,21 @@ def main() -> None:
     ungraded.sort(key=lambda k: (k not in oracled,))
     owed = failing + ungraded + changed
     fill = max(0, WINDOW_SLOTS - len(owed))
-    stale = [k for k in stale if k not in set(owed)]
-    taken, deferred = stale[:fill], stale[fill:]
+    pool = [k for k in pool if k not in set(owed)]
+    taken, remaining = pool[:fill], pool[fill:]
+    deferred_debt = [k for k in remaining if k in set(debt)]
     prio = owed + taken
     print("\nset_priority([")
     for k in prio:
-        print(f'    "{k}",')
+        vin = f"  # r{vintage[k]}" if k in vintage else "  # new"
+        print(f'    "{k}",{vin}')
     print("])")
     print(f"# window budget: {len(failing) + len(ungraded)} owed "
           f"(failing+never-graded) + {len(changed)} plan-changed + "
-          f"{len(taken)} stale (oldest-first) = {len(prio)} of "
-          f"~{WINDOW_SLOTS} slots; {len(deferred)} stale deferred to "
-          "later rounds")
+          f"{len(taken)} freshness re-grades (oldest vintage first) "
+          f"= {len(prio)} of ~{WINDOW_SLOTS} slots; "
+          f"{len(deferred_debt)} debt-aged keys deferred to later "
+          "rounds")
     print("# summary-invisible plan changes (layout/helper edits that "
           "keep the PLANS.md row identical) must be added ON TOP — "
           "every one displaces a stale re-grade from the window tail "
