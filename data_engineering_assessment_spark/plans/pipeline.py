@@ -980,7 +980,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ([[dedup_incremental]]) and exact-substring
     ([[dedup_substring_incremental]]) both probe a persisted base
     index; this key does the same at MinHash+LSH granularity.  A new
-    shard (the same hash-partitioned ~75% delta) is scored for
+    shard (the same hash-partitioned ~25% delta) is scored for
     near-duplicates against the already-ingested base WITHOUT
     re-sketching the base: the base's banded MinHash index
     (operators/dedup.py:minhash_banded — one 64-bit key per
@@ -1047,6 +1047,183 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             est.alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+# Fixed hyperplane-LSH model for the incremental embedding tier: the
+# persisted base index and every later delta probe MUST hash with the
+# same planes and chunking, so these are constants of the index
+# format (bump => version-tag change => rebuild), NOT auto-sized from
+# a corpus count the way the batch key does — auto-sizing would make
+# a delta's signatures incomparable with the stored base buckets.
+_EMB_INC_DIM = 64
+_EMB_INC_PLANES = 16
+_EMB_INC_MAX_HAMMING = 4  # => 5 pigeonhole chunks
+_EMB_INC_THRESHOLD = 0.4  # exact-cosine keep gate, same as the batch key
+
+
+def _emb_inc_chunk_keys(sig):
+    """The fixed model's pigeonhole chunk keys for one signature:
+    ``ARRAY<BIGINT>`` of ``chunk_id * 2^56 + chunk_val`` — one
+    composite equi-join key per chunk, so the bucketed probe index
+    needs a single BIGINT key column.  Any pair within the Hamming
+    budget must agree on at least one of ``max_hamming + 1`` chunks
+    (pigeonhole), so candidate recall at the signature level is
+    guaranteed, exactly as in
+    operators/similarity.py:cosine_near_dup_lsh."""
+    sig = F.col(sig) if isinstance(sig, str) else sig
+    n_chunks = _EMB_INC_MAX_HAMMING + 1
+    bounds = [(i * _EMB_INC_PLANES) // n_chunks for i in range(n_chunks + 1)]
+    return F.array(
+        *[
+            F.lit(i << 56)
+            + F.shiftright(sig, bounds[i]).bitwiseAND(
+                F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+            )
+            for i in range(n_chunks)
+        ]
+    )
+
+
+@query("dedup_embed_incremental")  # sketch candidate generation — rows-only
+def dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING near-dup detection (round 14, VERDICT
+    r13 #3) — the final tier of the incremental-ingest ladder:
+    exact-doc ([[dedup_incremental]]), exact-substring
+    ([[dedup_substring_incremental]]) and MinHash
+    ([[dedup_minhash_incremental]]) all probe a persisted base index;
+    this key does the same at embedding-cosine granularity.  A new
+    shard (the same hash-partitioned ~25% delta) is scored for
+    cosine >= 0.4 near-duplicates against the already-ingested base
+    WITHOUT re-hashing the base: the base's hyperplane-LSH buckets
+    ([[dedup_embed_lsh]] builds these from scratch each run) are
+    persisted ONCE per corpus+code version, split into TWO bucketed
+    tables (the storage shape VERDICT r13 #3 asked to adjudicate for
+    the MinHash tier): a narrow ``(ckey, doc)`` probe index bucketed
+    by chunk key — no per-chunk signature/vector duplication — plus a
+    ``(doc, sig, vec)`` side table bucketed by doc for candidate
+    rescoring.  Per increment: delta chunk keys equi-join the probe
+    index (base x delta candidates) and self-join within the delta,
+    the Hamming gate (<= 4 of 16 sign bits) prunes via the side
+    table's signatures, and survivors are rescored by exact cosine.
+
+    Scale: per increment the work is O(delta + probe) — the base is
+    never re-signed and never re-shuffled (both probes are
+    exchange-free on the bucket-sorted table side), the contract the
+    other three tiers keep.  Candidates come only from chunk-key
+    equality (pigeonhole LSH, no cross join); each base signature and
+    vector is stored ONCE, not once per chunk — the probe fan-out
+    carries only (ckey, doc) rows.  Cosine/LSH semantics are not
+    SQL-portable, so the key is rows-only; LSH-subset-of-exact
+    containment, planted cross-shard recall, and planted
+    base-mutation immutability are pinned in tests/test_pipeline.py."""
+    ensure_deterministic_session(spark)
+    from ..operators import similarity as sim_ops
+    from ..operators.dedup import _materialized
+    from ..operators.similarity import _hyperplanes, _micro, dot, norm_sq, pd_signature
+    from ..sources.layout import scratch_bucketed_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    h1 = F.md5(F.col("vec_id").cast("string").cast("binary")).substr(1, 1)
+    planes = _hyperplanes(_EMB_INC_DIM, _EMB_INC_PLANES, seed=42)
+
+    def signed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("vec_id").cast("long").alias("doc"),
+            F.col("embedding").cast("array<float>").alias("vec"),
+            pd_signature("embedding", planes).alias("sig"),
+        )
+
+    def build_probe() -> DataFrame:
+        return signed(emb.filter(h1 < "c")).select(
+            F.explode(_emb_inc_chunk_keys("sig")).alias("ckey"), "doc"
+        )
+
+    def build_side() -> DataFrame:
+        return signed(emb.filter(h1 < "c"))
+
+    probe_idx, _ = scratch_bucketed_table(
+        spark,
+        "ehidx",
+        sf_dir,
+        build_probe,
+        key="ckey",
+        n_buckets=32,
+        schema_sql="ckey BIGINT, doc BIGINT",
+        fns=(dedup_embed_incremental, sim_ops),
+    )
+    side, _ = scratch_bucketed_table(
+        spark,
+        "ehvec",
+        sf_dir,
+        build_side,
+        key="doc",
+        n_buckets=32,
+        schema_sql="doc BIGINT, vec ARRAY<FLOAT>, sig BIGINT",
+        fns=(dedup_embed_incremental, sim_ops),
+    )
+    # the delta is signed once and feeds three plan branches (index
+    # probe, intra-delta self-join, vector join-back)
+    dv = _materialized(signed(emb.filter(h1 >= "c")))
+    dex = dv.select(
+        "doc", "sig", F.explode(_emb_inc_chunk_keys("sig")).alias("ckey")
+    )
+    ham = _EMB_INC_MAX_HAMMING
+    # base x delta: candidates from chunk-key equality against the
+    # persisted probe index; signatures and vectors for the base side
+    # come from ONE side-table join (bucketed by doc — exchange-free)
+    cross = (
+        dex.join(probe_idx.withColumnRenamed("doc", "bdoc"), "ckey")
+        .select("doc", "sig", "bdoc")
+        .dropDuplicates(["doc", "bdoc"])
+        .join(
+            side.select(
+                F.col("doc").alias("bdoc"),
+                F.col("sig").alias("bsig"),
+                F.col("vec").alias("bvec"),
+            ),
+            "bdoc",
+        )
+        .filter(F.bit_count(F.col("sig").bitwiseXOR(F.col("bsig"))) <= ham)
+        .join(dv.select("doc", "vec"), "doc")
+        .select(
+            F.least("doc", "bdoc").alias("id_a"),
+            F.greatest("doc", "bdoc").alias("id_b"),
+            (
+                dot(F.col("vec"), F.col("bvec"))
+                / (F.sqrt(norm_sq(F.col("vec"))) * F.sqrt(norm_sq(F.col("bvec"))))
+            ).alias("cos_raw"),
+        )
+    )
+    a, b = dex.alias("a"), dex.alias("b")
+    intra = (
+        a.join(
+            b, (F.col("a.ckey") == F.col("b.ckey")) & (F.col("a.doc") < F.col("b.doc"))
+        )
+        .filter(F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))) <= ham)
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .join(dv.select(F.col("doc").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
+        .join(dv.select(F.col("doc").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.sqrt(norm_sq(F.col("vec_a"))) * F.sqrt(norm_sq(F.col("vec_b"))))
+            ).alias("cos_raw"),
+        )
+    )
+    # base x delta and delta x delta pair spaces are disjoint (the
+    # split is a partition), so the union needs no cross-branch dedup
+    return (
+        cross.unionAll(intra)
+        .filter(F.col("cos_raw") >= _EMB_INC_THRESHOLD)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            _micro("cos_raw").alias("cosine_micro"),
+        )
     )
 
 
@@ -2052,11 +2229,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     union is explode + distinct + count (round 13, VERDICT r12 #3) —
     constant per-row state in every aggregation buffer, so a
     pathological giant document can't balloon a single agg buffer the
-    way the previous collect_list-of-position-arrays shape could."""
+    way the previous collect_list-of-position-arrays shape could.
+    ``dupw`` feeds two independent aggregations (ndw and dt) whose
+    downstream exchanges differ, so it is persisted (round-14 ADVICE):
+    without it the digest-shuffle semi-join subtree executed twice per
+    run."""
     ensure_deterministic_session(spark)
-    from ..operators.dedup import substring_window_index
+    from ..operators.dedup import _materialized, substring_window_index
 
     base, dupw = substring_window_index(load_table(spark, sf_dir, "documents"), k=8)
+    dupw = _materialized(dupw)
     agg = dupw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ndw"))
     cv = (
         dupw.select(
@@ -2186,7 +2368,7 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental substring-level dedup (round 12, VERDICT r11 #6):
     the Lee-et-al exact-substring tier of [[dedup_substring_spans]]
     run the way a production corpus actually ingests — a new shard
-    (the same hash-partitioned ~75% delta as [[dedup_incremental]])
+    (the same hash-partitioned ~25% delta as [[dedup_incremental]])
     is scored against a PERSISTED window-digest index of the
     already-ingested base, without re-digesting the base.  A delta
     window is duplicated when its 8-token text already exists
@@ -2210,7 +2392,7 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged (tests/test_pipeline.py)."""
     ensure_deterministic_session(spark)
     from ..operators import dedup as dedup_ops
-    from ..operators.dedup import substring_windows
+    from ..operators.dedup import _materialized, substring_windows
     from ..sources.layout import scratch_bucketed_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2238,7 +2420,9 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(shard.join(index, "h", "semi").select("h"))
         .distinct()
     )
-    dupw = w.join(dup_h, "h", "semi").select("doc_id", "s")
+    # persisted: dupw feeds both the ndw and dt aggregations (round-14
+    # ADVICE — without it the index-probe semi-join subtree ran twice)
+    dupw = _materialized(w.join(dup_h, "h", "semi").select("doc_id", "s"))
     # coverage via explode + distinct + count (round 13, VERDICT r12
     # #3): no per-document position array in any aggregation buffer
     agg = dupw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ndw"))

@@ -1938,3 +1938,189 @@ def test_minhash_index_layout_bucketed_probe_exchange_free(spark, tmp_path):
             d = os.path.dirname(mp)
             spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
             shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_embeddings(tmp_path, vecs: dict):
+    """Write a planted embeddings.parquet: {vec_id: 64-float vector}."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame(
+        [(i, list(map(float, v)), 0) for i, v in sorted(vecs.items())],
+        columns=["vec_id", "embedding", "label"],
+    )
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+
+def _drop_embed_inc_scratch(spark, tmp_path):
+    import glob
+    import json
+    import os
+    import shutil
+
+    for fam in ("ehidx", "ehvec"):
+        for mp in glob.glob(f"/root/repo/.scratch/{fam}_*/_scratch_meta.json"):
+            if json.load(open(mp)).get("src") == str(tmp_path):
+                d = os.path.dirname(mp)
+                spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
+                shutil.rmtree(d, ignore_errors=True)
+
+
+def test_embed_incremental_planted_and_base_mutation_immutable(spark, tmp_path):
+    """The incremental embedding tier (round 14): a planted cross
+    base/delta near-dup pair and a planted intra-delta pair are both
+    found; base-only pairs never appear; and mutating the BASE after
+    the index build changes NOTHING — only the persisted hyperplane
+    index and vector side table are consulted, never the live base
+    rows (the fixed-model contract all four incremental tiers keep).
+
+    md5-split at sf granularity: ids 4/6/7/9/11 are base ('<c'),
+    ids 1/2/3/5/8 are delta ('>=c')."""
+    import random
+
+    from data_engineering_assessment_spark.plans.pipeline import (
+        dedup_embed_incremental,
+    )
+
+    rng = random.Random(11)
+    v = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + 1e-3 * rng.gauss(0, 1) for x in v]
+    u = [rng.gauss(0, 1) for _ in range(64)]
+    vecs = {
+        4: v,                                   # base
+        1: near,                                # delta -> cross pair (1, 4)
+        2: u,                                   # delta
+        3: [x + 1e-3 * rng.gauss(0, 1) for x in u],  # delta -> intra (2, 3)
+        6: [rng.gauss(0, 1) for _ in range(64)],     # base
+        7: [rng.gauss(0, 1) for _ in range(64)],     # base
+        9: [rng.gauss(0, 1) for _ in range(64)],     # base
+        11: [rng.gauss(0, 1) for _ in range(64)],    # base
+        5: [rng.gauss(0, 1) for _ in range(64)],     # delta
+        8: [rng.gauss(0, 1) for _ in range(64)],     # delta
+    }
+    # make (6, 7) a BASE-ONLY near-dup: must never be emitted
+    vecs[7] = [x + 1e-3 * rng.gauss(0, 1) for x in vecs[6]]
+    _write_embeddings(tmp_path, vecs)
+
+    def run():
+        return {
+            (r.id_a, r.id_b): r.cosine_micro
+            for r in dedup_embed_incremental(spark, str(tmp_path)).collect()
+        }
+
+    first = run()
+    assert (1, 4) in first and first[(1, 4)] > 990000   # cross base/delta
+    assert (2, 3) in first and first[(2, 3)] > 990000   # within delta
+    assert (6, 7) not in first                           # base-only: excluded
+    delta_ids = {1, 2, 3, 5, 8}
+    assert all(set(p) & delta_ids for p in first)
+
+    # mutate the BASE after index build: if the implementation
+    # re-signed or re-read the base, pair (1, 4) would vanish —
+    # scoring must be IDENTICAL because only the persisted index and
+    # side table are consulted
+    mutated = dict(vecs)
+    mutated[4] = [-x for x in vecs[2]]
+    _write_embeddings(tmp_path, mutated)
+    assert run() == first
+
+    _drop_embed_inc_scratch(spark, tmp_path)
+
+
+def test_embed_incremental_subset_of_exact_and_delta_only(spark):
+    """Recall/precision gates for the rows-only key at sf0.001: the
+    incremental candidates are a SUBSET of the exact cosine pair set
+    (precision — rescoring is exact, so nothing below the threshold
+    survives), every emitted pair involves at least one delta vector,
+    and the cosine_micro scores agree with the exact tier exactly
+    (same double-precision formula on both paths)."""
+    import hashlib
+
+    from data_engineering_assessment_spark.plans.pipeline import (
+        dedup_embed_incremental,
+    )
+
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cosine_micro
+        for r in cosine_near_dup_pairs(vecs, threshold=0.4).collect()
+    }
+    inc = {
+        (r.id_a, r.id_b): r.cosine_micro
+        for r in dedup_embed_incremental(spark, SF_DIR).collect()
+    }
+    assert inc  # the corpus must actually contain near-dups
+    assert set(inc) <= set(exact)
+    assert all(inc[p] == exact[p] for p in inc)
+
+    def is_delta(i) -> bool:
+        return hashlib.md5(str(i).encode()).hexdigest()[0] >= "c"
+
+    assert all(is_delta(a) or is_delta(b) for a, b in inc)
+
+
+def test_embed_incremental_index_probe_exchange_free(spark, tmp_path):
+    """The persisted hyperplane probe index (round 14): a chunk-key
+    probe against the layout plans with NO exchange and NO sort on
+    the index side — the property that makes per-shard ingest cost
+    O(delta + probe) instead of re-signing and re-shuffling the base
+    every increment.  Same pin as the MinHash tier's
+    test_minhash_index_layout_bucketed_probe_exchange_free."""
+    import hashlib
+    import random
+
+    from data_engineering_assessment_spark.operators import similarity as sim_ops
+    from data_engineering_assessment_spark.plans.pipeline import (
+        _emb_inc_chunk_keys,
+        dedup_embed_incremental,
+    )
+    from data_engineering_assessment_spark.sources.layout import (
+        versioned_scratch_tag,
+    )
+
+    rng = random.Random(3)
+    _write_embeddings(
+        tmp_path, {i: [rng.gauss(0, 1) for _ in range(64)] for i in range(1, 9)}
+    )
+    dedup_embed_incremental(spark, str(tmp_path)).collect()  # builds layouts
+
+    tag = versioned_scratch_tag(
+        str(tmp_path),
+        dedup_embed_incremental,
+        sim_ops,
+        extra=("ckey", "32", "ckey BIGINT, doc BIGINT"),
+    )
+    corp = hashlib.md5(str(tmp_path).encode()).hexdigest()[:6]
+    index = spark.table(f"ehidx_{corp}_{tag}")
+
+    probe = (
+        spark.range(1)
+        .select(F.lit(12345).alias("sig"))
+        .select(F.explode(_emb_inc_chunk_keys("sig")).alias("ckey"))
+    )
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            index.join(probe.hint("merge"), "ckey")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange") == 1, plan  # probe side only
+    assert plan.count("Sort ") == 1, plan  # probe side only (buckets pre-sorted)
+
+    _drop_embed_inc_scratch(spark, tmp_path)
