@@ -16,86 +16,87 @@ from . import (  # noqa: F401
 )
 from .registry import oracles, queries, set_priority  # noqa: F401
 
-# Grading-window rotation (round 13).  The driver grades a ~50-key
+# Grading-window rotation (round 14).  The driver grades a ~50-key
 # prefix of the registry per round; verdicts persist.  This window is
-# now COMPUTED by `python tools/rotation.py` (VERDICT r12 #2: a
-# max-age tier classifies stale evidence, oldest-first, and prints
-# the projected budget) — the hand-authored part is only the
-# plan-changed tier, which the tool can't know.  In order:
-#   1. the new round-13 key (never graded):
-#      dedup_minhash_incremental (the near-dup tier of the
-#      incremental-ingest ladder, VERDICT r12 #4),
-#   2. the five keys whose PLAN or persisted layout changed this
+# COMPUTED by `python tools/rotation.py` (recalibrated this round,
+# VERDICT r13 #1/#2: plan diff against the latest verdicts' commit,
+# achievable stale-debt threshold, oldest-vintage health metric) —
+# the hand-authored part is only the summary-invisible layout tier,
+# which the tool can't see.  In order:
+#   1. the new round-14 key (never graded): dedup_embed_incremental
+#      (the embedding tier completing the incremental-ingest ladder,
+#      VERDICT r13 #3),
+#   2. the six keys whose PLAN or persisted layout changed this
 #      round and therefore owe a fresh verdict regardless of vintage
 #      (plan change => window, the round-11 policy): both substring
-#      coverage keys moved to the explode+distinct islands shape
-#      (VERDICT r12 #3 — no per-doc array buffer), and the three
-#      layout-backed keys (both graph loops + the incremental
-#      bigram-LM) rebuilt their scratch tables under the round-13
-#      layout hardening (bucket spec in the version tag, atomic
-#      build, src fingerprinting — ADVICE r12),
-#   3. 44 stale re-grades, OLDEST VINTAGE FIRST per rotation.py: the
-#      3 r4 stragglers the r12 window displaced (seq_lis_per_user,
-#      ts_gap_detect, ts_resample_ffill — VERDICT r12 #1), all 22
-#      r5-vintage keys, then r6-vintage alphabetically to fill.
-# Exactly 50 names for ~50 slots; 71 further stale keys (r6-r7
-# vintage) are deferred to r14+ by the tool's budget arithmetic.
+#      coverage keys now persist dupw (round-14 ADVICE — it fed two
+#      aggregations, so the digest semi-join subtree ran twice), and
+#      the four layout-backed keys (incremental MinHash, both graph
+#      loops, the incremental bigram-LM) rebuilt their scratch
+#      tables under the round-14 layout hardening (recursive corpus
+#      fingerprint, TOCTOU re-check, per-call temp dirs, narrowed
+#      rename-race handling — every layout.py edit bumps every
+#      versioned_scratch_tag by design),
+#   3. 43 freshness re-grades, OLDEST VINTAGE FIRST per rotation.py:
+#      all 30 r6-vintage keys, then r7-vintage alphabetically to the
+#      50-slot edge.
+# Exactly 50 names for ~50 slots; 7 r7-vintage keys and the r8 tier
+# are deferred to r15+ by the tool's budget arithmetic.
 WINDOW_PRIORITY = [
-    # --- round-13 addition (never graded) ---
-    "dedup_minhash_incremental",
+    # --- round-14 addition (never graded) ---
+    "dedup_embed_incremental",
     # --- plan/layout-changed this round ---
     "dedup_substring_spans",
     "dedup_substring_incremental",
+    "dedup_minhash_incremental",
     "graph_khop_reach",
     "graph_shortest_cost_k",
     "text_bigram_lm_incremental",
-    # --- stale re-grades, oldest vintage first (rotation.py) ---
-    # r4 (the three keys r12's 53-name window displaced)
-    "seq_lis_per_user",
-    "ts_gap_detect",
-    "ts_resample_ffill",
-    # r5
-    "agg_benford_digits",
-    "agg_weighted_median",
-    "array_explode_outer",
-    "bpe_pair_counts",
-    "chunk_overlap",
-    "codec_roundtrip",
-    "corpus_mix",
-    "event_user_churn",
-    "global_shuffle",
-    "multimodal_frames",
-    "orders_backlog_aging",
-    "probe_env_quantize",
-    "probe_lineitem_cents_dec",
-    "probe_lineitem_cents_round",
-    "quality_bins",
-    "repetition_stats",
-    "scan_bloom_index",
-    "seq_pack_chunks",
-    "set_ops_all",
-    "shard_assign",
-    "split_train_eval",
-    "vocab_coverage",
-    # r6 (alphabetical fill to the 50-slot edge)
-    "agg_argmax_revenue",
-    "agg_custdist",
-    "agg_histogram_equidepth",
-    "agg_market_share",
-    "agg_promo_share",
-    "agg_share_having",
-    "agg_supplier_distinct",
-    "cogroup_order_reconcile",
-    "constraint_suite",
-    "corpus_token_budget",
-    "dedup_cluster_rep",
-    "dedup_containment",
-    "dedup_threshold_curve",
-    "embed_centroid_label",
-    "embed_knn_classify",
-    "embed_matryoshka_overlap",
-    "embed_outlier_topk",
-    "event_interarrival_hist",
-    "event_seasonality_profile",
+    # --- freshness re-grades, oldest vintage first (rotation.py) ---
+    # r6
+    "grid_density_topk",
+    "grid_radius_join",
+    "join_dpp_prune",
+    "join_exists_late",
+    "join_priority_class",
+    "multi_join_nation_flow",
+    "multimodal_arrow_digest",
+    "observe_metrics",
+    "orders_cohort_ltv",
+    "probe_lineitem_totals",
+    "sample_reservoir",
+    "sample_weighted",
+    "scan_corrupt_tolerant",
+    "schema_widen_scan",
+    "split_group_holdout",
+    "split_kfold",
+    "stream_late_watermark",
+    "stream_tablelog_source",
+    "tablelog_delete_rows",
+    "tablelog_optimize",
+    "tablelog_stats_prune",
+    "tablelog_update_rows",
+    "tablelog_wap_publish",
+    "text_boilerplate_cov",
+    "text_hapax_ratio",
+    "token_heavy_hitters",
+    "ts_spine_zero_fill",
+    "udtf_dynamic_melt",
+    "udtf_sentence_split",
+    "vocab_growth_curve",
+    # r7 (alphabetical fill to the 50-slot edge)
+    "agg_antijoin_avg",
+    "agg_decile_profile",
+    "agg_filtered_revenue",
+    "agg_hll_partitioned",
+    "agg_kll_quantiles",
+    "agg_order_fanout_hist",
+    "agg_theta_customer_overlap",
+    "bigram_lift_topk",
+    "contamination_matrix",
+    "corpus_quota_fill",
+    "customer_rfm_segments",
+    "dedup_prefix_exact",
+    "dedup_semantic_cluster",
 ]
 set_priority(WINDOW_PRIORITY)
