@@ -2029,9 +2029,22 @@ def test_embed_incremental_planted_and_base_mutation_immutable(spark, tmp_path):
     # mutate the BASE after index build: if the implementation
     # re-signed or re-read the base, pair (1, 4) would vanish —
     # scoring must be IDENTICAL because only the persisted index and
-    # side table are consulted
+    # side table are consulted.  The mutation ALSO grows the base
+    # past the 16-plane auto-size boundary (>512 base vectors): an
+    # implementation that re-derived the plane count from a live
+    # corpus count instead of the index meta would hash the delta
+    # with a different model and the planted pairs would vanish.
+    import hashlib
+
     mutated = dict(vecs)
     mutated[4] = [-x for x in vecs[2]]
+    extra_base = [
+        i
+        for i in range(100, 5000)
+        if hashlib.md5(str(i).encode()).hexdigest()[0] < "c"
+    ][:600]
+    for i in extra_base:
+        mutated[i] = [rng.gauss(0, 1) for _ in range(64)]
     _write_embeddings(tmp_path, mutated)
     assert run() == first
 
@@ -2107,7 +2120,7 @@ def test_embed_incremental_index_probe_exchange_free(spark, tmp_path):
     probe = (
         spark.range(1)
         .select(F.lit(12345).alias("sig"))
-        .select(F.explode(_emb_inc_chunk_keys("sig")).alias("ckey"))
+        .select(F.explode(_emb_inc_chunk_keys("sig", 16)).alias("ckey"))
     )
     orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
