@@ -552,3 +552,134 @@ def test_scratch_bucketed_table_atomic_no_temp_leftovers(spark, tmp_path):
             assert os.path.exists(mp)  # meta present at publish point
             spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_corpus_fingerprint_recurses_into_parquet_dirs(spark, tmp_path):
+    """Round-14 ADVICE (low): a Spark-written corpus table is a
+    DIRECTORY; rewriting a part file in place under the same name can
+    leave the directory inode's own size/mtime unchanged, so the
+    fingerprint must cover the contained data files, not the
+    top-level entry."""
+    import os
+
+    from data_engineering_assessment_spark.sources.layout import (
+        corpus_fingerprint,
+    )
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    spark.range(64).coalesce(2).write.parquet(str(corpus / "t.parquet"))
+    fp1 = corpus_fingerprint(str(corpus))
+    # the fingerprint lists the INNER data files, relative to corpus
+    assert any("/" in name and name.endswith(".parquet") for name, _, _ in fp1)
+
+    # "regenerate" one inner part file in place: same name, same
+    # bytes, new mtime — exactly the hazard a top-level stat misses
+    [part] = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(corpus / "t.parquet")
+        for f in fs
+        if f.endswith(".parquet")
+    ][:1]
+    os.utime(part, ns=(1, 1))
+    fp2 = corpus_fingerprint(str(corpus))
+    assert fp2 != fp1
+
+
+def test_scratch_rename_failure_surfaces(spark, tmp_path, monkeypatch):
+    """Round-14 ADVICE (low): only the lost-the-race rename failure
+    (a concurrent winner's meta already at the target) is swallowed;
+    any other rename failure must raise HERE, not as an unrelated
+    FileNotFoundError at the later meta read."""
+    import errno
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources.layout import (
+        scratch_bucketed_table,
+    )
+
+    def build():
+        return spark.range(8).select(F.col("id").alias("k"))
+
+    real_rename = os.rename
+
+    def deny_rename(src, dst):
+        if "/root/repo/.scratch/t_rfail_" in str(dst):
+            raise OSError(errno.EACCES, "permission denied", str(dst))
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", deny_rename)
+    with pytest.raises(OSError):
+        scratch_bucketed_table(
+            spark, "t_rfail", str(tmp_path), build,
+            key="k", n_buckets=2, schema_sql="k BIGINT",
+        )
+    monkeypatch.undo()
+
+    # clean the orphaned temp dir the denied rename left behind
+    import glob
+    import shutil
+
+    for p in glob.glob("/root/repo/.scratch/t_rfail_*"):
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def test_scratch_toctou_recheck_preserves_concurrent_winner(
+    spark, tmp_path, monkeypatch
+):
+    """Round-14 ADVICE (low): a concurrent builder that publishes a
+    COMPLETE layout between the outer meta check and the
+    interrupted-build rmtree must not have its files deleted and
+    rebuilt — the meta check is repeated immediately before the
+    rmtree, so the winner's layout is adopted as-is."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources import layout
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(32).select(F.col("id").alias("k"))
+
+    kw = dict(key="k", n_buckets=2, schema_sql="k BIGINT")
+    t, _ = layout.scratch_bucketed_table(
+        spark, "t_race", str(tmp_path), build, **kw
+    )
+    assert calls["n"] == 1 and t.count() == 32
+    [meta_p] = [
+        mp for mp in glob.glob("/root/repo/.scratch/t_race_*/_scratch_meta.json")
+        if json.load(open(mp)).get("src") == str(tmp_path)
+    ]
+    path = os.path.dirname(meta_p)
+
+    # simulate: layout absent at the OUTER check, then a concurrent
+    # winner publishes the complete layout during clean_superseded
+    backup = str(tmp_path / "winner_backup")
+    shutil.copytree(path, backup)
+    shutil.rmtree(path)
+    spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(path)}")
+
+    real_clean = layout.clean_superseded
+
+    def publish_winner_then_clean(p):
+        shutil.copytree(backup, path)
+        return real_clean(p)
+
+    monkeypatch.setattr(layout, "clean_superseded", publish_winner_then_clean)
+    t2, _ = layout.scratch_bucketed_table(
+        spark, "t_race", str(tmp_path), build, **kw
+    )
+    monkeypatch.undo()
+    assert calls["n"] == 1, "winner's layout must be adopted, not rebuilt"
+    assert t2.count() == 32
+
+    spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(path)}")
+    shutil.rmtree(path, ignore_errors=True)
