@@ -404,3 +404,30 @@ def test_rows_only_verdicted_keys_stay_out_of_the_window():
         f"grading-window slots: {offenders} — they re-burn verdicts for "
         "nothing (explicit WINDOW_PRIORITY re-grades are exempt)"
     )
+
+
+def test_rotation_staleness_threshold_is_payable():
+    """Round-14 (VERDICT r13 #1): the rotation tool's stale-debt age
+    threshold must be derivable and PAYABLE — at least the registry's
+    best-case refresh cadence (ceil(N / window)) plus slack — so the
+    reported debt can actually reach zero.  The fixed MAX_AGE=6 of
+    round 13 reported 126 keys of unpayable debt at a 368-key
+    registry; this pins the derived rule."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation", "/root/repo/tools/rotation.py"
+    )
+    rotation = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rotation)
+
+    import math
+
+    from data_engineering_assessment_spark import plans
+
+    n = len(plans.queries())
+    age = rotation.max_age_rounds(n)
+    cadence = math.ceil(n / rotation.WINDOW_SLOTS)
+    assert age >= cadence + 2, (age, cadence)
+    assert rotation.max_age_rounds(50) == 6   # small-registry floor
+    assert rotation.max_age_rounds(368) == 10  # the r13 calibration case
