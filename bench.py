@@ -499,6 +499,11 @@ def main() -> None:
     # r04 116-query line at ~4 KB overflowed).  Per-query timings are
     # 2-decimal here; 3-decimal detail lives in BENCH_DETAIL.json.
     summary = dict(detail, queries={k: round(v, 2) for k, v in core_timings.items()})
+    # the noise annotation lives in BENCH_DETAIL.json only — on the
+    # printed line it would overflow the driver's ~2 KB tail capture
+    # and shed the core per-query map (the r03-size contract)
+    summary.pop("rep_spread", None)
+    summary.pop("noise_rule", None)
     summary["anchor"] = {
         "name": "green_taxi_pipeline",
         "rows": ANCHOR_ROWS,

@@ -23,6 +23,7 @@ QUERIES = entry_mod.queries()
 PY_ALLOWED = {k for k in QUERIES if k.startswith("multimodal_")} | {
     "udaf_trimmed_mean",  # grouped-agg pandas UDF — the integration under test
     "dedup_embed_lsh",
+    "dedup_embed_incremental",  # hyperplane signing — same pd_signature Arrow hop as dedup_embed_lsh
     "embed_ann_lsh",
     "embed_ann_ivf",
     "embed_cosine_topk",  # Arrow einsum scoring; oracle-verified post-rounding
@@ -298,6 +299,16 @@ def test_bench_core_set_and_summary_line_bound():
     }
     line = json.dumps(worst, separators=(",", ":"))
     assert len(line) < 1750, len(line)
+
+    # (c) round-14: the rep_spread noise annotation stays in
+    # BENCH_DETAIL.json — on the printed line it would overflow the
+    # tail capture and shed the core map (observed live before the
+    # summary.pop fix); pin that bench strips it from the summary
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert 'summary.pop("rep_spread"' in src
+    assert 'summary.pop("noise_rule"' in src
 
 
 def test_grading_window_spent_on_keys_needing_verdicts():
