@@ -433,3 +433,63 @@ def lsh_ann_topk(
             _micro("cosine").alias("cosine_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding near-dup: the fixed index-format model
+# ---------------------------------------------------------------------------
+# Model constants + hashing helpers for plans/pipeline.py:
+# dedup_embed_incremental.  They live in THIS module deliberately:
+# the persisted ehidx/ehvec layouts digest this module's source into
+# their version tag (``fns=(dedup_embed_incremental, sim_ops)``), so
+# any edit to the chunking scheme, namespace step, seed, or plane
+# rule bumps the tag and rebuilds the index — editing a model
+# constant can never silently serve an index hashed under the old
+# model (round-14 review finding; the round-4 stale-layout hazard).
+#
+# The PLANE COUNT is not a global constant: it is chosen from the
+# base corpus size at INDEX CREATION (auto_bucket_bits — a fixed
+# width would let bucket occupancy, and with it the quadratic
+# candidate fan-out, grow linearly with the corpus) and recorded in
+# the index's meta sidecar; every later delta probe reads the model
+# FROM THE META, never from a live corpus count — the fixed-model
+# contract held per index, the way a real index format records its
+# own parameters.
+
+EMB_INC_DIM = 64
+EMB_INC_MAX_HAMMING = 4  # => 5 pigeonhole chunks
+EMB_INC_THRESHOLD = 0.4  # exact-cosine keep gate, same as cosine_near_dup_lsh
+EMB_INC_SEED = 42
+
+
+def emb_inc_plane_count(n_base: int) -> int:
+    """Plane count for a base corpus of ``n_base`` vectors — the
+    batch key's auto-sizing rule (:func:`cosine_near_dup_lsh`):
+    enough bits per pigeonhole chunk to bound expected bucket
+    occupancy, floored at the historical 16, capped at the BIGINT
+    signature's 60."""
+    return max(16, min(60, (EMB_INC_MAX_HAMMING + 1) * auto_bucket_bits(n_base)))
+
+
+def emb_inc_chunk_keys(sig: Column | str, n_planes: int) -> Column:
+    """Pigeonhole chunk keys for one signature under an
+    ``n_planes``-bit model: ``ARRAY<BIGINT>`` of ``chunk_id * 2^56 +
+    chunk_val`` — one composite equi-join key per chunk, so the
+    bucketed probe index needs a single BIGINT key column (chunk
+    values are <= 12 bits wide, far below the 2^56 namespace step).
+    Any pair within the Hamming budget must agree on at least one of
+    ``max_hamming + 1`` chunks (pigeonhole), so candidate recall at
+    the signature level is guaranteed, exactly as in
+    :func:`cosine_near_dup_lsh`."""
+    sig = F.col(sig) if isinstance(sig, str) else sig
+    n_chunks = EMB_INC_MAX_HAMMING + 1
+    bounds = [(i * n_planes) // n_chunks for i in range(n_chunks + 1)]
+    return F.array(
+        *[
+            F.lit(i << 56)
+            + F.shiftright(sig, bounds[i]).bitwiseAND(
+                F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
+            )
+            for i in range(n_chunks)
+        ]
+    )

@@ -40,8 +40,9 @@ from .registry import oracles, queries, set_priority  # noqa: F401
 #   3. 43 freshness re-grades, OLDEST VINTAGE FIRST per rotation.py:
 #      all 30 r6-vintage keys, then r7-vintage alphabetically to the
 #      50-slot edge.
-# Exactly 50 names for ~50 slots; 7 r7-vintage keys and the r8 tier
-# are deferred to r15+ by the tool's budget arithmetic.
+# Exactly 50 names for ~50 slots; 34 of the 47 r7-vintage keys and
+# the r8 tier (49 keys) are deferred to r15+ by the tool's budget
+# arithmetic.
 WINDOW_PRIORITY = [
     # --- round-14 addition (never graded) ---
     "dedup_embed_incremental",

@@ -1050,57 +1050,6 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Hyperplane-LSH model constants for the incremental embedding tier.
-# The PLANE COUNT is not a global constant: it is chosen from the
-# base corpus size at INDEX CREATION (auto_bucket_bits — a fixed
-# width would let bucket occupancy, and with it the quadratic
-# candidate fan-out, grow linearly with the corpus) and recorded in
-# the index's meta sidecar; every later delta probe reads the model
-# FROM THE META, never from a live corpus count — so the persisted
-# base index and all probes hash with identical planes/chunking (the
-# fixed-model contract, held per index the way a real index format
-# records its own parameters).
-_EMB_INC_DIM = 64
-_EMB_INC_MAX_HAMMING = 4  # => 5 pigeonhole chunks
-_EMB_INC_THRESHOLD = 0.4  # exact-cosine keep gate, same as the batch key
-_EMB_INC_SEED = 42
-
-
-def _emb_inc_plane_count(n_base: int) -> int:
-    """Plane count for a base corpus of ``n_base`` vectors — the
-    batch key's auto-sizing rule (operators/similarity.py:
-    cosine_near_dup_lsh): enough bits per pigeonhole chunk to bound
-    expected bucket occupancy, floored at the historical 16, capped
-    at the BIGINT signature's 60."""
-    from ..operators.similarity import auto_bucket_bits
-
-    return max(16, min(60, (_EMB_INC_MAX_HAMMING + 1) * auto_bucket_bits(n_base)))
-
-
-def _emb_inc_chunk_keys(sig, n_planes: int):
-    """Pigeonhole chunk keys for one signature under an
-    ``n_planes``-bit model: ``ARRAY<BIGINT>`` of ``chunk_id * 2^56 +
-    chunk_val`` — one composite equi-join key per chunk, so the
-    bucketed probe index needs a single BIGINT key column (chunk
-    values are <= 12 bits wide, far below the 2^56 namespace step).
-    Any pair within the Hamming budget must agree on at least one of
-    ``max_hamming + 1`` chunks (pigeonhole), so candidate recall at
-    the signature level is guaranteed, exactly as in
-    operators/similarity.py:cosine_near_dup_lsh."""
-    sig = F.col(sig) if isinstance(sig, str) else sig
-    n_chunks = _EMB_INC_MAX_HAMMING + 1
-    bounds = [(i * n_planes) // n_chunks for i in range(n_chunks + 1)]
-    return F.array(
-        *[
-            F.lit(i << 56)
-            + F.shiftright(sig, bounds[i]).bitwiseAND(
-                F.lit((1 << (bounds[i + 1] - bounds[i])) - 1)
-            )
-            for i in range(n_chunks)
-        ]
-    )
-
-
 @query("dedup_embed_incremental")  # sketch candidate generation — rows-only
 def dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental EMBEDDING near-dup detection (round 14, VERDICT
@@ -1133,7 +1082,8 @@ def dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tools/ab_bandindex.py; see minhash_banded's docstring for why
     the MinHash tier makes the opposite call).  The plane count is
     auto-sized from the BASE corpus at index creation
-    (_emb_inc_plane_count — a fixed width would let bucket occupancy
+    (operators/similarity.py:emb_inc_plane_count — a fixed width
+    would let bucket occupancy
     and the quadratic candidate fan-out grow linearly with the
     corpus) and recorded in the index meta, which every later probe
     reads — model immutability per index, not per constant.
@@ -1144,51 +1094,48 @@ def dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic_session(spark)
     from ..operators import similarity as sim_ops
     from ..operators.dedup import _materialized
-    from ..operators.similarity import _hyperplanes, _micro, dot, norm_sq, pd_signature
+    from ..operators.similarity import (
+        EMB_INC_DIM,
+        EMB_INC_MAX_HAMMING,
+        EMB_INC_SEED,
+        EMB_INC_THRESHOLD,
+        _hyperplanes,
+        _micro,
+        dot,
+        emb_inc_chunk_keys,
+        emb_inc_plane_count,
+        norm_sq,
+        pd_signature,
+    )
     from ..sources.layout import scratch_bucketed_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     h1 = F.md5(F.col("vec_id").cast("string").cast("binary")).substr(1, 1)
 
     def signed(df: DataFrame, n_planes: int) -> DataFrame:
-        planes = _hyperplanes(_EMB_INC_DIM, n_planes, seed=_EMB_INC_SEED)
+        planes = _hyperplanes(EMB_INC_DIM, n_planes, seed=EMB_INC_SEED)
         return df.select(
             F.col("vec_id").cast("long").alias("doc"),
             F.col("embedding").cast("array<float>").alias("vec"),
             pd_signature("embedding", planes).alias("sig"),
         )
 
-    # the model is sized ONCE, from the base corpus at index-build
-    # time, and travels in the index meta; `model` is only written by
-    # build_probe (which runs once per corpus+code version)
+    # the model is sized ONCE, from the base corpus when the SIDE
+    # table is built, and travels in its meta; `model` is only
+    # written by build_side (which runs once per corpus+code version)
     model: dict[str, int] = {}
 
-    def build_probe() -> DataFrame:
-        model["n_planes"] = _emb_inc_plane_count(emb.filter(h1 < "c").count())
-        return signed(emb.filter(h1 < "c"), model["n_planes"]).select(
-            F.explode(_emb_inc_chunk_keys("sig", model["n_planes"])).alias("ckey"),
-            "doc",
-        )
-
-    probe_idx, pmeta = scratch_bucketed_table(
-        spark,
-        "ehidx",
-        sf_dir,
-        build_probe,
-        key="ckey",
-        n_buckets=32,
-        schema_sql="ckey BIGINT, doc BIGINT",
-        fns=(dedup_embed_incremental, sim_ops),
-        stats=lambda _t: {"n_planes": model["n_planes"]},
-    )
-    # every probe of an EXISTING index hashes with the planes the
-    # index was built with — never with a live corpus count
-    n_planes = int(pmeta["n_planes"])
-
     def build_side() -> DataFrame:
-        return signed(emb.filter(h1 < "c"), n_planes)
+        model["n_planes"] = emb_inc_plane_count(emb.filter(h1 < "c").count())
+        return signed(emb.filter(h1 < "c"), model["n_planes"])
 
-    side, _ = scratch_bucketed_table(
+    # build order matters for crash consistency (round-14 review
+    # finding): the side table signs the live base ONCE; the probe
+    # index is then derived FROM the persisted side table, so a crash
+    # between the two builds (or a corpus regeneration after it) can
+    # never leave the pair hashed from two different corpora — the
+    # rerun rebuilds the probe from the same persisted signatures
+    side, smeta = scratch_bucketed_table(
         spark,
         "ehvec",
         sf_dir,
@@ -1197,14 +1144,34 @@ def dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=32,
         schema_sql="doc BIGINT, vec ARRAY<FLOAT>, sig BIGINT",
         fns=(dedup_embed_incremental, sim_ops),
+        stats=lambda _t: {"n_planes": model["n_planes"]},
+    )
+    # every probe of an EXISTING index hashes with the planes the
+    # index was built with — never with a live corpus count
+    n_planes = int(smeta["n_planes"])
+
+    def build_probe() -> DataFrame:
+        return side.select(
+            F.explode(emb_inc_chunk_keys("sig", n_planes)).alias("ckey"), "doc"
+        )
+
+    probe_idx, _ = scratch_bucketed_table(
+        spark,
+        "ehidx",
+        sf_dir,
+        build_probe,
+        key="ckey",
+        n_buckets=32,
+        schema_sql="ckey BIGINT, doc BIGINT",
+        fns=(dedup_embed_incremental, sim_ops),
     )
     # the delta is signed once and feeds three plan branches (index
     # probe, intra-delta self-join, vector join-back)
     dv = _materialized(signed(emb.filter(h1 >= "c"), n_planes))
     dex = dv.select(
-        "doc", "sig", F.explode(_emb_inc_chunk_keys("sig", n_planes)).alias("ckey")
+        "doc", "sig", F.explode(emb_inc_chunk_keys("sig", n_planes)).alias("ckey")
     )
-    ham = _EMB_INC_MAX_HAMMING
+    ham = EMB_INC_MAX_HAMMING
     # base x delta: candidates from chunk-key equality against the
     # persisted probe index; signatures and vectors for the base side
     # come from ONE side-table join (bucketed by doc — exchange-free)
@@ -1254,7 +1221,7 @@ def dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split is a partition), so the union needs no cross-branch dedup
     return (
         cross.unionAll(intra)
-        .filter(F.col("cos_raw") >= _EMB_INC_THRESHOLD)
+        .filter(F.col("cos_raw") >= EMB_INC_THRESHOLD)
         .select(
             F.col("id_a").cast("long").alias("id_a"),
             F.col("id_b").cast("long").alias("id_b"),

@@ -195,6 +195,19 @@ def scratch_bucketed_table(
             continue
         if src and not os.path.exists(src):
             shutil.rmtree(d, ignore_errors=True)
+    # reap ORPHANED per-call temp dirs (round-14 review finding: a
+    # crashed/failed build leaves its unique ``.b<token>`` dir behind
+    # forever — clean_superseded's tag regex never matches it).  Age-
+    # gated so a live concurrent build's in-flight temp is never
+    # raced: any temp older than an hour is long past any real build.
+    import time
+
+    for d in glob.glob(f"/root/repo/.scratch/{family}_*.b*"):
+        try:
+            if time.time() - os.path.getmtime(d) > 3600:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            continue
     if track_src and os.path.exists(meta_path):
         try:
             with open(meta_path) as fh:

@@ -2094,8 +2094,10 @@ def test_embed_incremental_index_probe_exchange_free(spark, tmp_path):
     import random
 
     from data_engineering_assessment_spark.operators import similarity as sim_ops
+    from data_engineering_assessment_spark.operators.similarity import (
+        emb_inc_chunk_keys,
+    )
     from data_engineering_assessment_spark.plans.pipeline import (
-        _emb_inc_chunk_keys,
         dedup_embed_incremental,
     )
     from data_engineering_assessment_spark.sources.layout import (
@@ -2120,7 +2122,7 @@ def test_embed_incremental_index_probe_exchange_free(spark, tmp_path):
     probe = (
         spark.range(1)
         .select(F.lit(12345).alias("sig"))
-        .select(F.explode(_emb_inc_chunk_keys("sig", 16)).alias("ckey"))
+        .select(F.explode(emb_inc_chunk_keys("sig", 16)).alias("ckey"))
     )
     orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:

@@ -87,13 +87,15 @@ def plan_changed_keys() -> list[str]:
     plan-change => window policy (round 11), now computed instead of
     hand-listed (round 13).
 
-    Baseline: the commit that last touched the NEWEST
-    CORRECTNESS_r*.json file — i.e. PLANS.md as of the moment the
+    Baseline: the commit that CREATED the newest CORRECTNESS_r*.json
+    file (``--diff-filter=A``) — i.e. PLANS.md as of the moment the
     latest verdicts were produced (round 14, VERDICT r13 #2: the
-    previous round-boundary commit double-counted keys that were
+    previous round-boundary baseline double-counted keys that were
     reshaped AND re-graded green inside the same round — their change
     is already covered by the newest verdict, so re-grading them
-    again wastes window slots).
+    again wastes window slots).  Anchoring to the CREATING commit,
+    not the last-touching one, keeps the baseline stable if a later
+    ledger-sync commit happens to touch the verdict file.
 
     Regenerate PLANS.md first (``python tools/gen_plans.py``) or the
     diff reflects the previous regeneration.  This detector is a
@@ -109,8 +111,8 @@ def plan_changed_keys() -> list[str]:
             key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
         )[-1]
         ref = subprocess.check_output(
-            ["git", "-C", "/root/repo", "log", "-1", "--format=%H",
-             "--", newest],
+            ["git", "-C", "/root/repo", "log", "--diff-filter=A", "-1",
+             "--format=%H", "--", newest],
             text=True,
         ).strip()
         if not ref:
