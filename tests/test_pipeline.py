@@ -2139,3 +2139,60 @@ def test_embed_incremental_index_probe_exchange_free(spark, tmp_path):
     assert plan.count("Sort ") == 1, plan  # probe side only (buckets pre-sorted)
 
     _drop_embed_inc_scratch(spark, tmp_path)
+
+
+def test_embed_incremental_probe_rebuilds_from_persisted_side(
+    spark, tmp_path
+):
+    """Round-14 self-review fix: the probe index derives FROM the
+    persisted side table, so a crash between the two index builds
+    followed by a base mutation can never leave the pair hashed from
+    two different corpora.  Simulated: full build, then delete ONLY
+    the probe index (the crash-after-side state), mutate the base,
+    re-run — the rebuilt probe must come from the persisted
+    signatures, so output is identical."""
+    import glob
+    import json
+    import os
+    import random
+    import shutil
+
+    from data_engineering_assessment_spark.plans.pipeline import (
+        dedup_embed_incremental,
+    )
+
+    rng = random.Random(23)
+    v = [rng.gauss(0, 1) for _ in range(64)]
+    vecs = {
+        4: v,                                        # base
+        1: [x + 1e-3 * rng.gauss(0, 1) for x in v],  # delta -> pair (1, 4)
+        6: [rng.gauss(0, 1) for _ in range(64)],     # base
+        2: [rng.gauss(0, 1) for _ in range(64)],     # delta
+        3: [rng.gauss(0, 1) for _ in range(64)],     # delta
+    }
+    _write_embeddings(tmp_path, vecs)
+
+    def run():
+        return {
+            (r.id_a, r.id_b): r.cosine_micro
+            for r in dedup_embed_incremental(spark, str(tmp_path)).collect()
+        }
+
+    first = run()
+    assert (1, 4) in first
+
+    # crash-after-side state: probe index gone, side table persisted
+    for mp in glob.glob("/root/repo/.scratch/ehidx_*/_scratch_meta.json"):
+        if json.load(open(mp)).get("src") == str(tmp_path):
+            d = os.path.dirname(mp)
+            spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
+            shutil.rmtree(d, ignore_errors=True)
+    # base mutated BEFORE the probe rebuild: a rebuild from the live
+    # corpus would hash doc 4's new vector and lose the planted pair
+    mutated = dict(vecs)
+    mutated[4] = [-x for x in vecs[2]]
+    _write_embeddings(tmp_path, mutated)
+
+    assert run() == first
+
+    _drop_embed_inc_scratch(spark, tmp_path)
