@@ -150,13 +150,19 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``agg_histogram_log2``) variants.  Ties are broken by orderkey
     so bin assignment is deterministic in both engines.
 
-    Scale: a global NTILE needs a total order — Spark range-partitions
-    on the sort key (sampled split points), so the sort is parallel;
-    the single-partition window over the sorted runs is the price of
-    exact equi-depth.  At 100 TB use approx_percentile boundaries
-    (``agg_approx_percentile``) instead; this key is the exact
-    reference the sketch is validated against."""
+    Scale: a global NTILE needs a total order, but never a
+    single-partition window (round 15): the range-partitioned
+    global-rank operator (operators/rankstats.py — sampled range
+    bounds, per-partition row numbers, broadcast prefix-sum offsets)
+    assigns the exact global rank in parallel, and NTILE(8) is then
+    pure integer arithmetic on (rank, N) with SQL NTILE semantics —
+    bit-identical to the window formulation at any scale.  The
+    approx_percentile sketch (``agg_approx_percentile``) remains the
+    cheap alternative; this key is the exact reference the sketch is
+    validated against."""
     ensure_deterministic_session(spark)
+    from ..operators.rankstats import global_order_stats, ntile_from_rank
+
     orders = load_table(spark, sf_dir, "orders")
     priced = orders.select(
         "o_orderkey",
@@ -164,12 +170,12 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_cents"),
     )
-    binned = priced.select(
+    ranked, totals = global_order_stats(
+        priced, [F.asc("price_cents"), F.asc("o_orderkey")]
+    )
+    binned = ranked.select(
         "price_cents",
-        F.ntile(8)
-        .over(Window.orderBy("price_cents", "o_orderkey"))
-        .cast("int")
-        .alias("bin"),
+        ntile_from_rank(8, totals["rows"]).cast("int").alias("bin"),
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

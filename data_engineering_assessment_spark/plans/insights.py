@@ -545,26 +545,37 @@ def customer_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale (value-bucketed rank statistics, plans/metrics.py module
     device): per-customer revenue is one map-side-combined groupBy;
-    the ordered pass then runs over DISTINCT revenue values — a
-    value-domain frame, not a customer-count frame — computing for
-    each bucket how many of its customers the greedy needs:
+    the ordered pass then runs over DISTINCT revenue values —
+    but continuous-like money values make that frame approach
+    |customers| in the worst case, so (round 15) it runs via the
+    range-partitioned global-rank operator (operators/rankstats.py),
+    never an unpartitioned window — computing for each bucket how
+    many of its customers the greedy needs:
     min(cnt, ceil((threshold − cum_before) / r)).  Nothing sorts raw
     orders; the threshold is exact-integer ceil(0.8·total)."""
     ensure_deterministic_session(spark)
+    from ..operators.rankstats import global_order_stats
+
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(_cents("o_totalprice")).alias("r"))
     )
-    buck = rev.groupBy("r").agg(F.count(F.lit(1)).alias("cnt"))
-    wcum = Window.orderBy(F.col("r").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    buck = (
+        rev.groupBy("r")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rc", F.col("r") * F.col("cnt"))
     )
-    cum = buck.select(
+    # distinct lifetime-cents values approach |customers| in the worst
+    # case (continuous-like money values), so the ordered pass uses
+    # the range-partitioned global-rank operator (round 15), not an
+    # unpartitioned window over the value frame
+    cummed, totals = global_order_stats(buck, [F.desc("r")], running=("rc",))
+    cum = cummed.select(
         "r",
         "cnt",
-        F.sum(F.col("r") * F.col("cnt")).over(wcum).alias("cumrev"),
-        F.sum(F.col("r") * F.col("cnt")).over(Window.partitionBy()).alias("total"),
+        F.col("__cum_rc").alias("cumrev"),
+        F.lit(totals["rc"]).cast("long").alias("total"),
     )
     need = cum.withColumn(
         "needed",

@@ -579,17 +579,20 @@ def length_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative token budget a shortest-first curriculum schedule
     would have consumed by the end of that stage.
 
-    Scale: the ntile needs a total order — at corpus scale swap it
-    for the [[agg_histogram_equidepth]] percentile-boundary approach
-    (compute quartile cut points, then a scan-side bucket join); here
-    the window formulation keeps the oracle exactly portable.  The
-    final cumulative window runs over 4 rows."""
+    Scale: the ntile needs a total order, but never a
+    single-partition window (round 15): the range-partitioned
+    global-rank operator (operators/rankstats.py) ranks documents in
+    parallel and NTILE(4) becomes exact integer arithmetic on
+    (rank, N) — the oracle stays exactly portable.  The final
+    cumulative window runs over 4 rows."""
     ensure_deterministic_session(spark)
+    from ..operators.rankstats import global_order_stats, ntile_from_rank
+
     t = load_table(spark, sf_dir, "documents").select(
         "doc_id", bpe_ish_token_count("text").alias("n_tok")
     )
-    stage = F.ntile(4).over(Window.orderBy("n_tok", "doc_id"))
-    s = t.withColumn("stage", stage)
+    ranked, totals = global_order_stats(t, [F.asc("n_tok"), F.asc("doc_id")])
+    s = ranked.withColumn("stage", ntile_from_rank(4, totals["rows"]))
     agg = s.groupBy(F.col("stage").cast("long").alias("stage")).agg(
         F.count("*").alias("n_docs"),
         F.min("n_tok").cast("long").alias("min_tok"),
@@ -822,15 +825,20 @@ def text_ttr_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags machine-generated filler at that length).  Deciles are
     deterministic ((n_words, doc_id) order); TTR is exact ppm.
 
-    Scale: like [[length_curriculum]], swap the ntile for percentile
-    cut points at corpus scale; the per-decile distinct is one
+    Scale: like [[length_curriculum]], the decile is the
+    range-partitioned global rank (operators/rankstats.py, round 15)
+    plus exact NTILE arithmetic — parallel, never a single-partition
+    window over documents; the per-decile distinct is one
     count-distinct shuffle keyed by (decile, token) — partial-agg
     friendly, never a global sort of tokens."""
     ensure_deterministic_session(spark)
+    from ..operators.rankstats import global_order_stats, ntile_from_rank
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", word_count("text").alias("n_words")
     )
-    t = d.withColumn("decile", F.ntile(10).over(Window.orderBy("n_words", "doc_id")))
+    ranked, totals = global_order_stats(d, [F.asc("n_words"), F.asc("doc_id")])
+    t = ranked.withColumn("decile", ntile_from_rank(10, totals["rows"]))
     nd = t.groupBy("decile").agg(F.count("*").alias("n_docs"))
     tok = t.select("decile", F.explode(words("text")).alias("tok"))
     agg = tok.groupBy("decile").agg(

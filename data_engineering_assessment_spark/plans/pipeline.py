@@ -1069,8 +1069,10 @@ def dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(doc, sig, vec)`` side table bucketed by doc for candidate
     rescoring.  Per increment: delta chunk keys equi-join the probe
     index (base x delta candidates) and self-join within the delta,
-    the Hamming gate (<= 4 of 16 sign bits) prunes via the side
-    table's signatures, and survivors are rescored by exact cosine.
+    the Hamming gate (<= 4 of n_planes sign bits, n_planes auto-sized
+    16..60 at index creation by emb_inc_plane_count and read back from
+    the index meta) prunes via the side table's signatures, and
+    survivors are rescored by exact cosine.
 
     Scale: per increment the work is O(delta + probe) — the base is
     never re-signed and never re-shuffled (both probes are
@@ -1092,6 +1094,36 @@ def dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall, and planted base-mutation immutability are pinned in
     tests/test_pipeline.py."""
     ensure_deterministic_session(spark)
+    from ..operators.similarity import _micro
+
+    cross, intra = _emb_inc_scored(spark, sf_dir)
+    # base x delta and delta x delta pair spaces are disjoint (the
+    # split is a partition), so the union needs no cross-branch dedup
+    return (
+        cross.select(
+            F.least("doc", "bdoc").alias("id_a"),
+            F.greatest("doc", "bdoc").alias("id_b"),
+            "cos_raw",
+        )
+        .unionAll(intra)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            _micro("cos_raw").alias("cosine_micro"),
+        )
+    )
+
+
+def _emb_inc_scored(spark: SparkSession, sf_dir: str):
+    """Shared scoring core of the embedding incremental tier: returns
+    the threshold-filtered (base x delta, delta x delta) near-dup
+    frames — ``cross`` as (doc, bdoc, cos_raw) with ``doc`` the delta
+    document, ``intra`` as (id_a, id_b, cos_raw) with id_a < id_b,
+    both delta.  [[dedup_embed_incremental]] unions them into the full
+    pair enumeration; [[dedup_embed_incremental_summary]] folds them
+    into per-delta-doc verdicts.  This function's source is digested
+    into both keys' scratch tags (``fns=``), so any edit here rebuilds
+    the shared index family."""
     from ..operators import similarity as sim_ops
     from ..operators.dedup import _materialized
     from ..operators.similarity import (
@@ -1100,7 +1132,6 @@ def dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         EMB_INC_SEED,
         EMB_INC_THRESHOLD,
         _hyperplanes,
-        _micro,
         dot,
         emb_inc_chunk_keys,
         emb_inc_plane_count,
@@ -1143,7 +1174,7 @@ def dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="doc",
         n_buckets=32,
         schema_sql="doc BIGINT, vec ARRAY<FLOAT>, sig BIGINT",
-        fns=(dedup_embed_incremental, sim_ops),
+        fns=(_emb_inc_scored, sim_ops),
         stats=lambda _t: {"n_planes": model["n_planes"]},
     )
     # every probe of an EXISTING index hashes with the planes the
@@ -1163,7 +1194,7 @@ def dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="ckey",
         n_buckets=32,
         schema_sql="ckey BIGINT, doc BIGINT",
-        fns=(dedup_embed_incremental, sim_ops),
+        fns=(_emb_inc_scored, sim_ops),
     )
     # the delta is signed once and feeds three plan branches (index
     # probe, intra-delta self-join, vector join-back)
@@ -1190,8 +1221,8 @@ def dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.bit_count(F.col("sig").bitwiseXOR(F.col("bsig"))) <= ham)
         .join(dv.select("doc", "vec"), "doc")
         .select(
-            F.least("doc", "bdoc").alias("id_a"),
-            F.greatest("doc", "bdoc").alias("id_b"),
+            "doc",
+            "bdoc",
             (
                 dot(F.col("vec"), F.col("bvec"))
                 / (F.sqrt(norm_sq(F.col("vec"))) * F.sqrt(norm_sq(F.col("bvec"))))
@@ -1217,15 +1248,72 @@ def dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_raw"),
         )
     )
-    # base x delta and delta x delta pair spaces are disjoint (the
-    # split is a partition), so the union needs no cross-branch dedup
     return (
-        cross.unionAll(intra)
-        .filter(F.col("cos_raw") >= EMB_INC_THRESHOLD)
+        cross.filter(F.col("cos_raw") >= EMB_INC_THRESHOLD),
+        intra.filter(F.col("cos_raw") >= EMB_INC_THRESHOLD),
+    )
+
+
+@query("dedup_embed_incremental_summary")  # sketch candidate generation — rows-only
+def dedup_embed_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output mode of the embedding incremental tier (round-15,
+    VERDICT r14 what's-wrong #2): instead of enumerating every
+    near-duplicate PAIR — whose true cardinality is O(dup²) on a
+    degenerately duplicated corpus (the sf100 synthetic gives every
+    vector ~15 exact twins, and the full enumeration spilled the
+    disk) — emit ONE verdict row per delta document that has at least
+    one cosine >= 0.4 partner: partner count, best partner id, best
+    cosine.  This is [[dedup_cluster_rep]]'s keep-best rule applied at
+    ingest time: the best base match is the cluster representative the
+    new document would collapse into; ties on cosine break to the
+    SMALLEST partner id, deterministically.
+
+    Scale: the same O(delta + probe) index probes as
+    [[dedup_embed_incremental]] (shared scratch families via
+    ``_emb_inc_scored`` — built once, probed by both), but the pair
+    stream folds through a hash aggregation with map-side partial
+    combine, so shuffle state and output are O(delta docs) no matter
+    how pathological the duplication rate — pairs are never
+    materialized to the result.  ``max(struct(cos, -partner))`` keeps
+    the keep-best reduction a partial-aggregable MAX instead of a
+    per-doc sort.  Cosine/LSH semantics are not SQL-portable, so the
+    key is rows-only; containment against the pair-emitting key
+    (every summary row backed by its pairs, counts and best matches
+    identical) is pinned in tests/test_pipeline.py."""
+    ensure_deterministic_session(spark)
+    from ..operators.similarity import _micro
+
+    cross, intra = _emb_inc_scored(spark, sf_dir)
+    # fold on the micro-rounded cosine — the pair contract's output
+    # precision — so keep-best ties break identically to what a
+    # consumer of the pair enumeration would compute
+    mc = _micro("cos_raw").alias("cos_micro")
+    per_delta = (
+        cross.select(F.col("doc"), F.col("bdoc").alias("partner"), mc)
+        .unionAll(
+            # an intra-delta pair is a near-dup verdict for BOTH of
+            # its (delta) endpoints
+            intra.select(
+                F.col("id_a").alias("doc"), F.col("id_b").alias("partner"), mc
+            )
+        )
+        .unionAll(
+            intra.select(
+                F.col("id_b").alias("doc"), F.col("id_a").alias("partner"), mc
+            )
+        )
+    )
+    best = F.max(
+        F.struct(F.col("cos_micro"), (-F.col("partner")).alias("np"))
+    ).alias("b")
+    return (
+        per_delta.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_dups"), best)
         .select(
-            F.col("id_a").cast("long").alias("id_a"),
-            F.col("id_b").cast("long").alias("id_b"),
-            _micro("cos_raw").alias("cosine_micro"),
+            F.col("doc").cast("long").alias("doc"),
+            F.col("n_dups").cast("long").alias("n_dups"),
+            (-F.col("b.np")).cast("long").alias("best_match"),
+            F.col("b.cos_micro").cast("long").alias("best_cosine_micro"),
         )
     )
 
@@ -2119,6 +2207,13 @@ def embed_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Coarse pre-range width for vocab_growth_curve's global running sum:
+# each coarse bucket holds at most this many 100-doc prefix rows, so the
+# partitioned cumulative window never sees more than 64 Ki tiny rows per
+# task, and the driver-side offsets histogram is n_docs/100/65536 rows.
+_VOCAB_COARSE = 65536
+
+
 @query(
     "vocab_growth_curve",
     oracle="""
@@ -2147,11 +2242,25 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Computed without any per-prefix rescan: each type's FIRST
     document (min doc_id per token — one shuffle, the
     [[text_novelty_by_doc]] trick), bucketed by prefix boundary, then
-    a running sum over the handful of buckets."""
+    a running sum over the buckets.
+
+    SCALE: the bucket domain is ``n_docs / 100`` — corpus-
+    proportional, so (unlike the month/hour/type-domain windows
+    elsewhere) the running sum must NOT be one unpartitioned
+    WindowExec.  Same cure as [[global_shuffle]]'s range-partitioned
+    rank: a coarse pre-range key (``_VOCAB_COARSE`` prefix rows per
+    coarse bucket) partitions the in-bucket cumulative sum, and the
+    cross-bucket offsets are a driver-side prefix sum over the coarse
+    histogram — ``n_docs / 100 / 65536`` rows (≈ 16 rows per 100 M
+    documents), the same bounded-driver-state class as
+    global_shuffle's 256-row offsets and the PCA eigendecomposition.
+    The tiny bucket table is materialized once so the token explode
+    is not re-run for the histogram pass."""
     ensure_deterministic_session(spark)
     from pyspark.sql import Window
 
     from ..functions.text import words
+    from ..operators.dedup import _materialized
     from ..sources.tables import spread
 
     d = spread(load_table(spark, sf_dir, "documents"))
@@ -2164,11 +2273,34 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("first_doc") / 100).cast("long") + 1) * 100
     ).agg(F.count(F.lit(1)).alias("new_types"))
     buckets = buckets.withColumnRenamed(buckets.columns[0], "after_docs")
-    w = Window.orderBy("after_docs").rowsBetween(Window.unboundedPreceding, 0)
-    return buckets.select(
-        F.col("after_docs").cast("long").alias("after_docs"),
-        F.col("new_types").cast("long").alias("new_types"),
-        F.sum("new_types").over(w).cast("long").alias("vocab_size"),
+    buckets = _materialized(
+        buckets.select(
+            F.col("after_docs").cast("long").alias("after_docs"),
+            F.col("new_types").cast("long").alias("new_types"),
+            ((F.col("after_docs") / 100 - 1) / _VOCAB_COARSE)
+            .cast("long")
+            .alias("ck"),
+        )
+    )
+    hist = buckets.groupBy("ck").agg(F.sum("new_types").alias("s")).collect()
+    acc, offsets = 0, []
+    for r in sorted(hist, key=lambda r: r.ck):
+        offsets.append((int(r.ck), acc))
+        acc += int(r.s)
+    off_df = spark.createDataFrame(offsets or [], "ck long, ck_off long")
+    w = (
+        Window.partitionBy("ck")
+        .orderBy("after_docs")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        buckets.withColumn("run", F.sum("new_types").over(w))
+        .join(F.broadcast(off_df), "ck")
+        .select(
+            "after_docs",
+            "new_types",
+            (F.col("ck_off") + F.col("run")).cast("long").alias("vocab_size"),
+        )
     )
 
 

@@ -3276,18 +3276,19 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combined agg on the key; the total is a
     single-row aggregate broadcast into the percentage arithmetic,
-    and the ranking window runs over the already-aggregated key
-    histogram, with the top-20 cut keeping the result tiny.  This is
-    exactly the query shape [[join_salted]] assumes you ran first."""
+    and the top-20 cut runs as orderBy+limit — TakeOrderedAndProject,
+    per-partition heaps merged on the driver (round 15: the previous
+    rank-then-filter window funneled the whole per-key histogram,
+    |customers| rows, into one task).  This is exactly the query
+    shape [[join_salted]] assumes you ran first."""
     ensure_deterministic_session(spark)
     o = load_table(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
     t = o.agg(F.count("*").alias("total"))
-    rn = F.row_number().over(Window.orderBy(F.col("n").desc(), "o_custkey"))
     return (
-        c.crossJoin(F.broadcast(t))
-        .withColumn("rn", rn)
-        .filter(F.col("rn") <= 20)
+        c.orderBy(F.col("n").desc(), "o_custkey")
+        .limit(20)
+        .crossJoin(F.broadcast(t))
         .select(
             "o_custkey",
             "n",
@@ -3664,8 +3665,10 @@ def subquery_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the order's max ship date — both window/agg expressions
     over ONE shuffle on l_orderkey.
 
-    Scale: the heavy table shuffles once; the top-20 rank runs on the
-    per-supplier counts, which are |suppliers|-sized."""
+    Scale: the heavy table shuffles once; the top-20 cut over the
+    |suppliers|-sized counts runs as orderBy+limit
+    (TakeOrderedAndProject — round 15: the previous rank-then-filter
+    window funneled every supplier into one task)."""
     ensure_deterministic_session(spark)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -3681,9 +3684,10 @@ def subquery_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("n_last_ship"))
     )
-    rn = F.row_number().over(Window.orderBy(F.col("n_last_ship").desc(), "l_suppkey"))
     return (
-        c.withColumn("rn", rn).filter(F.col("rn") <= 20).select("l_suppkey", "n_last_ship")
+        c.orderBy(F.col("n_last_ship").desc(), "l_suppkey")
+        .limit(20)
+        .select("l_suppkey", "n_last_ship")
     )
 
 
@@ -3904,28 +3908,37 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     The >= 50% frontier is found with the integer cross-multiplied
     predicate run*2 >= total, so no ratio ever floats.  Scale: the
     corpus-sized work is the per-customer agg (one shuffle); the
-    ranked running sum operates on the customer aggregate, and the
-    final frontier pick is a single-row min over it."""
+    ranked running sum over the customer aggregate runs via the
+    range-partitioned global-rank operator (operators/rankstats.py,
+    round 15 — parallel ranked partitions + broadcast prefix-sum
+    offsets, never a single-partition window over |customers| rows;
+    the grand totals fall out of the driver prefix-sum for free), and
+    the final frontier pick is a single-row min over it."""
     ensure_deterministic_session(spark)
+    from ..operators.rankstats import RN, global_order_stats
+
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     r = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
-    wo = Window.orderBy(F.col("cents").desc(), "o_custkey")
-    w = r.select(
-        F.sum("cents").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("run_cents"),
-        F.sum("cents").over(Window.partitionBy()).alias("total_cents"),
-        F.row_number().over(wo).alias("rn"),
+    ranked, totals = global_order_stats(
+        r, [F.col("cents").desc(), F.asc("o_custkey")], running=("cents",)
     )
-    n_cust = r.agg(F.count("*").alias("n_customers"))
+    w = ranked.select(
+        F.col("__cum_cents").alias("run_cents"),
+        F.col(RN).alias("rn"),
+    )
     return (
-        w.filter(F.col("run_cents") * 2 >= F.col("total_cents"))
+        w.filter(F.col("run_cents") * 2 >= F.lit(totals["cents"]))
         .agg(
             F.min("rn").cast("long").alias("n_top_customers"),
             F.min("run_cents").cast("long").alias("covered_x100"),
-            F.min("total_cents").cast("long").alias("total_x100"),
         )
-        .crossJoin(F.broadcast(n_cust))
-        .select("n_top_customers", "n_customers", "covered_x100", "total_x100")
+        .select(
+            "n_top_customers",
+            F.lit(totals["rows"]).cast("long").alias("n_customers"),
+            "covered_x100",
+            F.lit(totals["cents"]).cast("long").alias("total_x100"),
+        )
     )
 
 
@@ -4569,16 +4582,18 @@ def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window count pins total row conservation.
 
     Scale: explode_outer is the same generator as explode (no extra
-    shuffle); the conservation count is over the generated frame."""
+    shuffle); the conservation count is a single-row aggregate
+    broadcast back into the projection (round 15 — the previous
+    ``Window.partitionBy()`` formulation funneled the whole generated
+    frame into one task just to count it)."""
     ensure_deterministic_session(spark)
     d = load_table(spark, sf_dir, "documents")
     toks = F.when(F.col("doc_id") % 7 == 0, F.array().cast("array<string>")).otherwise(
         F.slice(F.split("text", " "), 1, 3)
     )
     x = d.select("doc_id", F.explode_outer(toks).alias("token"))
-    return x.select(
-        "doc_id", "token", F.count("*").over(Window.partitionBy()).alias("total_rows")
-    )
+    total = x.agg(F.count("*").alias("total_rows"))
+    return x.crossJoin(F.broadcast(total)).select("doc_id", "token", "total_rows")
 
 
 # ---------------------------------------------------------------------------

@@ -603,10 +603,15 @@ def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     at fixed ranks, this classifies EVERY item at fixed shares.
 
     Scale: revenue is one lineitem hash aggregate; the ordered
-    cumulative window runs over the PART domain (|parts| rows, ~200k
-    at sf100 — never lineitem-sized); the total joins back as a
-    window over the same domain-sized frame."""
+    cumulative pass over the PART domain runs via the
+    range-partitioned global-rank operator (operators/rankstats.py,
+    round 15 — parallel ranked partitions + broadcast prefix-sum
+    offsets; |parts| is entity-proportional, so even the "~200k at
+    sf100" domain must not funnel into one window task), and the
+    grand total falls out of the driver prefix-sum for free."""
     ensure_deterministic_session(spark)
+    from ..operators.rankstats import global_order_stats
+
     rev = (
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -616,14 +621,13 @@ def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pk")
         .agg(F.sum("c").alias("cents"))
     )
-    wcum = Window.orderBy(F.desc("cents"), F.asc("pk")).rowsBetween(
-        Window.unboundedPreceding, 0
+    cummed, totals = global_order_stats(
+        rev, [F.desc("cents"), F.asc("pk")], running=("cents",)
     )
-    wtot = Window.partitionBy()
-    ranked = rev.select(
+    ranked = cummed.select(
         "cents",
-        F.sum("cents").over(wcum).alias("cum"),
-        F.sum("cents").over(wtot).alias("tot"),
+        F.col("__cum_cents").alias("cum"),
+        F.lit(totals["cents"]).cast("long").alias("tot"),
     )
     classed = ranked.select(
         F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")

@@ -1196,26 +1196,44 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry the custkey tiebreak, so scores are deterministic in both
     engines.
 
-    Scale: one shuffle for the per-customer agg.  The three NTILEs
-    are global-order windows over the CUSTOMER DIM (rows ≪ facts);
-    for a billion-customer dim swap in the [[doc_length_quartiles]]
-    threshold-join or [[global_shuffle]] bucketed-rank pattern —
-    facts are never globally sorted."""
+    Scale: one shuffle for the per-customer agg.  Each NTILE runs
+    via the range-partitioned global-rank operator
+    (operators/rankstats.py, round 15) — three parallel ranked
+    passes over the customer aggregate joined back on custkey,
+    instead of three single-partition windows that would each funnel
+    a billion-customer dim into one task.  Facts are never globally
+    sorted."""
     ensure_deterministic_session(spark)
+    from ..operators.dedup import _materialized
+    from ..operators.rankstats import RN, global_order_stats, ntile_from_rank
+
     o = load_table(spark, sf_dir, "orders")
-    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max(_epoch_s("o_orderdate")).alias("last_order_s"),
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")).alias("spend_x100"),
+    # materialized once: the aggregate feeds three ranked passes plus
+    # the output projection (four plan branches)
+    base = _materialized(
+        o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.max(_epoch_s("o_orderdate")).alias("last_order_s"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+            ).alias("spend_x100"),
+        )
     )
-    return base.select(
-        "custkey",
-        "last_order_s",
-        "n_orders",
-        "spend_x100",
-        F.ntile(4).over(Window.orderBy(F.desc("last_order_s"), F.asc("custkey"))).cast("int").alias("r_score"),
-        F.ntile(4).over(Window.orderBy(F.desc("n_orders"), F.asc("custkey"))).cast("int").alias("f_score"),
-        F.ntile(4).over(Window.orderBy(F.desc("spend_x100"), F.asc("custkey"))).cast("int").alias("m_score"),
+    out = base
+    for score, order in (
+        ("r_score", [F.desc("last_order_s"), F.asc("custkey")]),
+        ("f_score", [F.desc("n_orders"), F.asc("custkey")]),
+        ("m_score", [F.desc("spend_x100"), F.asc("custkey")]),
+    ):
+        ranked, totals = global_order_stats(base, order)
+        scored = ranked.select(
+            "custkey",
+            ntile_from_rank(4, totals["rows"], RN).cast("int").alias(score),
+        )
+        out = out.join(scored, "custkey")
+    return out.select(
+        "custkey", "last_order_s", "n_orders", "spend_x100",
+        "r_score", "f_score", "m_score",
     )
 
 
@@ -1659,10 +1677,14 @@ def agg_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers the inverse question: the smallest set covering a
     target).
 
-    Scale: one hash agg per customer, one global NTILE over the
-    customer table (range-partitioned sort over customers, not
-    facts), a 10-row rollup + running sum."""
+    Scale: one hash agg per customer; the global NTILE over the
+    customer aggregate runs via the range-partitioned global-rank
+    operator (operators/rankstats.py, round 15 — a parallel ranked
+    pass with broadcast offsets, never a single-partition window over
+    |customers| rows), then a 10-row rollup + running sum."""
     ensure_deterministic_session(spark)
+    from ..operators.rankstats import global_order_stats, ntile_from_rank
+
     c = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1672,8 +1694,8 @@ def agg_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
-    d = c.withColumn("decile", F.ntile(10).over(w))
+    ranked, totals = global_order_stats(c, [F.desc("cents"), F.asc("o_custkey")])
+    d = ranked.withColumn("decile", ntile_from_rank(10, totals["rows"]))
     per = d.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").cast("long").alias("cents"),

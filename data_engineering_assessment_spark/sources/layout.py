@@ -19,6 +19,16 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Scratch layouts live under the repo root (three levels above this
+# module), NOT a hardcoded absolute path (round-14 review finding: a
+# literal "/root/repo" made the orphan reaper a silent no-op anywhere
+# else).  Everything below — builder, reaper, superseded-clean — must
+# derive paths from this one constant.
+SCRATCH_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
 
 def versioned_scratch_tag(sf_dir: str, *fns, extra: tuple = ()) -> str:
     """Corpus+code-keyed tag for a materialized scratch layout.
@@ -182,9 +192,9 @@ def scratch_bucketed_table(
     tag = versioned_scratch_tag(sf_dir, *fns, extra=(key, str(n_buckets), schema_sql))
     corp = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
     name = f"{family}_{corp}_{tag}"
-    path = f"/root/repo/.scratch/{name}"
+    path = os.path.join(SCRATCH_ROOT, name)
     meta_path = os.path.join(path, "_scratch_meta.json")
-    for mp in glob.glob(f"/root/repo/.scratch/{family}_*/_scratch_meta.json"):
+    for mp in glob.glob(os.path.join(SCRATCH_ROOT, f"{family}_*/_scratch_meta.json")):
         d = os.path.dirname(mp)
         if d == path:
             continue
@@ -198,13 +208,25 @@ def scratch_bucketed_table(
     # reap ORPHANED per-call temp dirs (round-14 review finding: a
     # crashed/failed build leaves its unique ``.b<token>`` dir behind
     # forever — clean_superseded's tag regex never matches it).  Age-
-    # gated so a live concurrent build's in-flight temp is never
-    # raced: any temp older than an hour is long past any real build.
+    # gated on the NEWEST mtime anywhere in the temp tree (round-14
+    # ADVICE: the dir's own mtime only moves when a top-level entry
+    # is created, so one build phase exceeding the window — e.g. one
+    # large part file at sf100 — would get its LIVE temp reaped by a
+    # concurrent call; any file Spark is actively writing keeps the
+    # tree younger than the window): a tree whose newest write is
+    # over an hour old is long past any real build.
     import time
 
-    for d in glob.glob(f"/root/repo/.scratch/{family}_*.b*"):
+    for d in glob.glob(os.path.join(SCRATCH_ROOT, f"{family}_*.b*")):
         try:
-            if time.time() - os.path.getmtime(d) > 3600:
+            newest = os.path.getmtime(d)
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+                    except OSError:
+                        continue
+            if time.time() - newest > 3600:
                 shutil.rmtree(d, ignore_errors=True)
         except OSError:
             continue

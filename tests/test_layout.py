@@ -683,3 +683,64 @@ def test_scratch_toctou_recheck_preserves_concurrent_winner(
 
     spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(path)}")
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_scratch_root_derived_not_hardcoded(spark, tmp_path, monkeypatch):
+    """Round-14 review finding: the orphan-temp reaper hardcoded
+    ``/root/repo/.scratch`` while the builder derived its paths, so
+    anywhere but this container the reaper was a silent no-op.  Both
+    must follow one module constant: with SCRATCH_ROOT pointed at a
+    tmp dir, the layout lands there, an abandoned stale temp tree is
+    reaped there, and (round-14 ADVICE) the age gate reads the NEWEST
+    mtime in the tree — a long build whose dir inode is old but whose
+    part file is still being written is never raced."""
+    import glob
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_assessment_spark.sources import layout
+
+    root = tmp_path / "scratch-root"
+    root.mkdir()
+    monkeypatch.setattr(layout, "SCRATCH_ROOT", str(root))
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+
+    # plant two orphan temp trees: one fully stale, one whose dir
+    # inode is old but whose inner part file is freshly written
+    old = time.time() - 7200
+    stale = root / "t_root_aaaaaa_00000000.bdeadbeef"
+    live = root / "t_root_aaaaaa_00000000.bcafef00d"
+    for d in (stale, live):
+        d.mkdir()
+        (d / "part-00000.parquet").write_bytes(b"x")
+        os.utime(d / "part-00000.parquet", (old, old))
+        os.utime(d, (old, old))
+    fresh = live / "part-00001.parquet"
+    fresh.write_bytes(b"y")
+    os.utime(live, (old, old))  # dir inode stays old; inner file is fresh
+
+    def build():
+        return spark.range(8).select(F.col("id").alias("k"))
+
+    t, _ = layout.scratch_bucketed_table(
+        spark, "t_root", corpus, build,
+        key="k", n_buckets=2, schema_sql="k BIGINT",
+    )
+    assert t.count() == 8
+    # the layout landed under the redirected root, nowhere else
+    published = [
+        os.path.dirname(mp)
+        for mp in glob.glob(str(root / "t_root_*/_scratch_meta.json"))
+        if json.load(open(mp)).get("src") == corpus
+    ]
+    assert len(published) == 1
+    assert glob.glob("/root/repo/.scratch/t_root_*") == []
+    # reaper verdicts: stale tree gone, actively-written tree kept
+    assert not stale.exists()
+    assert live.exists() and fresh.exists()
+
+    spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(published[0])}")

@@ -24,6 +24,7 @@ PY_ALLOWED = {k for k in QUERIES if k.startswith("multimodal_")} | {
     "udaf_trimmed_mean",  # grouped-agg pandas UDF — the integration under test
     "dedup_embed_lsh",
     "dedup_embed_incremental",  # hyperplane signing — same pd_signature Arrow hop as dedup_embed_lsh
+    "dedup_embed_incremental_summary",  # same scoring core (_emb_inc_scored) as the pair key
     "embed_ann_lsh",
     "embed_ann_ivf",
     "embed_cosine_topk",  # Arrow einsum scoring; oracle-verified post-rounding
@@ -180,6 +181,7 @@ def test_aqe_skew_join_actually_splits(spark):
 BNLJ_ALLOWED = {
     "agg_antijoin_avg",  # scalar avg threshold broadcast
     "agg_share_having",  # single-row total re-agg
+    "array_explode_outer",  # single-row conservation count (round 15, replaced the 1p window)
     "constraint_check",  # scalar domain bounds
     "dedup_embed_cosine",  # documented O(n^2) exact baseline tier
     "embed_cosine_topk",  # bounded query batch broadcast
@@ -442,3 +444,96 @@ def test_rotation_staleness_threshold_is_payable():
     assert age >= cadence + 2, (age, cadence)
     assert rotation.max_age_rounds(50) == 6   # small-registry floor
     assert rotation.max_age_rounds(368) == 10  # the r13 calibration case
+
+
+# Unpartitioned-window audit (round 15, VERDICT r14 #5): every key
+# whose executed plan contains a Window with an EMPTY partition spec
+# must have an a-priori-bounded window domain — never one that grows
+# with the corpus (the vocab_growth_curve finding).  The bound each
+# key relies on is recorded here; PLANS.md's `1p window` column is
+# the generated evidence this allowlist is checked against.
+UNPARTITIONED_WINDOW_BOUNDS = {
+    "agg_decile_profile": "10-decile cumulative rollup",
+    "agg_hll_partitioned": "calendar-month domain",
+    "agg_kll_quantiles": "calendar-month domain",
+    "bpe_pair_counts": "character-bigram (alphabet**2) histogram, top-20",
+    "cumulative_distinct_users": "calendar-day domain",
+    "discount_theilsen_slope": "11 discount buckets -> <=55 pairwise slopes",
+    "event_hour_seasonality": "24-hour domain",
+    "event_paths_topk": "|event_types|**3 path histogram",
+    "events_anomaly_mad": "calendar days + daily-count histogram",
+    "events_seasonal_residual_anomaly": "distinct residual values + 24 hourly means",
+    "funnel_time_to_convert": "distinct delay seconds (time-range domain)",
+    "global_shuffle": "256 hash-prefix bucket histogram",
+    "interarrival_gap_p90": "distinct gap-day values (time-range domain)",
+    "length_curriculum": "4-stage cumulative rollup",
+    "multi_join_topn": "rank over an orderBy+limit(20) result",
+    "orders_monthly_momentum": "calendar-month domain",
+    "orders_priority_mix_shift": "month x priority cells",
+    "quality_score_auc": "word-count score domain (~1e3 values)",
+    "revenue_share_of_parent": "region/nation totals",
+    "sequence_gap_audit": "1024x-reduced bucket min/max summary (recursable)",
+    "session_max_concurrency": "minute timeline (calendar-sized)",
+    "session_path_topk": "rank over an orderBy+limit(10) result",
+    "skyline_pareto_frontier": "~50 discrete part sizes",
+    "source_drift_ks": "distinct n_chars values (value domain)",
+    "split_kfold": "5 folds",
+    "stat_chi2_independence": "lang x source contingency cells",
+    "token_gini_concentration": "distinct token frequencies (Zipf-collapsed)",
+    "token_topk": "distinct-token (type) domain",
+    "ts_lagged_covariance": "calendar-day domain",
+    "ts_seasonal_decompose": "calendar-day domain",
+}
+
+# keys whose round-15 rewrite REMOVED a corpus-proportional
+# unpartitioned window — they must never regress into the flagged set
+RANKSTATS_FIXED = {
+    "vocab_growth_curve",
+    "agg_histogram_equidepth",
+    "customer_pareto_coverage",
+    "array_explode_outer",
+    "customer_rfm_segments",
+    "key_skew_profile",
+    "orders_abc_class",
+    "pareto_revenue_share",
+    "subquery_multi_exists",
+    "text_ttr_buckets",
+}
+
+
+def _plans_md_unpartitioned_keys() -> set[str]:
+    import re
+
+    flagged = set()
+    with open("/root/repo/PLANS.md") as fh:
+        for line in fh:
+            m = re.match(r"\| `([a-z0-9_]+)` \|", line)
+            if m and "| yes ×" in line:
+                flagged.add(m.group(1))
+    return flagged
+
+
+def test_unpartitioned_windows_are_domain_bounded():
+    """PLANS.md's `1p window` column (regenerated per round by
+    tools/gen_plans.py) vs the allowlist above: a newly-flagged key
+    failing here must either justify its bound (add it with the
+    domain) or be rewritten on operators/rankstats.py."""
+    flagged = _plans_md_unpartitioned_keys()
+    unexplained = flagged - set(UNPARTITIONED_WINDOW_BOUNDS)
+    assert not unexplained, f"unpartitioned windows with no documented bound: {sorted(unexplained)}"
+    regressed = flagged & RANKSTATS_FIXED
+    assert not regressed, f"rankstats-fixed keys regressed to 1p windows: {sorted(regressed)}"
+
+
+def test_vocab_growth_curve_no_unpartitioned_window(spark):
+    """VERDICT r14 what's-wrong #1, Done criterion: the executed plan
+    of vocab_growth_curve carries NO unpartitioned Window exec — its
+    corpus-proportional running sum is range-bucketed with broadcast
+    prefix-sum offsets (the global_shuffle pattern)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_plans import count_unpartitioned_windows
+
+    plan = _plan(spark, "vocab_growth_curve")
+    assert count_unpartitioned_windows(plan) == 0, plan

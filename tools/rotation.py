@@ -123,17 +123,32 @@ def plan_changed_keys() -> list[str]:
     except (subprocess.CalledProcessError, OSError, IndexError):
         return []
 
-    def rows(text: str) -> dict[str, str]:
+    def rows(text: str) -> dict[str, list[str]]:
         out = {}
         for line in text.splitlines():
             m = re.match(r"\| `([a-z0-9_]+)` \|(.*)", line)
             if m:
-                out[m.group(1)] = m.group(2)
+                cells = [c.strip() for c in m.group(2).split("|")]
+                if cells and cells[-1] == "":  # artifact of the closing `|`
+                    cells.pop()
+                out[m.group(1)] = cells
         return out
 
     new = rows(open("/root/repo/PLANS.md").read())
     oldr = rows(old)
-    return sorted(k for k in new if k in oldr and new[k] != oldr[k])
+    # compare only the column positions both versions HAVE: adding an
+    # audit column to gen_plans.py (round 15: `1p window`) must not
+    # read as "every plan changed" — a key owes a re-grade when a
+    # SHARED property differs, and the new column's first population
+    # is vetted by its own test, not by 369 wasted window slots
+    return sorted(
+        k
+        for k in new
+        if k in oldr
+        and any(
+            a != b for a, b in zip(new[k], oldr[k])
+        )
+    )
 
 
 def classify(registered, oracled, verdicts, vintage, current_round):
@@ -180,7 +195,6 @@ def main() -> None:
         registered, oracled, verdicts, vintage, current_round
     )
     age = max_age_rounds(len(registered))
-    debt = [k for k in pool if current_round - vintage[k] >= age]
 
     print(f"# registered={len(registered)} graded={len(verdicts)} "
           f"next_round=r{current_round}")
@@ -193,12 +207,19 @@ def main() -> None:
         n_old = sum(1 for k in pool if vintage[k] == oldest)
         print(f"# oldest evidence vintage: r{oldest} ({n_old} keys) — "
               "the freshness health metric")
-    print(f"# stale debt (vintage <= r{current_round - age}; threshold "
-          f"max(6, ceil({len(registered)}/{WINDOW_SLOTS})+2)={age} "
-          f"rounds, derived so the count is payable): {len(debt)}")
     print(f"# rows-only by design: {len(rows_only)}")
     changed = [k for k in plan_changed_keys()
                if k in set(registered) and k not in set(failing) | set(ungraded)]
+    # debt counts only keys actually WAITING on the freshness drain:
+    # a plan-changed (or failing/ungraded) key that is also debt-aged
+    # is refreshed this round via the owed tier, so reporting it as
+    # debt would overstate the metric (round-14 ADVICE)
+    debt = [k for k in pool
+            if current_round - vintage[k] >= age and k not in set(changed)]
+    print(f"# stale debt (vintage <= r{current_round - age}; threshold "
+          f"max(6, ceil({len(registered)}/{WINDOW_SLOTS})+2)={age} "
+          f"rounds, derived so the count is payable; owed keys "
+          f"refreshed this round excluded): {len(debt)}")
     print(f"# plan-changed since the latest verdicts' commit (PLANS.md row "
           f"diff — regenerate it first; summary-invisible changes "
           f"need hand-listing): {len(changed)}")
