@@ -58,6 +58,13 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # LAZY checkpoint + changed-count in ONE job per round: the
+        # count below is the round's first action, so it materializes
+        # the checkpoint blocks in the same job it scans (the
+        # alternating loop's r10 A/B discipline, −34% there; guide
+        # §1.2/§2.4 — halve the per-round job count).  The frame is
+        # post-shuffle (groupBy + join on node), so the blocks are the
+        # reliable kind (ADVICE r10).
         new_labels = (
             labels.join(nbr, "node", "left")
             .select(
@@ -67,7 +74,7 @@ def connected_components(
                 ),
                 "label",
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("new_label") < F.col("label")).count()
         labels = new_labels.select("node", F.col("new_label").alias("label"))
         if changed == 0:
@@ -98,6 +105,7 @@ def connected_components_alternating(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    edges_distinct: bool = False,
 ) -> tuple[DataFrame, int]:
     """(node, component) via the alternating large-star/small-star
     algorithm (Kiveris et al., *Connected Components in MapReduce and
@@ -124,6 +132,18 @@ def connected_components_alternating(
     Returns (labels, rounds): labels only covers nodes present in
     ``edges`` (join back to the full node frame for isolates, as the
     callers do); ``rounds`` is the number of alternating passes run.
+
+    ``edges_distinct=True`` asserts the caller already deduplicated
+    ``edges`` (every in-repo caller passes a post-``distinct()``,
+    checkpointed frame), skipping a redundant |E| shuffle +
+    re-checkpoint here (r15, guide §2.4 — remove the duplicate
+    exchange outright).  Round-15 job-count trims (guide §1.2): the
+    node set is LAZY (it is consumed exactly once, by the final
+    labels join, which folds its computation into the output action
+    instead of a dedicated upfront job), and the pre-loop edge frame
+    is lazily checkpointed — the first fingerprint action
+    materializes it in the same job, the same fold the round loop
+    already used.
     """
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # node set BEFORE dropping self-loops: (n, n) still names node n
@@ -131,13 +151,16 @@ def connected_components_alternating(
         raw.select(F.col("u").alias("node"))
         .union(raw.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    e = (
-        raw.filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = raw.filter(F.col("u") != F.col("v"))
+    if not edges_distinct:
+        # our own distinct: post-shuffle, so checkpoint it (lazily —
+        # the fingerprint action below materializes it in-job)
+        e = e.distinct().localCheckpoint(eager=False)
+    # with edges_distinct=True the input is the caller's already-
+    # materialized frame; the narrow self-loop filter is re-read from
+    # its blocks (3 reads: fingerprint + the two union sides of round
+    # 1) — cheaper than writing a second |E| copy of blocks
 
     prev = edge_fingerprint(e)
     rounds = 0

@@ -142,6 +142,7 @@ def train_kmeans_sampled(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_cap: int = 4096,
+    sample_rows: list | None = None,
 ) -> np.ndarray:
     """Sample-trained twin of ``train_kmeans``: same spherical
     Lloyd's, same smallest-xxhash seeding, but the iterations run in
@@ -154,16 +155,15 @@ def train_kmeans_sampled(
     distributed-update variant for the plain IVF index (each design
     is the right one somewhere: distributed updates when the index is
     rebuilt rarely and drift matters, sample training when the build
-    itself must be cheap)."""
-    v = spread(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    n_total = v.count()
-    if n_total > train_cap:
-        frac_bits = max(1, (n_total + train_cap - 1) // train_cap)
-        v = v.filter(F.pmod(F.xxhash64("id"), F.lit(frac_bits)) == 0)
-    rows = sorted(
-        v.withColumn("h", F.xxhash64("id")).select("h", "id", "vec").collect(),
-        key=lambda r: (r.h, r.id),
-    )[:train_cap]
+    itself must be cheap).  ``sample_rows`` (r15) injects a
+    pre-collected sample (pq.collect_train_sample semantics) so the
+    IVF-PQ composition pays one count+collect for both trainers."""
+    if sample_rows is not None:
+        rows = sample_rows[:train_cap]
+    else:
+        from .pq import collect_train_sample
+
+        rows = collect_train_sample(corpus, train_cap, id_col, vec_col)
     if len(rows) < n_clusters:
         raise ValueError(f"sample {len(rows)} smaller than n_clusters={n_clusters}")
     X = np.array([list(r.vec) for r in rows], dtype=np.float64)

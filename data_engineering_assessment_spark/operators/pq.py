@@ -39,6 +39,39 @@ from ..sources.tables import spread
 from .similarity import _micro, pd_cosine
 
 
+def collect_train_sample(
+    corpus: DataFrame,
+    train_cap: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_total: int | None = None,
+) -> list:
+    """The deterministic bounded training sample both quantizer
+    trainers draw: hash-mod pre-filter when the corpus exceeds the
+    cap, then (xxhash64, id)-sorted rows hard-capped to ``train_cap``.
+    Factored out (r15) so a composition that trains TWO quantizers
+    (IVF-PQ) can share one count/collect when the whole corpus fits
+    under both caps — the sample a trainer sees is bit-identical to
+    what it would have drawn itself (no filter fires below the cap,
+    and the sort+cap is pure row arithmetic)."""
+    v = spread(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if n_total is None:
+        n_total = v.count()
+    if n_total > train_cap:
+        # keep ~train_cap rows via a deterministic xxhash64 threshold
+        frac_bits = max(1, (n_total + train_cap - 1) // train_cap)
+        v = v.filter(F.pmod(F.xxhash64("id"), F.lit(frac_bits)) == 0)
+    # bounded driver collect (≤ ~train_cap rows of d floats).  The
+    # hash-mod filter bounds the sample only in EXPECTATION, so after
+    # collecting, sort deterministically (hash, then id — a 64-bit
+    # hash tie must not fall back to nondeterministic collect order)
+    # and hard-cap to exactly train_cap rows.
+    return sorted(
+        v.withColumn("h", F.xxhash64("id")).select("h", "id", "vec").collect(),
+        key=lambda r: (r.h, r.id),
+    )[:train_cap]
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     m: int = 4,
@@ -47,6 +80,7 @@ def train_pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_cap: int = 2048,
+    sample_rows: list | None = None,
 ) -> np.ndarray:
     """Deterministic Lloyd's k-means per subspace (Euclidean), all
     subspaces trained together; returns (m × ksub × d/m) codebooks.
@@ -58,22 +92,15 @@ def train_pq_codebooks(
     the driver once and Lloyd's runs in vectorized NumPy there: one
     Spark job total instead of 2·n_iter shuffle+collect rounds.  Rows
     are sorted by xxhash64(id) before any summation, so the result is
-    bit-identical no matter how the corpus was partitioned."""
-    v = spread(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    n_total = v.count()
-    if n_total > train_cap:
-        # keep ~train_cap rows via a deterministic xxhash64 threshold
-        frac_bits = max(1, (n_total + train_cap - 1) // train_cap)
-        v = v.filter(F.pmod(F.xxhash64("id"), F.lit(frac_bits)) == 0)
-    # bounded driver collect (≤ ~train_cap rows of d floats).  The
-    # hash-mod filter bounds the sample only in EXPECTATION, so after
-    # collecting, sort deterministically (hash, then id — a 64-bit
-    # hash tie must not fall back to nondeterministic collect order)
-    # and hard-cap to exactly train_cap rows.
-    rows = sorted(
-        v.withColumn("h", F.xxhash64("id")).select("h", "id", "vec").collect(),
-        key=lambda r: (r.h, r.id),
-    )[:train_cap]
+    bit-identical no matter how the corpus was partitioned.
+    ``sample_rows`` (r15) injects a pre-collected, already-sorted
+    sample (collect_train_sample with a cap ≥ this one and the whole
+    corpus under it) — sliced to this trainer's own cap, bit-identical
+    to what it would have drawn itself."""
+    if sample_rows is not None:
+        rows = sample_rows[:train_cap]
+    else:
+        rows = collect_train_sample(corpus, train_cap, id_col, vec_col)
     if not rows:
         raise ValueError("empty training corpus")
     X = np.array([list(r.vec) for r in rows], dtype=np.float64)
@@ -234,8 +261,28 @@ def ivfpq_ann_topk(
     break on neighbor id."""
     from .ivf import _assign_udf, train_kmeans_sampled
 
-    centroids = train_kmeans_sampled(corpus, n_clusters, n_iter, id_col, vec_col)
-    books = train_pq_codebooks(corpus, m, ksub, n_iter, id_col, vec_col)
+    # ONE count + ONE collect for both quantizer trainers when the
+    # whole corpus fits under both training caps (r15, guide §1.2:
+    # the two trainers previously each ran an identical count job and
+    # an identical collect job over the same frame).  Above the caps
+    # the per-trainer hash-mod filters differ, so each trainer draws
+    # its own sample exactly as before — identical results either way.
+    km_cap, pq_cap = 4096, 2048
+    v = spread(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    n_total = v.count()
+    if n_total <= min(km_cap, pq_cap):
+        shared = collect_train_sample(
+            corpus, max(km_cap, pq_cap), id_col, vec_col, n_total=n_total
+        )
+        centroids = train_kmeans_sampled(
+            corpus, n_clusters, n_iter, id_col, vec_col, sample_rows=shared
+        )
+        books = train_pq_codebooks(
+            corpus, m, ksub, n_iter, id_col, vec_col, sample_rows=shared
+        )
+    else:
+        centroids = train_kmeans_sampled(corpus, n_clusters, n_iter, id_col, vec_col)
+        books = train_pq_codebooks(corpus, m, ksub, n_iter, id_col, vec_col)
     assign = _assign_udf(centroids)
     enc = _encode_udf(books)
 

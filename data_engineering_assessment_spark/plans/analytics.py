@@ -2837,14 +2837,19 @@ def _khop_frontiers(e, seeds, hops: int, checkpoint_frontiers: bool | None = Non
         checkpoint_frontiers = KHOP_CHECKPOINT_FRONTIERS
     frontiers = [seeds]
     visited = seeds
-    for _ in range(hops):
+    for hop in range(hops):
         nxt = (
             e.join(frontiers[-1].withColumnRenamed("n", "u"), "u", "semi")
             .select(F.col("v").alias("n"))
             .distinct()
             .join(visited, "n", "left_anti")
         )
-        if checkpoint_frontiers:
+        # the LAST frontier is consumed exactly once (its count in the
+        # output union) and feeds no later hop, so materializing it as
+        # its own job buys nothing — skip the checkpoint there (r15,
+        # guide §1.2: one fewer job per run, identical re-evaluation
+        # count)
+        if checkpoint_frontiers and hop < hops - 1:
             nxt = nxt.localCheckpoint(eager=True)
         frontiers.append(nxt)
         visited = visited.union(nxt)
@@ -3025,7 +3030,7 @@ def graph_shortest_cost_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         if BF_BROADCAST_COSTS is not None
         else n_nodes <= BF_BROADCAST_MAX_NODES
     )
-    for _ in range(3):
+    for rnd in range(3):
         probe = d.select(F.col("n").alias("u"), F.col("c").alias("cu"))
         if use_bcast:
             probe = F.broadcast(probe)
@@ -3038,12 +3043,12 @@ def graph_shortest_cost_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per later round, the khop frontier lesson (_khop_frontiers;
         # same-session best-of-2 A/B: sf1 12.39→8.78 s, sf10
         # 105.6→62.7 s, identical outputs and oracle replay green).
-        d = (
-            d.unionAll(relaxed)
-            .groupBy("n")
-            .agg(F.min("c").alias("c"))
-            .localCheckpoint(eager=True)
-        )
+        # The LAST round's frame is consumed exactly once (the top-20
+        # output action) and feeds no later round, so its checkpoint
+        # job buys nothing — skipped (r15, guide §1.2).
+        d = d.unionAll(relaxed).groupBy("n").agg(F.min("c").alias("c"))
+        if rnd < 2:
+            d = d.localCheckpoint(eager=True)
     return (
         d.orderBy("c", "n")
         .limit(20)

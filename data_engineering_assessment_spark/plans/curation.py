@@ -352,22 +352,33 @@ def stream_late_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not t_split < final_hour:
         raise ValueError("events span shorter than the replay construction needs")
 
-    base = f"/root/repo/.scratch/stream_late_{_scratch_tag(sf_dir)}"
+    # stage ONCE per corpus content (r15): the 3-file replay derives
+    # deterministically from the static events table, so rebuilding it
+    # per run paid 3 filtered writes + moves per rep.  The tag is the
+    # CONTENT-fingerprinted one (insights._scratch_tag: events.parquet
+    # size+mtime), so in-place corpus regeneration re-stages; the
+    # marker file is written last as the completion marker.
+    from .insights import _scratch_tag as _events_tag
+
+    base = f"/root/repo/.scratch/stream_late_{_events_tag(sf_dir)}"
     in_dir = f"{base}/in"
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(in_dir)
-    batches = (
-        events.filter((t >= t_split) & (t < final_hour)),  # bulk
-        events.filter(t >= final_hour),  # tail: pushes the watermark
-        events.filter(t < t_split),  # late by weeks: must be dropped
-    )
-    for i, part in enumerate(batches):
-        stage = f"{base}/stage{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(stage)
-        src = glob.glob(f"{stage}/part-*.parquet")[0]
-        dst = f"{in_dir}/batch{i}.parquet"
-        shutil.move(src, dst)
-        os.utime(dst, (1_000_000_000 + i * 3600, 1_000_000_000 + i * 3600))
+    if not os.path.exists(f"{base}/_STAGED"):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(in_dir)
+        batches = (
+            events.filter((t >= t_split) & (t < final_hour)),  # bulk
+            events.filter(t >= final_hour),  # tail: pushes the watermark
+            events.filter(t < t_split),  # late by weeks: must be dropped
+        )
+        for i, part in enumerate(batches):
+            stage = f"{base}/stage{i}"
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            src = glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{in_dir}/batch{i}.parquet"
+            shutil.move(src, dst)
+            os.utime(dst, (1_000_000_000 + i * 3600, 1_000_000_000 + i * 3600))
+        with open(f"{base}/_STAGED", "w") as fh:
+            fh.write("ok")
 
     from ..streaming.windows import EVENT_STREAM_SCHEMA
 
@@ -387,14 +398,19 @@ def stream_late_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_late_{_scratch_tag(sf_dir)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # bytes-derived state shards (r15, shared rule): 3 micro-batches ×
+    # 64 shards of state-store commits was pure provisioning overhead
+    from ..streaming.windows import scoped_shuffle_partitions, staged_stream_partitions
+
+    with scoped_shuffle_partitions(spark, staged_stream_partitions(in_dir)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select("window_start", "event_type", "n")
 
 

@@ -856,23 +856,30 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sb = su.select(F.col("o"), F.col("s").alias("s2"))
+    # lazy: round 1's changed-count action materializes both edge and
+    # label checkpoints in the job that first scans them (r15 fold)
     edges = (
         su.join(sb, "o")
         .filter(F.col("s") != F.col("s2"))
         .select(F.col("s").alias("x"), F.col("s2").alias("y"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("n")
     )
-    lab = nodes.select("n", F.col("n").alias("l")).localCheckpoint(eager=True)
+    lab = nodes.select("n", F.col("n").alias("l")).localCheckpoint(eager=False)
     while True:
         nb = (
             edges.join(lab, edges.x == lab.n)
             .groupBy("y")
             .agg(F.min("l").alias("nl"))
         )
+        # LAZY checkpoint: the changed-count below is the round's first
+        # action and materializes the checkpoint in the same job it
+        # scans — one job per round instead of materialize-then-scan
+        # (the alternating loop's r10 A/B fold, applied here r15; the
+        # frame is post-shuffle so the blocks are the reliable kind)
         nxt = (
             lab.join(nb, lab.n == nb.y, "left")
             .select(
@@ -880,7 +887,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "l",
                 F.least(F.col("l"), F.coalesce(F.col("nl"), F.col("l"))).alias("l2"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = nxt.filter(F.col("l2") < F.col("l")).count()  # one scalar/round
         lab = nxt.select("n", F.col("l2").alias("l"))
@@ -965,17 +972,23 @@ def graph_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sb = su.select(F.col("o"), F.col("s").alias("s2"))
+    # lazy: the operator's first fingerprint action materializes the
+    # edge checkpoint in the job that first scans it (r15 fold)
     edges = (
         su.join(sb, "o")
         .filter(F.col("s") != F.col("s2"))
         .select(F.col("s").alias("x"), F.col("s2").alias("y"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("n")
     )
-    lab, _rounds = connected_components_alternating(edges, src="x", dst="y")
+    # edges is distinct + checkpointed above — skip the operator's
+    # redundant |E| re-distinct/re-checkpoint (r15, guide §2.4)
+    lab, _rounds = connected_components_alternating(
+        edges, src="x", dst="y", edges_distinct=True
+    )
     # isolates: suppliers with no co-supply edge are their own component
     full = nodes.join(lab, nodes.n == lab.node, "left").select(
         "n", F.coalesce("component", "n").alias("l")
@@ -1209,14 +1222,22 @@ def stream_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("nev"),
         )
     )
-    q = (
-        per_session.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # size the stateful shuffle (= session-window state shards) to the
+    # staged volume (r15: the r14 LOJ bytes-derived rule, shared via
+    # streaming/windows.py — 64 shards on a few-MB replay is pure
+    # state-store provisioning overhead; the rule grows the count
+    # back for real volumes)
+    from ..streaming.windows import scoped_shuffle_partitions, staged_stream_partitions
+
+    with scoped_shuffle_partitions(spark, staged_stream_partitions(path)):
+        q = (
+            per_session.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("entry_type")

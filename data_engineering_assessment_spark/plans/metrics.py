@@ -1532,16 +1532,28 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = op.alias("a"), op.alias("b")
+    # MATERIALIZE the edge list and the degree table (r15, guide
+    # §1.2/§5): the final plan references `pairs` four times (degree
+    # build, orientation, edge count) and `deg` three times (the two
+    # orientation sides, the wedge summary) — without materialization
+    # each reference re-runs the lineitem self-join + distinct, the
+    # measured bulk of this key (plan audit: 20 Exchanges before, the
+    # same |E| build repeated).  Both frames are post-shuffle
+    # (distinct / groupBy), so the lazily-checkpointed blocks are the
+    # reliable kind and the single output action materializes each
+    # exactly once, in-job.
     pairs = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         pairs.select(F.col("u").alias("k"))
         .unionAll(pairs.select(F.col("v").alias("k")))
         .groupBy("k")
         .agg(F.count("*").cast("long").alias("d"))
+        .localCheckpoint(eager=False)
     )
     # Orient each edge from the (degree, id)-smaller endpoint to the
     # larger: out-degrees are then O(sqrt(|E|)) (Schank-Wagner), so

@@ -232,17 +232,27 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row aggregates combined with broadcast scalar joins."""
     ensure_deterministic_session(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # MATERIALIZE the funnel stages (r15, guide §1.2/§5): `ex` feeds
+    # both the prefix stage and its own count, `pf` feeds the shingle
+    # stage and its own count — without materialization each count
+    # re-runs the bag-fingerprint groupBy (md5 over per-doc sorted
+    # word sets, the expensive part) upstream of it.  Both frames are
+    # post-groupBy (shuffled) doc_id-only lists, so the lazily-
+    # checkpointed blocks are tiny and reliable; the single output
+    # action materializes each exactly once, in-job.
     ex = (
         docs.select("doc_id", fingerprint_bag("text").alias("fp"))
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
     pf = (
         docs.join(ex, "doc_id")
         .groupBy(F.substring("text", 1, 32).alias("pfx"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
     surv = docs.join(pf, "doc_id")
     ws = surv.select("doc_id", words("text").alias("ws")).filter(F.size("ws") >= 3)

@@ -1893,6 +1893,15 @@ def text_boilerplate_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("it"),
         )
         .select("doc_id", F.col("it.s").alias("s"), F.col("it.g8").alias("g8"))
+        # MATERIALIZE the positional gram stream (r15, guide §5): it
+        # feeds both the hot-gram df-count and the coverage semi-join —
+        # without materialization the split+transform+explode generate
+        # (the expensive part) runs twice per execution.  The spread()
+        # above makes this post-shuffle, so the lazily-checkpointed
+        # blocks are the reliable kind; for a one-shot 100 TB run where
+        # the block write itself dominates, recompute is the documented
+        # alternative (same trade as operators/dedup._materialized).
+        .localCheckpoint(eager=False)
     )
     hot = (
         g.groupBy("g8")

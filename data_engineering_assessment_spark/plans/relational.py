@@ -28,6 +28,30 @@ def _scratch_tag(sf_dir: str) -> str:
     return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
 
 
+def _staged_events_replay(spark: SparkSession, sf_dir: str, family: str,
+                          doubled: bool = False) -> str:
+    """Stage the events table once per corpus CONTENT for a streaming
+    replay and return the path (r15, guide §1.2: the staged copy of a
+    static table is content-stable, so re-writing it on every run —
+    the prior shape of these keys — pays a parquet write per rep that
+    the merge_upsert/stream_attr keys already avoided).  The tag
+    fingerprints events.parquet (size+mtime, insights._scratch_tag),
+    so in-place corpus regeneration re-stages instead of replaying
+    stale data; ``_SUCCESS`` is the completion marker.  ``doubled``
+    stages events ∪ events (the dedup key's duplicated input)."""
+    import os
+
+    from .insights import _scratch_tag as _events_tag
+
+    path = f"/root/repo/.scratch/{family}_{_events_tag(sf_dir)}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        e = load_table(spark, sf_dir, "events")
+        if doubled:
+            e = e.unionAll(e)
+        e.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
 def _epoch_s(c: str | Column) -> Column:
     """Timestamp → epoch seconds BIGINT (floor), engine-portable.
 
@@ -3023,21 +3047,26 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowance are evicted); complete mode here is safe because the
     graded window count is small (~720 x 5 event types)."""
     ensure_deterministic_session(spark)
-    from ..streaming.windows import read_event_stream, tumbling_counts
+    from ..streaming.windows import (
+        read_event_stream,
+        scoped_shuffle_partitions,
+        staged_stream_partitions,
+        tumbling_counts,
+    )
 
-    path = f"/root/repo/.scratch/stream_events_{_scratch_tag(sf_dir)}"
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    path = _staged_events_replay(spark, sf_dir, "stream_events")
 
     name = f"stream_tumbling_{_scratch_tag(sf_dir)}"
     agg = tumbling_counts(read_event_stream(spark, path))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, staged_stream_partitions(path)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "window_start",
         "event_type",
@@ -3081,21 +3110,26 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is bounded by one hour of clicks per user, not the whole
     stream."""
     ensure_deterministic_session(spark)
-    from ..streaming.windows import purchase_click_join, read_event_stream
+    from ..streaming.windows import (
+        purchase_click_join,
+        read_event_stream,
+        scoped_shuffle_partitions,
+        staged_stream_partitions,
+    )
 
-    path = f"/root/repo/.scratch/stream_ssj_{_scratch_tag(sf_dir)}"
-    load_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(path)
+    path = _staged_events_replay(spark, sf_dir, "stream_ssj")
 
     name = f"stream_ssj_{_scratch_tag(sf_dir)}"
-    q = (
-        purchase_click_join(read_event_stream(spark, path))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, staged_stream_partitions(path)):
+        q = (
+            purchase_click_join(read_event_stream(spark, path))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "purchase_id", "user_id", "purchase_ts_s", "click_id", "click_ts_s"
     )
@@ -3128,21 +3162,26 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle partitioning; the pandas hop is Arrow-batched per
     key group."""
     ensure_deterministic_session(spark)
-    from ..streaming.windows import read_event_stream, running_user_totals
+    from ..streaming.windows import (
+        read_event_stream,
+        running_user_totals,
+        scoped_shuffle_partitions,
+        staged_stream_partitions,
+    )
 
-    path = f"/root/repo/.scratch/stream_events_{_scratch_tag(sf_dir)}"
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    path = _staged_events_replay(spark, sf_dir, "stream_events")
 
     name = f"stream_state_{_scratch_tag(sf_dir)}"
-    q = (
-        running_user_totals(read_event_stream(spark, path))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, staged_stream_partitions(path)):
+        q = (
+            running_user_totals(read_event_stream(spark, path))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -3173,20 +3212,21 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic_session(spark)
     from ..streaming.windows import read_event_stream, stream_dedup
 
-    e = load_table(spark, sf_dir, "events")
-    path = f"/root/repo/.scratch/stream_dup_{_scratch_tag(sf_dir)}"
-    e.unionAll(e).coalesce(1).write.mode("overwrite").parquet(path)
+    from ..streaming.windows import scoped_shuffle_partitions, staged_stream_partitions
+
+    path = _staged_events_replay(spark, sf_dir, "stream_dup", doubled=True)
 
     name = f"stream_dedup_{_scratch_tag(sf_dir)}"
-    q = (
-        stream_dedup(read_event_stream(spark, path))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, staged_stream_partitions(path)):
+        q = (
+            stream_dedup(read_event_stream(spark, path))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select("event_id", "user_id", "event_type")
 
 
@@ -3231,21 +3271,26 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     append-mode prefix property is asserted in
     tests/test_streaming.py)."""
     ensure_deterministic_session(spark)
-    from ..streaming.windows import read_event_stream, session_counts
+    from ..streaming.windows import (
+        read_event_stream,
+        scoped_shuffle_partitions,
+        session_counts,
+        staged_stream_partitions,
+    )
 
-    path = f"/root/repo/.scratch/stream_ssj_{_scratch_tag(sf_dir)}"
-    load_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(path)
+    path = _staged_events_replay(spark, sf_dir, "stream_ssj")
 
     name = f"stream_sess_{_scratch_tag(sf_dir)}"
-    q = (
-        session_counts(read_event_stream(spark, path))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, staged_stream_partitions(path)):
+        q = (
+            session_counts(read_event_stream(spark, path))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id", "session_start", "session_end", "n_events"
     )
@@ -4153,21 +4198,26 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the price of smoother dashboards, visible right in the pane
     arithmetic."""
     ensure_deterministic_session(spark)
-    from ..streaming.windows import read_event_stream, sliding_counts
+    from ..streaming.windows import (
+        read_event_stream,
+        scoped_shuffle_partitions,
+        sliding_counts,
+        staged_stream_partitions,
+    )
 
-    path = f"/root/repo/.scratch/stream_events_{_scratch_tag(sf_dir)}"
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    path = _staged_events_replay(spark, sf_dir, "stream_events")
 
     name = f"stream_slide_{_scratch_tag(sf_dir)}"
-    q = (
-        sliding_counts(read_event_stream(spark, path))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, staged_stream_partitions(path)):
+        q = (
+            sliding_counts(read_event_stream(spark, path))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select("window_start", "event_type", "n")
 
 

@@ -352,11 +352,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = op.alias("a"), op.alias("b")
+    # LAZY checkpoints throughout (r15, guide §1.2): each count() is
+    # the frame's first action and materializes the checkpoint in the
+    # same job it scans — one job per round (and one for the initial
+    # edge build) instead of materialize-then-scan, the alternating
+    # CC loop's r10 A/B fold.  Both frames are post-shuffle (distinct
+    # / semi-joins), so the blocks are the reliable kind.
     edges = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_edges = edges.count()
     while True:
@@ -371,7 +377,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         m = nxt.count()  # one scalar action per round
         if m == n_edges:
@@ -477,16 +483,9 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 5.5 s → 2.2 s at sf0.1 going 32 → 8); the same
     # bytes-derived rule grows the count back for real volumes — the
     # streaming twin of the green-taxi maxPartitionBytes scoping.
-    staged = sum(
-        os.path.getsize(os.path.join(path, f))
-        for f in os.listdir(path)
-        if f.endswith(".parquet")
-    )
-    parts = max(8, min(200, staged // (8 << 20) + 8))
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    try:
-        spark.conf.set(key, str(parts))
+    from ..streaming.windows import scoped_shuffle_partitions, staged_stream_partitions
+
+    with scoped_shuffle_partitions(spark, staged_stream_partitions(path)):
         q = (
             view_purchase_left_join(read_event_stream(spark, path))
             .writeStream.format("memory")
@@ -496,8 +495,6 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set(key, prev)
     return spark.table(name).select(
         "view_id", "user_id", "view_ts_s", "purchase_id", "purchase_ts_s"
     )

@@ -24,6 +24,49 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+def staged_stream_partitions(path: str) -> int:
+    """Bytes-derived shuffle-partition (= state-shard) count for a
+    staged replay at ``path`` — the rule stream_left_outer_join
+    introduced in r14, shared by every stateful streaming key (r15):
+    a stateful operator provisions and commits one state store per
+    shuffle partition per micro-batch (a stream-stream join: four),
+    so partition count is state-store fan-out, not just parallelism.
+    32-64 partitions on a few-MB replay is pure provisioning
+    overhead (measured 5.5 s → 2.2 s at sf0.1 going 32 → 8 on the
+    LOJ key); the same rule grows the count back for real volumes —
+    one partition per ~8 MB staged, floor 8, cap 200."""
+    import os
+
+    staged = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    return int(max(8, min(200, staged // (8 << 20) + 8)))
+
+
+class scoped_shuffle_partitions:
+    """Context manager: set ``spark.sql.shuffle.partitions`` for the
+    duration of one streaming run, restore on exit.  The conf is read
+    at stream START, so it must wrap ``.start()``; batch keys keep the
+    session default (AQE coalesces those at runtime — streaming state
+    shards are the one place the static count is load-bearing)."""
+
+    def __init__(self, spark, parts: int):
+        self._spark = spark
+        self._parts = parts
+        self._key = "spark.sql.shuffle.partitions"
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get(self._key)
+        self._spark.conf.set(self._key, str(self._parts))
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set(self._key, self._prev)
+        return False
+
+
 EVENT_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
