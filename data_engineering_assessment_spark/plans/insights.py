@@ -850,19 +850,30 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     label frame is node-sized; the two count scalars join back as
     broadcast single rows (sanctioned BNLJ)."""
     ensure_deterministic_session(spark)
-    su = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    sb = su.select(F.col("o"), F.col("s").alias("s2"))
-    # lazy: round 1's changed-count action materializes both edge and
-    # label checkpoints in the job that first scans them (r15 fold)
+    # Edge build via per-order supplier sets (r15, guide §2.3/§2.4;
+    # the market_basket explode pattern, A/B'd −25% with identical
+    # output): groupBy(order)+collect_set is ONE map-side-combined
+    # shuffle and the x≠y pair explode is narrow — the previous
+    # distinct + self-join + distinct paid two more |E|-sized
+    # exchanges for the same pair set.  Sets stay bounded by
+    # lines-per-order (≤7), so the explode cannot blow up on a hot
+    # order at any scale.
     edges = (
-        su.join(sb, "o")
-        .filter(F.col("s") != F.col("s2"))
-        .select(F.col("s").alias("x"), F.col("s2").alias("y"))
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_suppkey").alias("ss"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, x -> transform("
+                    "filter(ss, y -> y != x), y -> struct(x AS x, y AS y))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.x", "pr.y")
         .distinct()
+        # lazy: round 1's changed-count action materializes both edge
+        # and label checkpoints in the job that first scans them
         .localCheckpoint(eager=False)
     )
     nodes = load_table(spark, sf_dir, "supplier").select(
@@ -966,18 +977,23 @@ def graph_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic_session(spark)
     from ..operators.graph import connected_components_alternating
 
-    su = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    sb = su.select(F.col("o"), F.col("s").alias("s2"))
-    # lazy: the operator's first fingerprint action materializes the
-    # edge checkpoint in the job that first scans it (r15 fold)
+    # same per-order collect_set edge build as
+    # [[graph_connected_components]] (r15, −1 |E| exchange + no join;
+    # A/B identical pair set); lazy checkpoint — the operator's first
+    # fingerprint action materializes it in the job that scans it
     edges = (
-        su.join(sb, "o")
-        .filter(F.col("s") != F.col("s2"))
-        .select(F.col("s").alias("x"), F.col("s2").alias("y"))
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_suppkey").alias("ss"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, x -> transform("
+                    "filter(ss, y -> y != x), y -> struct(x AS x, y AS y))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.x", "pr.y")
         .distinct()
         .localCheckpoint(eager=False)
     )

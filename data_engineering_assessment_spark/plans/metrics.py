@@ -926,6 +926,10 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic_session(spark)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # MATERIALIZE the pair set (r15, guide §1.2/§5): it feeds both
+    # degree groupBys and the moment join — three references in one
+    # plan each re-ran the orders⋈lineitem derivation.  Post-distinct
+    # (shuffled) blocks; the single output action materializes once.
     base = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -933,6 +937,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("v"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg_u = base.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("x"))
     deg_v = base.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("y"))
@@ -1526,25 +1531,35 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is distinct/groupBy/equi-join: edge-sized shuffles, no
     driver collect, no iteration."""
     ensure_deterministic_session(spark)
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = op.alias("a"), op.alias("b")
+    # Edge build via per-order sorted part sets (r15, guide §2.3/§2.4;
+    # the market_basket explode pattern): groupBy(order)+collect_set
+    # is ONE map-side-combined shuffle and the ordered-pair explode is
+    # narrow — the previous distinct + self-join + distinct paid two
+    # more |E|-sized exchanges for the same u<v pair set.  Sets stay
+    # bounded by lines-per-order (≤7).
+    #
     # MATERIALIZE the edge list and the degree table (r15, guide
     # §1.2/§5): the final plan references `pairs` four times (degree
     # build, orientation, edge count) and `deg` three times (the two
     # orientation sides, the wedge summary) — without materialization
-    # each reference re-runs the lineitem self-join + distinct, the
-    # measured bulk of this key (plan audit: 20 Exchanges before, the
-    # same |E| build repeated).  Both frames are post-shuffle
-    # (distinct / groupBy), so the lazily-checkpointed blocks are the
-    # reliable kind and the single output action materializes each
-    # exactly once, in-job.
+    # each reference re-runs the whole edge build, the measured bulk
+    # of this key (plan audit: 20 Exchanges before).  Both frames are
+    # post-shuffle (distinct / groupBy), so the lazily-checkpointed
+    # blocks are the reliable kind and the single output action
+    # materializes each exactly once, in-job.
     pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.u", "pr.v")
         .distinct()
         .localCheckpoint(eager=False)
     )

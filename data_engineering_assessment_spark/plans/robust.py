@@ -346,12 +346,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     a handful; every frame stays edge- or node-sized."""
     ensure_deterministic_session(spark)
     k = 3
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = op.alias("a"), op.alias("b")
+    # Edge build via per-order sorted part sets (r15, the
+    # market_basket explode pattern shared with
+    # [[graph_triangle_count]]): one map-side-combined shuffle + a
+    # narrow ordered-pair explode instead of distinct + self-join +
+    # distinct — identical u<v pair set, two fewer |E| exchanges.
     # LAZY checkpoints throughout (r15, guide §1.2): each count() is
     # the frame's first action and materializes the checkpoint in the
     # same job it scans — one job per round (and one for the initial
@@ -359,8 +358,18 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CC loop's r10 A/B fold.  Both frames are post-shuffle (distinct
     # / semi-joins), so the blocks are the reliable kind.
     edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.u", "pr.v")
         .distinct()
         .localCheckpoint(eager=False)
     )
