@@ -88,6 +88,26 @@ def ngram_jaccard_pairs(
     handles residual skew.  No cross join anywhere.  The
     (doc, shingles) index is materialized once (``_materialized``) so
     the self-join's two sides don't each rebuild it.
+
+    NEGATIVE A/B (r16, do not retry without a sparser corpus): a
+    lossless PPJoin-style prefix filter (xxhash64 global order, per-doc
+    prefix ``n − ⌈t·n⌉ + 1``, exact ``array_intersect`` verification —
+    tools/ab_prefix.py) was implemented, proven bit-identical at
+    t ∈ {0.3, 0.5, 0.7}, and MEASURED SLOWER 2.3–2.6× at sf0.1 (old
+    best-of-4 2.27–2.43 s vs new 5.35–6.21 s; same pattern for the
+    containment tier at t_micro=800k: 2.25 vs 5.74 s).  Why: this
+    corpus is 5 000 docs × ~52 shingles with dense overlap — the
+    prefix join only halves the pair stream (965k → 461k rows) and
+    candidate dedup removes almost nothing (461k → 430k distinct
+    pairs, i.e. candidates share ~1 prefix token), so the exact
+    verification pays 430k string-array intersections plus two joins
+    (measured 4.9 s alone) where the old shape's one
+    map-side-combined pair aggregation was nearly free.  The filter
+    wins when posting lists are long and qualifying pairs are sparse
+    relative to candidates; at this corpus shape the inverted-index
+    count join is the measured optimum.  Joining on xxhash64(shingle)
+    instead of the string was separately rejected (r15): a cross-doc
+    collision changes exact ``inter`` counts.
     """
     sh = _shingled(docs, id_col, text_col, n)
     if cache_index:

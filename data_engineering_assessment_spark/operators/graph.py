@@ -58,13 +58,16 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # LAZY checkpoint + changed-count in ONE job per round: the
-        # count below is the round's first action, so it materializes
-        # the checkpoint blocks in the same job it scans (the
+        # LAZY checkpoint scanned by the changed-count (the
         # alternating loop's r10 A/B discipline, −34% there; guide
-        # §1.2/§2.4 — halve the per-round job count).  The frame is
-        # post-shuffle (groupBy + join on node), so the blocks are the
-        # reliable kind (ADVICE r10).
+        # §1.2/§2.4).  Measured nuance (r15): with AQE on, even a
+        # lazy localCheckpoint executes the plan's SHUFFLE stages at
+        # DataFrame-construction time (AQE must materialize exchanges
+        # to finalize the plan), so the fold only moves the FINAL
+        # result stage into the count's job — it removes the separate
+        # materialize-then-scan job, not the shuffle work.  The frame
+        # is post-shuffle (groupBy + join on node), so the blocks are
+        # the reliable kind (ADVICE r10).
         new_labels = (
             labels.join(nbr, "node", "left")
             .select(
@@ -106,6 +109,7 @@ def connected_components_alternating(
     dst: str = "dst",
     max_iter: int = 20,
     edges_distinct: bool = False,
+    edges_symmetric: bool = False,
 ) -> tuple[DataFrame, int]:
     """(node, component) via the alternating large-star/small-star
     algorithm (Kiveris et al., *Connected Components in MapReduce and
@@ -124,10 +128,13 @@ def connected_components_alternating(
     with a per-round fingerprint (edge count + endpoint checksums),
     ONE scalar action per round, and lineage is truncated per round
     with localCheckpoint, same discipline as the propagation loop.
-    The round checkpoint is LAZY (eager=False): the fingerprint
-    action materializes it in the same job it scans, so each round
-    runs one job instead of materialize-then-scan (r10 A/B: best-of-5
-    6.07 → 4.02 s at sf0.1, −34%; output identical).
+    The round checkpoint is LAZY (eager=False), so the round's own
+    fingerprint action folds the FINAL stage's materialization into
+    the job that scans it (r10 A/B: best-of-5 6.07 → 4.02 s at sf0.1,
+    −34%; output identical).  Measured nuance (r15): with AQE on, a
+    lazy localCheckpoint still executes the plan's shuffle stages at
+    DataFrame-construction time, so the fold removes the separate
+    materialize-then-scan job rather than deferring the shuffles.
 
     Returns (labels, rounds): labels only covers nodes present in
     ``edges`` (join back to the full node frame for isolates, as the
@@ -137,13 +144,32 @@ def connected_components_alternating(
     ``edges`` (every in-repo caller passes a post-``distinct()``,
     checkpointed frame), skipping a redundant |E| shuffle +
     re-checkpoint here (r15, guide §2.4 — remove the duplicate
-    exchange outright).  Round-15 job-count trims (guide §1.2): the
+    exchange outright).  ``edges_symmetric=True`` asserts the caller's
+    edge set already contains BOTH orientations of every edge (the
+    per-order pair explode emits ordered pairs both ways), so round
+    1's symmetrizing union would double every directed pair — skipped
+    (r16; later rounds always re-symmetrize because star output is
+    oriented high→low).  Round-15 job-count trims (guide §1.2): the
     node set is LAZY (it is consumed exactly once, by the final
     labels join, which folds its computation into the output action
     instead of a dedicated upfront job), and the pre-loop edge frame
     is lazily checkpointed — the first fingerprint action
     materializes it in the same job, the same fold the round loop
     already used.
+
+    Round-16 per-round exchange cuts (guide §2.4, VERDICT r15 #1),
+    both result-neutral by construction:
+
+    - the old small-star re-orientation (``greatest/least`` +
+      ``distinct``) was an IDENTITY over the large-star output: every
+      large edge is (v, m) with m ≤ u < v (m is a neighborhood min
+      including u, and only neighbors v > u are re-pointed), so the
+      frame is already strictly high→low oriented, and it is already
+      distinct — one |E| exchange + dedup per round, removed;
+    - the small-star explode emitted (u, m) once per EDGE of u before
+      deduplicating; the (u, m) "self" rows are exactly the rows of
+      ``smins`` (one per node, distinct by construction), so the
+      final distinct now ingests |E| + |V| rows instead of 2·|E|.
     """
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # node set BEFORE dropping self-loops: (n, n) still names node n
@@ -164,34 +190,43 @@ def connected_components_alternating(
 
     prev = edge_fingerprint(e)
     rounds = 0
+    symmetric = edges_symmetric
     for _ in range(max_iter):
         rounds += 1
         # large-star: symmetrize, take each node's neighborhood min
         # (incl. self), re-point every strictly-larger neighbor at it
-        bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        if symmetric:
+            bi = e  # caller-guaranteed: both orientations present
+            symmetric = False  # star output below is oriented
+        else:
+            bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = bi.groupBy("u").agg(F.min("v").alias("mn")).select(
             "u", F.least(F.col("u"), F.col("mn")).alias("m")
         )
+        # every output edge (v, m) has m < v strictly (m ≤ u < v), so
+        # the frame is born high→low oriented and self-loop-free
         large = (
             bi.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        # small-star: orient high→low, point node + smaller neighbors
-        # at the smaller-neighborhood min
-        hi = large.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
-        smins = hi.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            hi.join(smins, "u")
-            .select(
-                F.explode(F.array(F.col("u"), F.col("v"))).alias("u"),
-                F.col("m").alias("v"),
-            )
+        # small-star over the (already-oriented, already-distinct)
+        # large output: each node u points at its smaller-neighborhood
+        # min m, and so do its smaller neighbors v.  The (u, m) rows
+        # ARE smins (distinct per node); only the (v, m) rows need the
+        # edge join.  Content is identical to the old explode form.
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small_self = smins.filter(F.col("u") != F.col("m")).select(
+            "u", F.col("m").alias("v")
+        )
+        small_nbrs = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
+        )
+        small = (
+            small_self.union(small_nbrs)
             .distinct()
             .localCheckpoint(eager=False)
         )

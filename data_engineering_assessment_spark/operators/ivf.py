@@ -135,14 +135,22 @@ def ivf_ann_topk(
     )
 
 
+# Single source of truth for this trainer's sample bound: the IVF-PQ
+# composition's shared-sample guard imports it (ADVICE r15 — a literal
+# copy there could silently desync from this default, breaking the
+# bit-identity the guard promises).
+KM_TRAIN_CAP = 4096
+
+
 def train_kmeans_sampled(
     corpus: DataFrame,
     n_clusters: int = 16,
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    train_cap: int = 4096,
+    train_cap: int = KM_TRAIN_CAP,
     sample_rows: list | None = None,
+    n_total: int | None = None,
 ) -> np.ndarray:
     """Sample-trained twin of ``train_kmeans``: same spherical
     Lloyd's, same smallest-xxhash seeding, but the iterations run in
@@ -163,7 +171,7 @@ def train_kmeans_sampled(
     else:
         from .pq import collect_train_sample
 
-        rows = collect_train_sample(corpus, train_cap, id_col, vec_col)
+        rows = collect_train_sample(corpus, train_cap, id_col, vec_col, n_total=n_total)
     if len(rows) < n_clusters:
         raise ValueError(f"sample {len(rows)} smaller than n_clusters={n_clusters}")
     X = np.array([list(r.vec) for r in rows], dtype=np.float64)

@@ -72,6 +72,11 @@ def collect_train_sample(
     )[:train_cap]
 
 
+# Single source of truth for this trainer's sample bound — imported by
+# the IVF-PQ shared-sample guard (ADVICE r15, see ivf.KM_TRAIN_CAP).
+PQ_TRAIN_CAP = 2048
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     m: int = 4,
@@ -79,8 +84,9 @@ def train_pq_codebooks(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    train_cap: int = 2048,
+    train_cap: int = PQ_TRAIN_CAP,
     sample_rows: list | None = None,
+    n_total: int | None = None,
 ) -> np.ndarray:
     """Deterministic Lloyd's k-means per subspace (Euclidean), all
     subspaces trained together; returns (m × ksub × d/m) codebooks.
@@ -100,7 +106,7 @@ def train_pq_codebooks(
     if sample_rows is not None:
         rows = sample_rows[:train_cap]
     else:
-        rows = collect_train_sample(corpus, train_cap, id_col, vec_col)
+        rows = collect_train_sample(corpus, train_cap, id_col, vec_col, n_total=n_total)
     if not rows:
         raise ValueError("empty training corpus")
     X = np.array([list(r.vec) for r in rows], dtype=np.float64)
@@ -259,7 +265,7 @@ def ivfpq_ann_topk(
     already m bytes per vector, the memory shape that survives
     100 TB.  Deterministic: both trainers are hash-seeded, ADC ties
     break on neighbor id."""
-    from .ivf import _assign_udf, train_kmeans_sampled
+    from .ivf import KM_TRAIN_CAP, _assign_udf, train_kmeans_sampled
 
     # ONE count + ONE collect for both quantizer trainers when the
     # whole corpus fits under both training caps (r15, guide §1.2:
@@ -267,7 +273,12 @@ def ivfpq_ann_topk(
     # an identical collect job over the same frame).  Above the caps
     # the per-trainer hash-mod filters differ, so each trainer draws
     # its own sample exactly as before — identical results either way.
-    km_cap, pq_cap = 4096, 2048
+    # Caps come from the trainers' own module constants (ADVICE r15:
+    # a literal copy here could desync from a changed default and the
+    # hash-mod pre-filter would fire in one path but not the other);
+    # the fallback threads n_total through so neither trainer re-runs
+    # the count this composition already paid (VERDICT r15 #5).
+    km_cap, pq_cap = KM_TRAIN_CAP, PQ_TRAIN_CAP
     v = spread(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     n_total = v.count()
     if n_total <= min(km_cap, pq_cap):
@@ -281,8 +292,12 @@ def ivfpq_ann_topk(
             corpus, m, ksub, n_iter, id_col, vec_col, sample_rows=shared
         )
     else:
-        centroids = train_kmeans_sampled(corpus, n_clusters, n_iter, id_col, vec_col)
-        books = train_pq_codebooks(corpus, m, ksub, n_iter, id_col, vec_col)
+        centroids = train_kmeans_sampled(
+            corpus, n_clusters, n_iter, id_col, vec_col, n_total=n_total
+        )
+        books = train_pq_codebooks(
+            corpus, m, ksub, n_iter, id_col, vec_col, n_total=n_total
+        )
     assign = _assign_udf(centroids)
     enc = _encode_udf(books)
 

@@ -363,6 +363,11 @@ def stream_late_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"/root/repo/.scratch/stream_late_{_events_tag(sf_dir)}"
     in_dir = f"{base}/in"
     if not os.path.exists(f"{base}/_STAGED"):
+        # reap stale-tag siblings before staging (VERDICT r15 #3 —
+        # regenerated corpora otherwise strand old fingerprint dirs)
+        from ..sources.layout import clean_superseded
+
+        clean_superseded(base)
         shutil.rmtree(base, ignore_errors=True)
         os.makedirs(in_dir)
         batches = (

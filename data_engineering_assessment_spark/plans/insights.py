@@ -872,6 +872,13 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("pr.x", "pr.y")
         .distinct()
+        # hash-partition on the per-round join key BEFORE the
+        # checkpoint (r16, guide §2.4 — the pagerank discipline):
+        # distinct leaves the frame partitioned on (x, y), so every
+        # round's edges⋈labels join re-exchanged the full |E| frame
+        # by x; checkpointing the x-partitioning makes the loop's
+        # edge side exchange-free for all rounds.
+        .repartition(F.col("x"))
         # lazy: round 1's changed-count action materializes both edge
         # and label checkpoints in the job that first scans them
         .localCheckpoint(eager=False)
@@ -1001,9 +1008,11 @@ def graph_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("n")
     )
     # edges is distinct + checkpointed above — skip the operator's
-    # redundant |E| re-distinct/re-checkpoint (r15, guide §2.4)
+    # redundant |E| re-distinct/re-checkpoint (r15, guide §2.4); the
+    # pair explode emits BOTH orientations, so round 1 also skips the
+    # symmetrizing union (r16 — halves round 1's large-star volume)
     lab, _rounds = connected_components_alternating(
-        edges, src="x", dst="y", edges_distinct=True
+        edges, src="x", dst="y", edges_distinct=True, edges_symmetric=True
     )
     # isolates: suppliers with no co-supply edge are their own component
     full = nodes.join(lab, nodes.n == lab.node, "left").select(
@@ -1142,24 +1151,28 @@ def embed_slice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _scratch_tag(sf_dir: str) -> str:
     """Stable tag for a staged copy of an sf_dir table: the path plus
-    a fingerprint of events.parquet (total size + newest mtime), so
-    regenerating the fixture in place invalidates the staged copy
-    instead of silently replaying stale data."""
+    a fingerprint of events.parquet (total size + newest mtime at
+    NANOSECOND resolution — ADVICE r15: second-granularity mtime let
+    an in-place regeneration within the same second that preserved
+    total size replay stale staged data; st_mtime_ns is the same rule
+    tables._table_fingerprint already uses), so regenerating the
+    fixture in place invalidates the staged copy instead of silently
+    replaying stale data."""
     import hashlib
     import os
 
     src = os.path.join(sf_dir, "events.parquet")
-    size = mtime = 0
+    size = mtime_ns = 0
     if os.path.isdir(src):
         for root, _dirs, files in os.walk(src):
             for f in files:
                 st = os.stat(os.path.join(root, f))
                 size += st.st_size
-                mtime = max(mtime, int(st.st_mtime))
+                mtime_ns = max(mtime_ns, st.st_mtime_ns)
     elif os.path.exists(src):
         st = os.stat(src)
-        size, mtime = st.st_size, int(st.st_mtime)
-    return hashlib.md5(f"{sf_dir}|{size}|{mtime}".encode()).hexdigest()[:8]
+        size, mtime_ns = st.st_size, st.st_mtime_ns
+    return hashlib.md5(f"{sf_dir}|{size}|{mtime_ns}".encode()).hexdigest()[:8]
 
 
 @query("embed_ann_ivfpq")  # coarse-prune + code-scan ANN — rows-only
@@ -1217,6 +1230,9 @@ def stream_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rewrite only when absent/incomplete (the merge_upsert device,
     # VERDICT r06 #6), keeping the timed path the STREAMING work
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from ..sources.layout import clean_superseded
+
+        clean_superseded(path)  # reap stale-tag siblings (VERDICT r15 #3)
         load_table(spark, sf_dir, "events").coalesce(1).write.mode(
             "overwrite"
         ).parquet(path)

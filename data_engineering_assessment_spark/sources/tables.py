@@ -93,7 +93,11 @@ def register_corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     view name is a no-op — skip the catalog RPC when this session
     already registered this exact (memoized) frame.  A different
     ``sf_dir`` (or a regenerated corpus file) produces a different
-    memoized frame, so the view is correctly re-pointed."""
+    memoized frame, so the view is correctly re-pointed.  The skip is
+    additionally guarded by a catalog existence check (ADVICE r15: if
+    any future code drops or shadows a corpus view name, the identity
+    memo alone would silently skip re-registration and spark.table()
+    would resolve stale/missing data)."""
     views = getattr(spark, "_dea_view_memo", None)
     if views is None:
         views = {}
@@ -101,7 +105,7 @@ def register_corpus(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     out: dict[str, DataFrame] = {}
     for name in CORPUS_TABLES:
         df = load_table(spark, sf_dir, name)
-        if views.get(name) is not df:
+        if views.get(name) is not df or not spark.catalog.tableExists(name):
             df.createOrReplaceTempView(name)
             views[name] = df
         out[name] = df
