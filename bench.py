@@ -441,6 +441,32 @@ def main() -> None:
     # conditions).  N=5 for the frozen CORE comparison set (its
     # round-over-round deltas are what regressions are called on, so
     # it gets the extra noise damping); N=3 for the rest of HEADLINE.
+    #
+    # MEASUREMENT-HARNESS CHANGES (round 16, announced per the brief's
+    # "say so explicitly" rule; both are additions to HOW timings are
+    # sampled, not to what any query computes):
+    #
+    # 1. CacheManager sweep after each key (VERDICT r15 #7, guide §5):
+    #    the session previously accumulated every key's `_materialized`
+    #    persists for the whole 220-key run — cross-query memory
+    #    pressure, and a key ordered after a sibling that cached the
+    #    same index (e.g. dedup_threshold_curve after
+    #    dedup_ngram_jaccard) was silently timed against a warm cache
+    #    it did not build.  `clearCache()` after each key's rep loop
+    #    makes every key pay for (exactly) its own caches; within-key
+    #    rep reuse is unchanged.  Keys that previously drafted behind a
+    #    sibling's cache will read slower THIS round — that is the
+    #    measurement becoming honest, flagged in OPTIMIZATION_r16.md.
+    #
+    # 2. Second CORE pass (VERDICT r15 #3: "min-of-2 full runs" — this
+    #    box's noise regime drifts within a session, and r15's real
+    #    wins were invisible in one 32-core run while an 8-core run at
+    #    the same HEAD beat the prior round).  After the full HEADLINE
+    #    loop, the 53 CORE keys run again (2 reps each, same noop-sink
+    #    methodology ~100 keys of session-time later); the published
+    #    per-key number is the min across BOTH passes.  Pass-1-only
+    #    values (the pre-r16 methodology) are kept in
+    #    BENCH_DETAIL.json under "core_pass1" for comparability.
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     core_set = set(CORE)
@@ -452,6 +478,21 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
         timings[name] = round(min(reps), 3)
         spreads[name] = [round(min(reps), 3), round(max(reps), 3)]
+        spark.catalog.clearCache()  # sweep this key's persists (see above)
+
+    core_pass1 = {k: timings[k] for k in CORE}
+    for name in CORE:
+        reps = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        timings[name] = round(min(timings[name], min(reps)), 3)
+        spreads[name] = [
+            round(min(spreads[name][0], min(reps)), 3),
+            round(max(spreads[name][1], max(reps)), 3),
+        ]
 
     anchor_sec = _time_anchor(spark)
     anchor_par_sec = _time_anchor_parallel(spark)
@@ -467,6 +508,10 @@ def main() -> None:
         "queries": timings,
         "core_sec": round(sum(core_timings.values()), 3),
         "sf": sf,
+        # pre-r16 methodology (pass-1-only best-of-5) for the CORE
+        # set, kept for cross-round comparability of the r15->r16 diff
+        "core_pass1": core_pass1,
+        "core_pass1_sec": round(sum(core_pass1.values()), 3),
         # Machine-readable noise annotation (round 14, VERDICT r13
         # #5): [min, max] across this run's own repetitions of each
         # query.  A cross-round delta on a key whose plan did not
@@ -504,6 +549,8 @@ def main() -> None:
     # and shed the core per-query map (the r03-size contract)
     summary.pop("rep_spread", None)
     summary.pop("noise_rule", None)
+    # pass-1 CORE map lives in BENCH_DETAIL.json only (line-size budget)
+    summary.pop("core_pass1", None)
     summary["anchor"] = {
         "name": "green_taxi_pipeline",
         "rows": ANCHOR_ROWS,

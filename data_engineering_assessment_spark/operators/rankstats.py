@@ -71,10 +71,34 @@ def global_order_stats(
     only meaningful against the exact frame they were computed from.
     The explicit partition count also keeps AQE from re-coalescing
     the range exchange underneath the offsets map.
+
+    ``npartitions=None`` derives the range-partition count from the
+    optimizer's input-size estimate (r16, VERDICT r15 #10 — the
+    bytes-derived rule the streaming state shards already use): one
+    partition per ~64 MB of estimated input, floored at the cluster's
+    default parallelism and capped at 20 000.  Rank/running-sum
+    results are partition-count-invariant (they depend only on the
+    total order — pinned by the operator tests), so this is purely a
+    task-count/fan-out knob: a few-MB local input stops paying for 64
+    sub-second range partitions + a 64-row histogram, and a 100 TB
+    input grows past any session constant.  When the estimate is
+    unavailable (plan without stats) the session shuffle-partition
+    default is kept.
     """
     spark = df.sparkSession
     if npartitions is None:
-        npartitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        size = None
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # noqa: BLE001 — stats are an estimate, never load-bearing
+            size = None
+        if size is None or size <= 0 or size >= (1 << 60):
+            npartitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        else:
+            dp = spark.sparkContext.defaultParallelism
+            npartitions = int(max(dp, min(20_000, size // (64 << 20) + dp)))
     rdf = df.repartitionByRange(npartitions, *order_by).withColumn(
         PID, F.spark_partition_id()
     )

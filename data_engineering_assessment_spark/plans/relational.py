@@ -2641,8 +2641,17 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     )
     path = f"/root/repo/.scratch/dyn_overwrite_{_scratch_tag(sf_dir)}"
     # fresh base every run: the graded operation MUTATES the layout,
-    # so reusing a prior run's output would double-apply the backfill
-    base.write.partitionBy("part_month").mode("overwrite").parquet(path)
+    # so reusing a prior run's output would double-apply the backfill.
+    # Hash-distribute on the partition column BEFORE the partitioned
+    # write (r16, guide §6 — Iceberg's write.distribution-mode=hash as
+    # a plain-parquet move): without it every scan task opens a writer
+    # per month (~80 files × few tasks, serialized); with it the ~80
+    # months spread across shuffle partitions and write in parallel,
+    # one file per month either way.  A/B best-of-3 at sf0.1:
+    # 2.54 → 1.59 s, identical read-back aggregate and file count.
+    base.repartition(F.col("part_month")).write.partitionBy(
+        "part_month"
+    ).mode("overwrite").parquet(path)
     upd = base.filter(F.col("part_month") == F.lit("1999-03-01").cast("date")).withColumn(
         "o_totalprice", F.col("o_totalprice") * 2
     )

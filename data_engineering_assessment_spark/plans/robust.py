@@ -381,10 +381,19 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        keep = deg.filter(F.col("d") >= k).select("n")
+        # Filter by ANTI-join against the DROPPED nodes rather than
+        # semi-join against the kept ones (r16, guide §3.1): every
+        # endpoint appears in deg, so ``NOT IN drop`` ≡ ``IN keep``
+        # row-for-row, but drop (d < k) is a small shrinking set —
+        # empty-to-tiny after round 1 — which AQE broadcast-joins,
+        # leaving the |E| edge frame UNSHUFFLED each round (the keep
+        # set is node-sized, which forced two |E| exchanges per
+        # round).  A/B best-of-3 at sf0.1: 5.02 → 3.94 s, identical
+        # core (pytest twin unchanged).
+        drop = deg.filter(F.col("d") < k).select("n")
         nxt = (
-            edges.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            edges.join(drop.withColumnRenamed("n", "u"), "u", "left_anti")
+            .join(drop.withColumnRenamed("n", "v"), "v", "left_anti")
             .select("u", "v")
             .localCheckpoint(eager=False)
         )
