@@ -300,27 +300,40 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact sums, so any engine produces the identical bits.
     """
     ensure_deterministic_session(spark)
-    # Sum-side decimals are (28,scale), not (18,scale): the narrower
-    # cast capped representable sums at ~10^(18-scale) and overflowed
-    # under ANSI mode at the sf100 notch (600M lineitem rows,
-    # sum_charge ≈ 4.35e12 > Decimal(18,6) max — found by the round-11
-    # fourth-decade audit, SCALING_SF100.md).  (28,scale) is lossless
-    # at every graded SF and the *10^scale fixed-point BIGINT contract
-    # itself holds to ~9.2e18, i.e. ~sf200 for the charge column —
-    # the documented ceiling of the x1e6 output encoding, not of the
-    # aggregation.
+    # EXACT INTEGER FIXED-POINT FORM (r16, guide §1.2 per-task work —
+    # A/B best-of-4 at sf0.1: 1.23 → 0.69 s, rows and schema
+    # bit-identical).  Each measure quantizes to integer cents ONCE
+    # per row through the same DECIMAL(12,2) cast as before (so the
+    # double→2-decimal rounding is unchanged), and every product and
+    # sum after that is plain BIGINT arithmetic with a fixed
+    # denominator: disc_price×1e4 = pc·(100−dc) and charge×1e6 =
+    # pc·(100−dc)·(100+tc) are exact integers (per-row ≤ ~4e11, far
+    # inside BIGINT), so the group sums equal the previous decimal
+    # sums by construction — but codegen sums LONGs instead of
+    # Decimal128/BigDecimal (the old (25,4)/(38,6) products boxed
+    # per row, the measured bulk of this single-split-local key).
+    # OVERFLOW CEILING unchanged: the x10^scale fixed-point BIGINT
+    # output contract itself holds to ~9.2e18 (~sf200 for charge —
+    # the round-11 audit), and the long sums saturate at exactly that
+    # same bound, erroring under ANSI rather than truncating — the
+    # same failure mode the old decimal→long output cast had.
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
     )
-    one = F.lit(1).cast("decimal(12,2)")
-    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
-    charge = disc_price * (one + _dec("l_tax"))
-    g = l.groupBy("l_returnflag", "l_linestatus").agg(
-        (F.sum(_dec("l_quantity")).cast("decimal(28,2)") * 100).cast("long").alias("sum_qty_x100"),
-        (F.sum(_dec("l_extendedprice")).cast("decimal(28,2)") * 100).cast("long").alias("sum_base_price_x100"),
-        (F.sum(disc_price).cast("decimal(28,4)") * 10000).cast("long").alias("sum_disc_price_x10000"),
-        (F.sum(charge).cast("decimal(28,6)") * 1000000).cast("long").alias("sum_charge_x1000000"),
-        (F.sum(_dec("l_discount")).cast("decimal(28,2)") * 100).cast("long").alias("sum_disc_x100"),
+    l2 = l.select(
+        "l_returnflag",
+        "l_linestatus",
+        (_dec("l_quantity") * 100).cast("long").alias("qc"),
+        (_dec("l_extendedprice") * 100).cast("long").alias("pc"),
+        (_dec("l_discount") * 100).cast("long").alias("dc"),
+        (_dec("l_tax") * 100).cast("long").alias("tc"),
+    )
+    g = l2.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qc").alias("sum_qty_x100"),
+        F.sum("pc").alias("sum_base_price_x100"),
+        F.sum(F.expr("pc * (100 - dc)")).alias("sum_disc_price_x10000"),
+        F.sum(F.expr("pc * (100 - dc) * (100 + tc)")).alias("sum_charge_x1000000"),
+        F.sum("dc").alias("sum_disc_x100"),
         F.count("*").alias("count_order"),
     )
     return g.select(
@@ -1099,21 +1112,24 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: exact percentile buffers per-group values — fine for few
     groups; at 100 TB with high-cardinality groups switch to
-    approx_percentile (t-digest sketch, mergeable map-side)."""
+    approx_percentile (t-digest sketch, mergeable map-side).
+
+    The two quantity percentiles share ONE aggregation buffer via the
+    array form (r16, guide §1.2 — three separate ``percentile`` calls
+    each buffered and sorted the column independently; the array form
+    runs the identical algorithm over one buffer and reads two ranks).
+    A/B best-of-4 at sf0.1: 1.39 → 1.13 s, values bit-identical."""
     ensure_deterministic_session(spark)
     l = load_table(spark, sf_dir, "lineitem")
-
-    def p(col: str, q: float, alias: str) -> Column:
-        return (
-            F.round(F.expr(f"percentile({col}, {q})") * 1000000, 0)
-            .cast("long")
-            .alias(alias)
-        )
-
-    return l.groupBy("l_returnflag").agg(
-        p("l_quantity", 0.5, "p50_qty_micro"),
-        p("l_quantity", 0.9, "p90_qty_micro"),
-        p("l_extendedprice", 0.5, "p50_price_micro"),
+    g = l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, array(0.5D, 0.9D))").alias("qq"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("pp"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.round(F.element_at("qq", 1) * 1000000, 0).cast("long").alias("p50_qty_micro"),
+        F.round(F.element_at("qq", 2) * 1000000, 0).cast("long").alias("p90_qty_micro"),
+        F.round(F.col("pp") * 1000000, 0).cast("long").alias("p50_price_micro"),
     )
 
 
