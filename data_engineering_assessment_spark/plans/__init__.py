@@ -16,11 +16,38 @@ from . import (  # noqa: F401
 )
 from .registry import oracles, queries, set_priority  # noqa: F401
 
-# Grading-window rotation (round 15).  The driver grades a ~50-key
+# Grading-window rotation (round 16).  The driver grades a ~50-key
 # prefix of the registry per round; verdicts persist.  This window is
 # COMPUTED by `python tools/rotation.py`; the hand-authored part is
-# only the summary-invisible tier the tool's PLANS.md row diff cannot
-# see.  In order:
+# the summary-invisible tier the tool's PLANS.md row diff cannot see.
+# In order:
+#   1. the 4 r16 plan-changed keys the tool detects (PLANS.md row
+#      diff): agg_percentile, contamination_matrix, graph_pagerank,
+#      text_novelty_by_doc,
+#   2. r16 summary-invisible changes (hand-listed): agg_group
+#      (integer fixed-point rewrite — same 1-exchange row),
+#      graph_cc_alternating / graph_connected_components (loop-body
+#      rewrites live outside the final plan), graph_kcore +
+#      graph_pagerank_converged (rows-only, but VERDICT r15 #2 asks
+#      for driver-side evidence on every plan-changed key, so the
+#      round-9 rows-only exclusion is overridden for these),
+#      sink_dynamic_partition_overwrite (pre-write repartition), and
+#      the 8 rankstats keys whose range-partition count is now
+#      bytes-derived (partition count is summary-invisible;
+#      agg_decile_profile, agg_histogram_equidepth,
+#      customer_pareto_coverage, customer_rfm_segments,
+#      length_curriculum, orders_abc_class, pareto_revenue_share,
+#      text_ttr_buckets),
+#   3. the r15 plan-changed keys VERDICT r15 #2 flagged as never
+#      rotated (the round-11 "plan change => window" policy):
+#      graph_triangle_count, graph_degree_assortativity,
+#      text_boilerplate_cov, embed_ann_ivfpq (rows-only, named by the
+#      verdict), and the 9 state-shard-resized streaming keys,
+#   4. freshness re-grades, OLDEST VINTAGE FIRST per rotation.py
+#      (r8 alphabetically) to the 50-slot edge.
+# Exactly 50 names for ~50 slots.
+#
+# The round-15 window rationale (kept for history):
 #   1. the new round-15 key (never graded): the bounded-output
 #      dedup_embed_incremental_summary (VERDICT r14 what's-wrong #2 —
 #      per-delta-doc keep-best verdicts so degenerate duplication
@@ -48,61 +75,59 @@ from .registry import oracles, queries, set_priority  # noqa: F401
 # Exactly 50 names for ~50 slots; after this round the oldest
 # evidence vintage advances to r8 (48 r8-vintage keys defer to r16).
 WINDOW_PRIORITY = [
-    # --- round-15 addition (never graded) ---
-    "dedup_embed_incremental_summary",
-    # --- plan-changed this round (rotation.py PLANS.md row diff) ---
+    # --- r16 plan-changed, tool-detected (PLANS.md row diff) ---
+    "agg_percentile",
+    "contamination_matrix",
+    "graph_pagerank",
+    "text_novelty_by_doc",
+    # --- r16 summary-invisible changes (hand-listed) ---
+    "agg_group",
+    "graph_cc_alternating",
+    "graph_connected_components",
+    "graph_kcore",
+    "graph_pagerank_converged",
+    "sink_dynamic_partition_overwrite",
     "agg_decile_profile",
     "agg_histogram_equidepth",
-    "array_explode_outer",
     "customer_pareto_coverage",
     "customer_rfm_segments",
     "length_curriculum",
     "orders_abc_class",
     "pareto_revenue_share",
-    "subquery_multi_exists",
     "text_ttr_buckets",
-    "vocab_growth_curve",
-    # --- summary-invisible changes (hand-listed) ---
-    "key_skew_profile",
-    "dedup_substring_incremental",
-    "text_bigram_lm_incremental",
-    "graph_khop_reach",
-    "graph_shortest_cost_k",
-    # --- freshness re-grades, oldest vintage first (rotation.py) ---
-    # r7 (all 32 remaining)
-    "dedup_survivorship",
-    "embed_quantize_int8",
-    "event_attribution",
-    "event_burst_windows",
-    "event_markov_transitions",
-    "join_customer_360",
-    "join_disjunctive",
-    "join_lateral_topn",
-    "lang_balance_resample",
-    "lang_id_confusion",
-    "mix_temperature_weights",
-    "multi_join_profit",
-    "orders_fulfillment_lag",
-    "orders_reorder_interval",
-    "probe_hugeint_sum",
-    "quality_weighted_gate",
-    "recursive_cte_chain",
-    "scan_binary_files",
-    "scan_json_variant",
-    "source_drift_ks",
-    "source_token_tv_drift",
-    "stream_file_intake",
-    "subquery_semi_agg",
-    "text_char_diversity",
-    "text_tfidf_topk",
-    "token_drift_slices",
-    "tokenize_pack_shard",
-    "tokenizer_fertility",
-    "ts_ohlc_downsample",
-    "ts_rolling_anomaly",
-    "window_nth_value",
-    "zstd_dict_sample",
-    # r8 (alphabetical fill to the 50-slot edge)
-    "calibration_bins",
+    # --- r15 plan-changed, never rotated (VERDICT r15 #2) ---
+    "graph_triangle_count",
+    "graph_degree_assortativity",
+    "text_boilerplate_cov",
+    "embed_ann_ivfpq",
+    "stream_left_outer_join",
+    "stream_session_attribution",
+    "stream_tumbling_counts",
+    "stream_join_attribution",
+    "stream_stateful_totals",
+    "stream_dedup_ids",
+    "stream_sessionize",
+    "stream_sliding_counts",
+    "stream_late_watermark",
+    # --- freshness re-grades, oldest vintage first (rotation.py, r8) ---
+    "cumulative_distinct_users",
+    "dedup_levenshtein_block",
+    "dedup_rate_by_source",
+    "discount_quantity_slope",
+    "dup_cluster_size_hist",
+    "embed_pca_project",
+    "embed_silhouette",
+    "embed_slice_drift",
+    "event_ab_test_lift",
+    "event_first_touch_attribution",
+    "event_hour_seasonality",
+    "events_control_chart",
+    "events_dau_wau_stickiness",
+    "events_fano_factor",
+    "events_user_mode_type",
+    "fk_violation_audit",
+    "gate_agreement_kappa",
+    "interarrival_gap_p90",
+    "interval_coverage_union",
 ]
 set_priority(WINDOW_PRIORITY)
