@@ -187,8 +187,17 @@ def pq_ann_topk(
     # reconstructed-vector norms are computed per candidate in the scan
     tables = np.einsum("qsd,skd->qsk", Qn.reshape(len(Qn), mm, dsub), books)
 
-    @pandas_udf("array<struct<q: bigint, s: double>>")
-    def _adc(ids: pd.Series, code_arr: pd.Series) -> pd.Series:
+    # ADC scores leave Python as a bare array<double> per candidate
+    # (position = query index) and the (position → q_id) mapping is a
+    # broadcast literal applied JVM-side after posexplode (r16, guide
+    # §4.1/§4.2): the previous array<struct<q,s>> return built n·n_q
+    # Python dicts per batch and shipped a struct stream through
+    # Arrow, and the UDF also received the c_id column it never read.
+    # Scores are the identical doubles; only the serialization shape
+    # changed (A/B: 2.42 → 1.92 s one session, flat within noise the
+    # other; strictly less per-row Python work at any scale).
+    @pandas_udf("array<double>")
+    def _adc(code_arr: pd.Series) -> pd.Series:
         C = np.stack(code_arr.values).astype(np.int64)  # (n, m)
         n = len(C)
         # gather reconstructed vectors: (n, m, dsub)
@@ -198,17 +207,15 @@ def pq_ann_topk(
         dots = np.zeros((len(Qn), n))
         for s in range(mm):
             dots += tables[:, s, :][:, C[:, s]]
-        scores = dots / norms[None, :]
-        out = []
-        for i in range(n):
-            out.append([
-                {"q": int(q_ids[j]), "s": float(scores[j, i])} for j in range(len(Qn))
-            ])
-        return pd.Series(out)
+        scores = (dots / norms[None, :]).T  # (n, n_q)
+        return pd.Series(list(scores))
 
+    qid_arr = F.array(*[F.lit(int(x)).cast("long") for x in q_ids])
     scored = (
-        codes.select("c_id", F.explode(_adc("c_id", "codes")).alias("qs"))
-        .select("c_id", F.col("qs.q").alias("q_id"), F.col("qs.s").alias("adc"))
+        codes.select("c_id", F.posexplode(_adc("codes")).alias("pos", "adc"))
+        .select(
+            "c_id", F.element_at(qid_arr, F.col("pos") + 1).alias("q_id"), "adc"
+        )
         .filter(F.col("q_id") != F.col("c_id"))
     )
     w_adc = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("c_id"))
