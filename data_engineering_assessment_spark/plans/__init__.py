@@ -24,8 +24,10 @@ from .registry import oracles, queries, set_priority  # noqa: F401
 #   1. the 4 r16 plan-changed keys the tool detects (PLANS.md row
 #      diff): agg_percentile, contamination_matrix, graph_pagerank,
 #      text_novelty_by_doc,
-#   2. r16 summary-invisible changes (hand-listed): agg_group
-#      (integer fixed-point rewrite — same 1-exchange row),
+#   2. r16 summary-invisible changes (hand-listed): agg_group +
+#      join_inner (integer fixed-point rewrites — same summary rows;
+#      join_inner displaced the last freshness fill,
+#      interval_coverage_union, to hold the 50-slot budget),
 #      graph_cc_alternating / graph_connected_components (loop-body
 #      rewrites live outside the final plan), graph_kcore +
 #      graph_pagerank_converged (rows-only, but VERDICT r15 #2 asks
@@ -82,6 +84,7 @@ WINDOW_PRIORITY = [
     "text_novelty_by_doc",
     # --- r16 summary-invisible changes (hand-listed) ---
     "agg_group",
+    "join_inner",
     "graph_cc_alternating",
     "graph_connected_components",
     "graph_kcore",
@@ -128,6 +131,5 @@ WINDOW_PRIORITY = [
     "fk_violation_audit",
     "gate_agreement_kappa",
     "interarrival_gap_p90",
-    "interval_coverage_union",
 ]
 set_priority(WINDOW_PRIORITY)

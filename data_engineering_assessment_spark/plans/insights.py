@@ -853,31 +853,37 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Edge build via per-order supplier sets (r15, guide §2.3/§2.4;
     # the market_basket explode pattern, A/B'd −25% with identical
     # output): groupBy(order)+collect_set is ONE map-side-combined
-    # shuffle and the x≠y pair explode is narrow — the previous
-    # distinct + self-join + distinct paid two more |E|-sized
-    # exchanges for the same pair set.  Sets stay bounded by
-    # lines-per-order (≤7), so the explode cannot blow up on a hot
-    # order at any scale.
-    edges = (
+    # shuffle and the ordered-pair explode is narrow.  Sets stay
+    # bounded by lines-per-order (≤7), so the explode cannot blow up
+    # on a hot order at any scale.  r16 (guide §2.3 — shuffle fewer
+    # bytes): the explode emits each undirected edge ONCE (sorted set
+    # → x < y slice pairs), so the dedup ingests |E| rows instead of
+    # 2|E|, and the symmetric orientation is restored AFTER the
+    # distinct by a narrow union with the swap.  A/B best-of-3 at
+    # sf0.1: 4.23 → 3.39 s (second session 4.77 → 4.08), identical
+    # components.
+    half = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.collect_set("l_suppkey").alias("ss"))
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
         .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ss, x -> transform("
-                    "filter(ss, y -> y != x), y -> struct(x AS x, y AS y))))"
+                    "flatten(transform(ss, (x, i) -> transform("
+                    "slice(ss, i + 2, size(ss)), y -> struct(x AS x, y AS y))))"
                 )
             ).alias("pr")
         )
         .select("pr.x", "pr.y")
         .distinct()
+    )
+    edges = (
+        half.unionAll(half.select(F.col("y").alias("x"), F.col("x").alias("y")))
         # hash-partition on the per-round join key BEFORE the
         # checkpoint (r16, guide §2.4 — the pagerank discipline):
-        # distinct leaves the frame partitioned on (x, y), so every
-        # round's edges⋈labels join re-exchanged the full |E| frame
-        # by x; checkpointing the x-partitioning makes the loop's
-        # edge side exchange-free for all rounds.
+        # without it every round's edges⋈labels join re-exchanged the
+        # full |E| frame by x; checkpointing the x-partitioning makes
+        # the loop's edge side exchange-free for all rounds.
         .repartition(F.col("x"))
         # lazy: round 1's changed-count action materializes both edge
         # and label checkpoints in the job that first scans them
@@ -984,19 +990,26 @@ def graph_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic_session(spark)
     from ..operators.graph import connected_components_alternating
 
-    # same per-order collect_set edge build as
-    # [[graph_connected_components]] (r15, −1 |E| exchange + no join;
-    # A/B identical pair set); lazy checkpoint — the operator's first
-    # fingerprint action materializes it in the job that scans it
-    edges = (
+    # Per-order collect_set edge build, ONE-SIDED (r16, guide §2.3 —
+    # shuffle fewer bytes): the sorted-set ordered-pair explode emits
+    # each undirected edge ONCE (x < y), so the dedup exchange ingests
+    # |E| rows instead of the 2|E| the both-orientations explode paid,
+    # and the explode itself emits half the rows; the symmetric set
+    # the operator needs is restored AFTER the distinct by a narrow
+    # union of the checkpointed half with its swap.  A/B best-of-3 at
+    # sf0.1 (full key): 6.10 → 4.88 s (second session 7.39 → 5.99),
+    # identical rounds and components.  Lazy checkpoint — the
+    # operator's first fingerprint action materializes it in the job
+    # that scans it.
+    half = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.collect_set("l_suppkey").alias("ss"))
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
         .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ss, x -> transform("
-                    "filter(ss, y -> y != x), y -> struct(x AS x, y AS y))))"
+                    "flatten(transform(ss, (x, i) -> transform("
+                    "slice(ss, i + 2, size(ss)), y -> struct(x AS x, y AS y))))"
                 )
             ).alias("pr")
         )
@@ -1004,13 +1017,15 @@ def graph_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    edges = half.unionAll(half.select(F.col("y").alias("x"), F.col("x").alias("y")))
     nodes = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("n")
     )
     # edges is distinct + checkpointed above — skip the operator's
     # redundant |E| re-distinct/re-checkpoint (r15, guide §2.4); the
-    # pair explode emits BOTH orientations, so round 1 also skips the
-    # symmetrizing union (r16 — halves round 1's large-star volume)
+    # union restores BOTH orientations, so round 1 also skips the
+    # operator's symmetrizing union (r16 — halves round 1's
+    # large-star volume)
     lab, _rounds = connected_components_alternating(
         edges, src="x", dst="y", edges_distinct=True, edges_symmetric=True
     )
@@ -1027,9 +1042,8 @@ def graph_cc_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("singleton_components"),
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-    n_edges = edges.filter(F.col("x") < F.col("y")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_edges")
-    )
+    # the one-sided half IS the x<y pair set — count it directly
+    n_edges = half.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return (
         summary.crossJoin(F.broadcast(n_nodes))
         .crossJoin(F.broadcast(n_edges))

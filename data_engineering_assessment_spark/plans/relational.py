@@ -467,8 +467,23 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic_session(spark)
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders")
-    l = load_table(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(12,2)")
+    # Exact integer fixed-point revenue (r16, the agg_group treatment;
+    # guide §1.2 per-task work): quantize price/discount to cents once
+    # per row through the same DECIMAL(12,2) cast, then the revenue
+    # sum is BIGINT — rev×1e4 = pc·(100−dc) exactly, so the group sums
+    # equal the previous decimal sums by construction (collected rows
+    # + schema asserted identical; oracle replay green).  This key's
+    # lineitem side is UNFILTERED, which is where the decimal→long
+    # rewrite pays (A/B best-of-4: 0.95 → 0.80 s, second session
+    # 0.73 → 0.64); the same rewrite measured FLAT-TO-SLOWER on the
+    # filtered-slice siblings (multi_join_pricing 0.58 → 0.68,
+    # multi_join_topn 0.56 → 0.59, join_salted flat) and was NOT
+    # applied there — the early projection only pays at volume.
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (_dec("l_extendedprice") * 100).cast("long").alias("pc"),
+        (_dec("l_discount") * 100).cast("long").alias("dc"),
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -477,11 +492,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
             _epoch_s("o_orderdate").alias("order_date_s"),
             "o_orderpriority",
         )
-        .agg(
-            (F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("decimal(28,4)") * 10000)
-            .cast("long")
-            .alias("revenue_x10000")
-        )
+        .agg(F.sum(F.expr("pc * (100 - dc)")).alias("revenue_x10000"))
         .orderBy(F.desc("revenue_x10000"), F.asc("o_orderkey"))
         .limit(10)
     )
